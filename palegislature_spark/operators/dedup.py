@@ -1,0 +1,281 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The reference's dedup is blocked pairwise name matching over members
+(``find_duplicates.py:49-66``); these operators generalize that
+blocking idea to document-scale near-duplicate detection, the way a
+training-data pipeline needs it:
+
+    exact_dedup        — hash-groupBy (one shuffle on a 128-bit key)
+    shingles           — word n-gram shingling, all JVM-side
+    jaccard_pairs      — exact all-pairs Jaccard via an inverted
+                         shingle index (the correctness oracle)
+    minhash_lsh_pairs  — MinHash signatures + banded LSH candidates +
+                         exact verification (the 100 TB path: candidate
+                         generation is linear in corpus size, the
+                         quadratic step touches only same-bucket pairs)
+    simhash_*          — 60-bit SimHash + banded Hamming search
+
+Everything below is built-in-function-only (no Python UDFs): md5 /
+xxhash64 / conv / bit ops are all whole-stage-codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts; keep the minimum id as canonical.
+
+    Returns (keep_id, group_size, text_md5). One shuffle on the md5
+    key — the md5 is computed map-side so the wide text column never
+    shuffles.
+    """
+    return (
+        df.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("__id").alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("keep_id", "group_size", "text_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling
+# --------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure built-ins: split -> index-sequence -> transform -> explode.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__toks"), i + j) for j in range(n)]
+        ),
+    )
+    return (
+        toks.select("__id", F.explode(gram).alias("shingle"))
+        .distinct()
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
+    """All same-shingle pairs -> (id_1, id_2, jaccard) via inverted index."""
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    s1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    common = (
+        s1.join(s2, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    c1 = counts.select(F.col(id_col).alias("id_1"), F.col("__n").alias("__n1"))
+    c2 = counts.select(F.col(id_col).alias("id_2"), F.col("__n").alias("__n2"))
+    return (
+        common.join(c1, "id_1")
+        .join(c2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (
+                F.col("__common")
+                / (F.col("__n1") + F.col("__n2") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_1 < id_2).
+
+    Scale note: the shingle inverted index is exact but its join fans
+    out on hot shingles; at corpus scale prefer minhash_lsh_pairs and
+    keep this as the verification oracle on candidate pairs.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 32) -> DataFrame:
+    """Per-id MinHash signature rows: (id, hash_idx, min_hash).
+
+    Hash family: xxhash64(shingle, seed=hash_idx) — deterministic,
+    JVM-side, no UDF.
+    """
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
+        F.col("shingle"),
+    ).select(
+        id_col, "hash_idx", F.xxhash64("shingle", "hash_idx").alias("__h")
+    )
+    return hashed.groupBy(id_col, "hash_idx").agg(F.min("__h").alias("min_hash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: `bands` bands of `num_hashes/bands` rows; two documents
+    are candidates iff some band agrees. With the defaults (16 bands
+    of 2) a pair at jaccard 0.8 is missed with probability
+    (1 - 0.8^2)^16 ≈ 5e-8. Candidates are then verified with the
+    exact Jaccard so the output matches jaccard_pairs (same schema).
+
+    Scale: signatures are linear scans; the candidate join shuffles on
+    (band, band_key) — skewed buckets split by AQE; the quadratic
+    verify runs only on same-bucket survivors.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    band_key = (
+        sig.withColumn("band", F.col("hash_idx") % bands)
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hash_idx", "min_hash"))),
+                    lambda s: s["min_hash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    b1 = band_key.select(F.col(id_col).alias("id_1"), "band", "band_key")
+    b2 = band_key.select(F.col(id_col).alias("id_2"), "band", "band_key")
+    cand = (
+        b1.join(b2, ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    # Exact verification restricted to candidate ids (semi-join prune).
+    cand_ids = (
+        cand.select(F.col("id_1").alias(id_col))
+        .union(cand.select("id_2"))
+        .distinct()
+    )
+    sh_pruned = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    verified = _pair_jaccard(sh_pruned, id_col).join(cand, ["id_1", "id_2"], "left_semi")
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash (60-bit, md5-nibble hash family)
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document from token md5s: (id, simhash).
+
+    Token weight = occurrence count; bit b of the signature is the
+    sign of the weighted vote over bit b of each token's md5 (first 15
+    hex nibbles => 60 bits, fits a BIGINT). md5 is used (not
+    xxhash64) so external engines can reproduce the signature exactly.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("__id"), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("__id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hex", F.md5("token"))
+    )
+    bits = toks.select(
+        "__id",
+        "cnt",
+        "hex",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit_idx"),
+    ).select(
+        "__id",
+        "bit_idx",
+        F.expr(
+            "cnt * (2 * (shiftright(CAST(conv(substring(hex, CAST(bit_idx DIV 4 AS INT) + 1, 1), 16, 10) AS INT), CAST(bit_idx % 4 AS INT)) & 1) - 1)"
+        ).alias("vote"),
+    )
+    votes = bits.groupBy("__id", "bit_idx").agg(F.sum("vote").alias("s"))
+    return (
+        votes.groupBy("__id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit_idx AS INT)) ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Banded search: the 60-bit signature splits into `chunks` 15-bit
+    chunks; any pair within Hamming distance `chunks - 1` shares at
+    least one exact chunk (pigeonhole), so candidates join on
+    (chunk_idx, chunk_value) instead of all-pairs. For
+    max_hamming >= chunks, raise `chunks` to max_hamming + 1 to keep
+    the guarantee. Verification computes the exact popcount.
+    """
+    need = max(chunks, max_hamming + 1)
+    width = _SIMHASH_BITS // need
+    sig = simhash_signatures(df, id_col, text_col)
+    chunked = sig.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(need - 1))).alias("chunk_idx"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(
+            f"shiftright(simhash, CAST(chunk_idx * {width} AS INT)) & {(1 << width) - 1}"
+        ),
+    )
+    c1 = chunked.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("h1"), "chunk_idx", "chunk_val"
+    )
+    c2 = chunked.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("h2"), "chunk_idx", "chunk_val"
+    )
+    cand = (
+        c1.join(c2, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "h1", "h2")
+        .distinct()
+    )
+    return cand.select(
+        "id_1",
+        "id_2",
+        F.expr("bit_count(h1 ^ h2)").cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

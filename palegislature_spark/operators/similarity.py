@@ -1,0 +1,188 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH scale path.
+
+All vector math stays JVM-side: arrays cast to double, dot products
+via ``aggregate(zip_with(...))`` — no Python in the hot path.
+
+Brute-force is the correctness baseline (exact top-k). The scale path
+is random-hyperplane LSH: sign-bucket every vector once (linear), then
+rank only same-bucket (plus near-bucket) candidates. Hyperplane
+components are derived from xxhash64 so the index is deterministic and
+needs no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
+    """Append the L2 norm of an array<float> column (computed in double)."""
+    return df.withColumn(out, _norm(_as_double(vec_col)))
+
+
+def cosine_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine similarity (left x right) — exact, quadratic.
+
+    Use only with a bounded left side (the query set); the plan
+    broadcasts left so the candidate scan is a single pass over right.
+    """
+    l = left.select(
+        F.col(id_left).alias("__qid"), _as_double(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    r = right.select(
+        F.col(id_right).alias("__cid"), _as_double(vec_col).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    return (
+        F.broadcast(l)
+        .join(r, F.col("__qid") != F.col("__cid"))
+        .select(
+            F.col("__qid").alias(id_left),
+            F.col("__cid").alias(id_right),
+            (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine). Deterministic
+    tiebreak on neighbor id.
+    """
+    pairs = cosine_pairs(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        embeddings.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        "query_id",
+        "neighbor_id",
+        vec_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+def _hyperplane_sign_bits(vec_col, dim: int, n_planes: int):
+    """LSH bucket id: sign bits against pseudo-random hyperplanes.
+
+    Plane p component i = ±1 from the parity of xxhash64(p, i) — fully
+    deterministic, no stored model, recomputable on any cluster.
+    """
+    plane_dot = lambda p: F.aggregate(  # noqa: E731
+        F.zip_with(
+            vec_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) * 2 - 1).cast("double"),
+            ),
+            lambda x, s: x * s,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Candidates = vectors sharing the query's bucket, plus (multiprobe)
+    all buckets at Hamming distance 1 — recall rises with probes at
+    linear extra cost. Output schema matches brute_force_topk.
+
+    Scale: bucketing is one linear pass; the join shuffles on bucket
+    id, so cost ~ corpus/2^n_planes per query instead of corpus.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__bucket", _hyperplane_sign_bits(F.col("__v"), dim, n_planes))
+    qrs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("__qbucket", _hyperplane_sign_bits(F.col("__qv"), dim, n_planes))
+
+    if multiprobe:
+        probes = F.array(
+            F.col("__qbucket"),
+            *[
+                F.col("__qbucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+    else:
+        probes = F.array(F.col("__qbucket"))
+    probed = qrs.select(
+        "query_id", "__qv", F.explode(probes).alias("__bucket")
+    )
+
+    pairs = (
+        F.broadcast(probed)
+        .join(emb, "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv"), F.col("__v"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__v")))
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )

@@ -1,0 +1,276 @@
+"""Text-analysis + deduplication queries over the documents table.
+
+The training-data-pipeline operator family: exact dedup, n-gram
+Jaccard, MinHash-LSH, SimHash, language-ID, quality scoring, token
+counting, fingerprinting. All Spark implementations are
+built-in-function-only (md5/xxhash64/regex/array ops — JVM codegen);
+DuckDB oracles reproduce the same math where the hash family is
+shared (md5), and the xxhash64-based MinHash query is verified
+against the exact-Jaccard oracle it must converge to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palegislature_spark.catalog import load
+from palegislature_spark.operators import dedup
+from palegislature_spark.queries.registry import register
+
+# Shared oracle CTE: word-3gram shingles per document.
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM pos
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       c * 1.0 / (c1.n + c2.n - c) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = id_1
+JOIN cnt c2 ON c2.doc_id = id_2
+WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    covers="Q2 extension: exact dedup by content hash (hash-groupBy)",
+    oracle="""
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS group_size
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").select(
+        "text_md5", "keep_id", "group_size"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    covers="J5/J7 extension: exact n-gram Jaccard near-dup pairs (inverted index)",
+    oracle=_JACCARD_SQL,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard >= 0.8 pairs — the dedup oracle."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # Raw long/long division: bit-identical across engines, no round.
+    return pairs.select("id_1", "id_2", "jaccard")
+
+
+@register(
+    "dedup_minhash_lsh",
+    covers="J5/J7 extension: MinHash+LSH banding (the 100 TB dedup path); "
+    "verified against the exact-Jaccard oracle (miss prob ~5e-8 per pair)",
+    oracle=_JACCARD_SQL,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verify — must equal dedup_ngram_jaccard."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.8
+    )
+    return pairs.select("id_1", "id_2", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    covers="J5/J7 extension: SimHash near-dup pairs (md5 hash family, banded Hamming search)",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+toks AS (
+  SELECT doc_id, token, count(*) AS cnt, md5(token) AS hex
+  FROM words GROUP BY doc_id, token
+),
+votes AS (
+  SELECT doc_id, bit_idx,
+         sum(cnt * (2 * (((strpos('0123456789abcdef', substr(hex, (bit_idx // 4) + 1, 1)) - 1)
+                          >> (bit_idx % 4)) & 1) - 1)) AS s
+  FROM toks, (SELECT unnest(generate_series(0, 59)) AS bit_idx)
+  GROUP BY doc_id, bit_idx
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit_idx) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs at Hamming distance <= 6 over a 60-bit signature."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6).select(
+        "id_1", "id_2", "hamming"
+    )
+
+
+@register(
+    "lang_id",
+    covers="text-analysis extension: n-gram-heuristic language ID",
+    oracle="""
+SELECT doc_id, lang AS labeled_lang,
+       CASE
+         WHEN (length(text) - length(replace(' ' || text || ' ', ' the ', ''))) / 5 >= 2 THEN 'en'
+         WHEN text LIKE '%stream%' AND text LIKE '%vector%' THEN 'tech'
+         WHEN length(text) % 7 = 0 THEN 'mod7'
+         ELSE 'other'
+       END AS pred_lang
+FROM documents
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-based language classification.
+
+    (The synthetic corpus shares one vocabulary, so the value of this
+    query is the deterministic rule evaluation, not linguistic truth;
+    the real heuristic — stopword-profile scoring — is exercised in
+    tests/test_text.py over multilingual fixture strings.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    the_hits = (
+        (
+            F.length("text")
+            - F.length(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.lit(" the "),
+                    F.lit(""),
+                )
+            )
+        )
+        / 5
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(the_hits >= 2, "en")
+        .when(F.col("text").like("%stream%") & F.col("text").like("%vector%"), "tech")
+        .when(F.length("text") % 7 == 0, "mod7")
+        .otherwise("other")
+        .alias("pred_lang"),
+    )
+
+
+@register(
+    "text_quality",
+    covers="text-analysis extension: quality scoring (length/stopword/diversity ratios)",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)                       AS n_chars_measured,
+       CAST(len(tk) AS BIGINT)                            AS n_words,
+       length(text) * 1.0 / len(tk)                       AS avg_word_span,
+       len(list_filter(tk, w -> w IN ('the', 'a', 'of', 'and'))) * 1.0 / len(tk)
+                                                          AS stopword_ratio,
+       len(list_distinct(tk)) * 1.0 / len(tk)             AS distinct_ratio
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / vocabulary-diversity quality signals."""
+    docs = load(spark, sf_dir, "documents").withColumn("tk", F.split("text", " "))
+    stop = F.size(
+        F.filter(F.col("tk"), lambda w: w.isin("the", "a", "of", "and"))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size("tk").cast("long").alias("n_words"),
+        # Exact int/int divisions: same double on every engine, no round.
+        (F.length("text") / F.size("tk")).alias("avg_word_span"),
+        (stop / F.size("tk")).alias("stopword_ratio"),
+        (F.size(F.array_distinct("tk")) / F.size("tk")).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "token_count",
+    covers="text-analysis extension: token counting (whitespace + regex tokenizers)",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)             AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").alias(
+            "re_tokens"
+        ),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias(
+            "distinct_tokens"
+        ),
+    )
+
+
+@register(
+    "fingerprint",
+    covers="text-analysis extension: document fingerprinting (normalized + bag hash)",
+    oracle="""
+SELECT doc_id,
+       md5(trim(lower(text)))                                        AS norm_fp,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fp
+FROM documents
+""",
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: normalized-text hash + order-invariant
+    bag-of-words hash (catches word-order shuffles)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(F.lower("text"))).alias("norm_fp"),
+        F.md5(F.array_join(F.array_sort(F.split("text", " ")), " ")).alias("bag_fp"),
+    )
+
+
+@register(
+    "multimodal_bytes",
+    covers="multimodal extension: opaque binary column plumbing (encode/byte-length/hash)",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text)                               AS payload_sha
+FROM documents
+""",
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column handling: text encoded to bytes stands in for an
+    image/audio payload; decode/feature-extraction over real payloads
+    is the mapInPandas stub in operators/multimodal.py."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("payload_sha"),
+    )

@@ -1,0 +1,112 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle on the
+same parquet, then compares row count, column names, and values
+(order-insensitive; exact for non-floats, 1e-9-relative for floats —
+stricter than a hash, so passing here implies the hash matches unless
+both engines drift identically).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(rows: list[tuple], cols: list[str]):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(row[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+def values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from palegislature_spark.catalog import STAR_TABLES
+    from palegislature_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        sc, sr = normalize(s_rows, s_cols)
+        dc, dr = normalize(d_rows, d_cols)
+        if sc != dc:
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={sc} duckdb={dc}")
+            continue
+        if len(sr) != len(dr):
+            failures.append(name)
+            print(f"FAIL  {name}: rows spark={len(sr)} duckdb={len(dr)}")
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            if not all(values_equal(x, y) for x, y in zip(a, b)):
+                bad = (i, a, b)
+                break
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: value mismatch at sorted row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+            continue
+        print(f"ok    {name}: {len(sr)} rows match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
