@@ -59,18 +59,27 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     Small parquet inputs arrive as one partition; fan out first so
     every core shares the per-row shingling work. The within-document
     distinct is array_distinct — no shuffle.
+
+    The gram expression is gated on size >= n inside the row (not just
+    by the filter): sequence(1, size-n+1) DESCENDS ([1,0]) when
+    size < n, and codegen subexpression elimination can evaluate the
+    projection alongside the filter predicate in the same stage, so an
+    unguarded element_at would throw on short documents.
     """
     toks = (
         df.repartition(F.col(id_col))
         .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         .filter(F.size("__toks") >= n)
     )
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("__toks"), i + j) for j in range(n)]
+    gram = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__toks"), i + j) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return toks.select(id_col, F.array_distinct(gram).alias("sh"))
 
 

@@ -1,0 +1,118 @@
+"""Dedup operator tests: exact, shingles, Jaccard, MinHash-LSH, SimHash.
+
+Expected values are hand-computed on tiny corpora so every algorithm
+is pinned independently of the DuckDB oracle harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from palegislature_spark.operators import dedup
+from tests.conftest import rows
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different text about spark engines here"),
+    (5, "one two"),  # shorter than 3 tokens -> no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    got = rows(dedup.exact_dedup(docs, "doc_id", "text"), "keep_id", "group_size")
+    # 1&3 identical -> keep min id 1 with group size 2.
+    assert got == [(1, 2), (2, 1), (4, 1), (5, 1)]
+
+
+def test_shingles_distinct_and_min_length(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    per_doc = {r["doc_id"]: r["cnt"] for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    # 9 tokens -> 7 trigrams, all distinct here; doc 5 too short.
+    assert per_doc == {1: 7, 2: 7, 3: 7, 4: 5}
+    # duplicated shingle within a doc collapses
+    assert dedup.shingles(
+        sh.sparkSession.createDataFrame([(9, "a b a b a b")], ["doc_id", "text"]),
+        "doc_id",
+        "text",
+    ).count() == 2  # "a b a" and "b a b"
+
+
+def test_jaccard_exact(docs):
+    got = rows(
+        dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5),
+        "id_1",
+        "id_2",
+    )
+    # docs 1,2 share 6 of 8 distinct trigrams (j=0.75); 1&3 identical (j=1).
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    j = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    assert j[(1, 3)] == 1.0
+    assert abs(j[(1, 2)] - 0.75) < 1e-12
+
+
+def test_minhash_lsh_matches_exact_jaccard(docs):
+    exact = rows(
+        dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7),
+        "id_1",
+        "id_2",
+        "jaccard",
+    )
+    lsh = rows(
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.7),
+        "id_1",
+        "id_2",
+        "jaccard",
+    )
+    # Verification step recomputes exact Jaccard, so values agree exactly
+    # whenever LSH recalls the pair; at j>=0.75 with 16x2 banding the
+    # miss probability is ~1e-8.
+    assert lsh == exact
+
+
+def test_simhash_identical_and_near(docs):
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert sig[1] == sig[3]
+    assert 0 <= sig[1] < (1 << 60)
+    pairs = rows(
+        dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=20),
+        "id_1",
+        "id_2",
+    )
+    assert (1, 3) in pairs  # hamming 0
+    ham = {
+        (r["id_1"], r["id_2"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=59).collect()
+    }
+    assert ham[(1, 3)] == 0
+    # near-dup pair is closer than the unrelated pair
+    assert ham[(1, 2)] < ham.get((1, 4), 60)
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    # All pairs within max_hamming MUST be found (banding is only a
+    # candidate filter; pigeonhole guarantees no false negatives).
+    df = spark.createDataFrame(
+        [(i, f"shared common prefix tokens everywhere plus unique{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    for mh in (3, 6, 10):
+        banded = rows(dedup.simhash_pairs(df, "doc_id", "text", max_hamming=mh), "id_1", "id_2")
+        brute = rows(
+            dedup.simhash_pairs(df, "doc_id", "text", max_hamming=mh, chunks=60),
+            "id_1",
+            "id_2",
+        )
+        assert banded == brute

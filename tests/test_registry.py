@@ -1,0 +1,35 @@
+"""Registry integrity + driver-contract smoke tests."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrypoint
+from palegislature_spark.queries import REGISTRY
+
+
+def test_registry_specs_complete():
+    assert len(REGISTRY) >= 43
+    for name, spec in REGISTRY.items():
+        assert spec.name == name
+        assert spec.covers, f"{name} missing SURVEY coverage citation"
+        assert callable(spec.fn)
+
+
+def test_driver_contract_shapes():
+    qs = entrypoint.queries()
+    oracles = entrypoint.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle is a plain SELECT usable by DuckDB
+    for name, sql in oracles.items():
+        assert re.match(r"\s*(WITH|SELECT)\b", sql, re.IGNORECASE), name
+    # non-SQL-expressible ops are the only rows-only entries
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {"knn_lsh"}
+
+
+def test_flagship_runs(spark, sf_dir):
+    df = entrypoint.queries()[entrypoint.FLAGSHIP](spark, sf_dir)
+    out = df.collect()
+    assert len(out) > 0
+    assert df.columns[0] == "l_returnflag"
