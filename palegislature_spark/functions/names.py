@@ -1,0 +1,153 @@
+"""Name normalization and parsing (SURVEY §2.7 F1/F2).
+
+F1 — the reference's ``advanced_decapitalization`` (``crawl.py:223-243``)
+is a per-character state machine ("BRIAN McRAE" -> "Brian McRae";
+all-caps strings fall back to Python ``str.title()``). ``initcap``
+cannot express either path (title() breaks words on ANY non-alpha,
+initcap only on spaces; the mixed-case path preserves interior caps
+after lowercase), so both are built as ``aggregate`` folds over the
+character array — JVM-side, no Python UDF; the lambda is interpreted
+but bounded by name length.
+
+F2 — the reference parses names with the ``nameparser`` package
+(``crawl.py:246-261``). We implement the deterministic subset its
+inputs actually need ("Last", "Last, First Middle...", "First Middle
+Last", trailing generational suffix) as pure column expressions
+returning a ``{first, middle, last, suffix}`` struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SUFFIXES = ["jr", "jr.", "sr", "sr.", "ii", "iii", "iv", "v"]
+
+
+def _chars(col: Column) -> Column:
+    # split('abc', '') -> ['a','b','c'] plus a trailing '' on some
+    # versions; drop empties defensively.
+    return F.filter(F.split(col, ""), lambda c: c != "")
+
+
+def _fold(col: Column, emit, next_state, init_state: bool) -> Column:
+    """Fold chars with a (text, bool-state) accumulator."""
+    return F.aggregate(
+        _chars(col),
+        F.struct(F.lit("").alias("s"), F.lit(init_state).alias("flag")),
+        lambda acc, c: F.struct(
+            F.concat(acc["s"], emit(acc["flag"], c)).alias("s"),
+            next_state(c).alias("flag"),
+        ),
+        lambda acc: acc["s"],
+    )
+
+
+def python_title(col: Column | str) -> Column:
+    """Python ``str.title()``: capitalize the first ALPHA char of each
+    run, where runs break on any non-alpha ("O'BRIEN" -> "O'Brien",
+    "COOK-ARTIS" -> "Cook-Artis")."""
+    col = F.col(col) if isinstance(col, str) else col
+    is_alpha = lambda c: c.rlike("^[A-Za-z]$")  # noqa: E731
+    return _fold(
+        col,
+        emit=lambda prev_alpha, c: F.when(~is_alpha(c), c)
+        .when(~prev_alpha, F.upper(c))
+        .otherwise(F.lower(c)),
+        next_state=is_alpha,
+        init_state=False,
+    )
+
+
+def advanced_decapitalization(col: Column | str) -> Column:
+    """``crawl.py:227-243`` semantics, exactly.
+
+    All-caps input (no lowercase letter anywhere) -> ``title()``.
+    Mixed case -> state machine: lowercase/space chars pass through and
+    arm capitalization; the next armed char is uppercased; every other
+    char is lowercased ("BRIAN McRAE" -> "Brian McRae").
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    is_reset = lambda c: c.rlike("^[a-z ]$")  # noqa: E731
+    mixed = _fold(
+        col,
+        emit=lambda armed, c: F.when(is_reset(c), c)
+        .when(armed, F.upper(c))
+        .otherwise(F.lower(c)),
+        next_state=is_reset,
+        init_state=True,
+    )
+    return F.when(col.rlike("^[^a-z]+$"), python_title(col)).otherwise(mixed)
+
+
+def parse_name(col: Column | str) -> Column:
+    """Parse a display name into struct(first, middle, last, suffix).
+
+    Handles the reference corpus's shapes (``crawl.py:246-261``,
+    ``edits.yaml:118-147``): "SMITH" (bare surname -> last only),
+    "Last, First [Middle...] [Suffix]", "First [Middle...] Last
+    [Suffix]". A trailing generational suffix (Jr/Sr/II-V, with or
+    without dot) is split off. Empty components are NULL.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.trim(col), r"\s+", " ")
+
+    comma_last = F.trim(F.substring_index(s, ",", 1))
+    # substring_index(s, ',', -1) is everything after the LAST comma;
+    # names have at most one comma in this corpus.
+    comma_rest = F.trim(F.substring_index(s, ",", -1))
+
+    def split_suffix(tokens: Column) -> Column:
+        """tokens -> struct(body array, suffix string|null)."""
+        last_tok = F.element_at(tokens, -1)
+        has_suffix = (F.size(tokens) > 1) & F.lower(last_tok).isin(_SUFFIXES)
+        return F.struct(
+            F.when(has_suffix, F.slice(tokens, 1, F.size(tokens) - 1))
+            .otherwise(tokens)
+            .alias("body"),
+            F.when(has_suffix, last_tok).alias("suffix"),
+        )
+
+    def first_middle(body: Column) -> Column:
+        """body tokens (first [middle...]) -> struct(first, middle)."""
+        return F.struct(
+            F.when(F.size(body) >= 1, F.element_at(body, 1)).alias("first"),
+            F.when(
+                F.size(body) >= 2, F.array_join(F.slice(body, 2, 100), " ")
+            ).alias("middle"),
+        )
+
+    # "Last, First Middle... [Suffix]"
+    c_tok = split_suffix(F.split(comma_rest, " "))
+    c_fm = first_middle(c_tok["body"])
+    comma_struct = F.struct(
+        c_fm["first"].alias("first"),
+        c_fm["middle"].alias("middle"),
+        comma_last.alias("last"),
+        c_tok["suffix"].alias("suffix"),
+    )
+
+    # "First Middle... Last [Suffix]" / bare "Last"
+    p_tok = split_suffix(F.split(s, " "))
+    p_body = p_tok["body"]
+    p_last = F.element_at(p_body, -1)
+    p_fm = first_middle(
+        F.when(F.size(p_body) > 1, F.slice(p_body, 1, F.size(p_body) - 1)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    plain_struct = F.struct(
+        p_fm["first"].alias("first"),
+        p_fm["middle"].alias("middle"),
+        p_last.alias("last"),
+        p_tok["suffix"].alias("suffix"),
+    )
+
+    chosen = F.when(s.contains(","), comma_struct).otherwise(plain_struct)
+    # Normalize empties to NULL (reference: `hn.middle or None`).
+    return F.struct(
+        F.nullif(chosen["first"], F.lit("")).alias("first"),
+        F.nullif(chosen["middle"], F.lit("")).alias("middle"),
+        F.nullif(chosen["last"], F.lit("")).alias("last"),
+        F.nullif(chosen["suffix"], F.lit("")).alias("suffix"),
+    )

@@ -1,0 +1,154 @@
+"""Scalar-function tests (SURVEY §2.7 F1–F10 semantics pins).
+
+advanced_decapitalization is property-tested against a pure-Python
+spec of the reference state machine (crawl.py:227-243 semantics,
+re-stated independently) so the Column-expression fold is pinned on
+arbitrary inputs, not just examples.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from palegislature_spark import functions as PF
+from pyspark.sql import functions as F
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def spec_advanced_decap(s: str) -> str:
+    """Pure-Python restatement of the F1 spec for property testing."""
+    if s and not any(c.islower() for c in s if c.isascii()):
+        # ALL_CAPS path -> Python title() — but the reference regex is
+        # ^[^a-z]+$ (ASCII), so mirror that exactly.
+        import re
+
+        if re.match(r"^[^a-z]+$", s):
+            return s.title()
+    capitalize = True
+    out = []
+    for c in s:
+        if ("a" <= c <= "z") or c == " ":
+            out.append(c)
+            capitalize = True
+        elif capitalize:
+            out.append(c.upper())
+            capitalize = False
+        else:
+            out.append(c.lower())
+    return "".join(out)
+
+
+EXAMPLES = [
+    ("BRIAN McRAE", "Brian McRae"),
+    ("SMITH", "Smith"),
+    ("COOK-ARTIS", "Cook-Artis"),
+    ("O'BRIEN", "O'Brien"),
+    ("McIlhinney", "McIlhinney"),
+    ("MCI. SMITH", "Mci. Smith"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,want", EXAMPLES)
+def test_advanced_decapitalization_examples(spark, raw, want):
+    assert one(spark, PF.advanced_decapitalization(F.lit(raw))) == want
+    assert spec_advanced_decap(raw) == want  # spec agrees with examples
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ABCDEFGHIJabcdefghij'.- ",
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_advanced_decapitalization_property(spark, parts):
+    sample = " ".join(parts)
+    got = one(spark, PF.advanced_decapitalization(F.lit(sample)))
+    assert got == spec_advanced_decap(sample)
+
+
+def test_parse_name_shapes(spark):
+    cases = {
+        "SMITH": (None, None, "SMITH", None),
+        "WHITE, MARY JO": ("MARY", "JO", "WHITE", None),
+        "KELLER, M. K.": ("M.", "K.", "KELLER", None),
+        "Brian McRae": ("Brian", None, "McRae", None),
+        "F. Scott Fitzgerald": ("F.", "Scott", "Fitzgerald", None),
+        "John Smith Jr.": ("John", None, "Smith", "Jr."),
+        "DOE, JANE III": ("JANE", None, "DOE", "III"),
+        "  Amy   Lee  ": ("Amy", None, "Lee", None),
+    }
+    for raw, want in cases.items():
+        got = one(spark, PF.parse_name(F.lit(raw)))
+        assert (got["first"], got["middle"], got["last"], got["suffix"]) == want, raw
+
+
+def test_vote_codec_roundtrip(spark):
+    df = spark.createDataFrame([(c,) for c in "YNXE"], ["letter"])
+    back = df.select(
+        "letter", PF.vote_to_letter(PF.vote_from_letter("letter")).alias("rt")
+    ).collect()
+    assert all(r["letter"] == r["rt"] for r in back)
+    assert one(spark, PF.vote_from_letter(F.lit("Z"))) is None
+    assert one(spark, PF.vote_to_letter(F.lit(None).cast("int"))) is None
+
+
+def test_chamber_and_party_codecs(spark):
+    assert one(spark, PF.chamber_from_letter(F.lit("House"))) == 1
+    assert one(spark, PF.chamber_from_letter(F.lit("S"))) == 2
+    assert one(spark, PF.chamber_from_letter(F.lit("x"))) is None
+    assert one(spark, PF.chamber_to_name(F.lit(1))) == "House"
+    assert one(spark, PF.party_name(F.lit("D"))) == "Democrat"
+    assert one(spark, PF.party_name(F.lit("?"))) is None
+
+
+def test_year_range_expand_and_condense_inverse(spark):
+    assert one(spark, PF.year_range_expand(F.lit("2019-2020"))) == [2019, 2020]
+    assert one(spark, PF.year_range_expand(F.lit("2019"))) == [2019]
+    assert one(spark, PF.year_range_expand(F.lit("junk"))) is None
+
+    # expand(condense(years)) == years for multi-run sets: condense via
+    # the islands operator, re-expand each run label.
+    from palegislature_spark.operators import islands
+
+    years = [2007, 2008, 2009, 2013, 2015, 2016]
+    df = spark.createDataFrame([(1, y) for y in years], ["k", "year"])
+    runs = islands.condense(df, ["k"], "year").collect()[0]["runs"]
+    assert runs == "2007-2009, 2013, 2015-2016"
+    expanded = sorted(
+        y
+        for part in runs.split(", ")
+        for y in one(df.sparkSession, PF.year_range_expand(F.lit(part)))
+    )
+    assert expanded == years
+
+
+def test_temporal_parsers(spark):
+    assert one(spark, PF.parse_month_name(F.lit("March"))) == 3
+    assert one(spark, PF.parse_month_name(F.lit("notamonth"))) is None
+    assert one(spark, PF.parse_dob(F.lit("3/14/1959 - 1/1/2020"))) == dt.date(1959, 3, 14)
+    assert one(spark, PF.parse_dob(F.lit("unknown"))) is None
+
+
+def test_text_extractors(spark):
+    assert one(spark, PF.extract_party(F.lit("(D) Allegheny"))) == "D"
+    assert one(spark, PF.extract_party(F.lit("no party here"))) is None
+    assert one(spark, PF.extract_district(F.lit("District 17"))) == 17
+    assert one(spark, PF.extract_district(F.lit("nope"))) is None
+    assert one(spark, PF.clean_ws(F.lit("  a\xa0 b  c "))) == "a b c"
+    assert (
+        one(spark, PF.url_param(F.lit("https://x.y/bio?ID=123&b=2"), "ID")) == "123"
+    )
