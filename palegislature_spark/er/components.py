@@ -1,0 +1,76 @@
+"""Connected components over match edges (SURVEY §4.3.3).
+
+The reference merges pairwise groups keyed by the lowest member id in
+each block (``find_duplicates.py:69-110``), which under-merges when
+matches chain across blocks. The correct general construction is
+connected components; match graphs here are tiny per block (a few
+edges per surname), so large-star/small-star iteration converges in
+a handful of rounds.
+
+Algorithm (large-star only, sufficient for undirected edges):
+repeat { label(v) = min(label(v), min over neighbors' labels) } until
+no label changes. Each round is one groupBy-min plus one join —
+shuffle-bounded, no driver-side graph. Iterations are capped and each
+round's result is localCheckpoint()ed to keep lineage flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label each vertex with the min vertex id of its component.
+
+    Input: undirected edge list (any orientation, duplicates fine).
+    Output: (id, component) for every vertex that appears in an edge;
+    ``component`` is the smallest id in the connected component.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # initial label: min neighbor (including self)
+    labels = (
+        sym.union(sym.select("a", F.col("a").alias("b")))
+        .groupBy("a")
+        .agg(F.min("b").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # propagate: candidate label for a = min over neighbors' labels
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias("id"), F.col("comp").alias("component"))

@@ -1,0 +1,183 @@
+"""Vote-name entity resolution — the ``match_names.py`` pipeline as
+one DataFrame job (SURVEY §3.2).
+
+Pass 1 (``get_match``, ``match_names.py:13-47``): parse each distinct
+raw voter name, block against the (year, chamber) member roster on
+lower(last), evaluate ``is_same_name`` (require_suffix=False) on the
+candidates, and accept a name iff exactly one roster member matches —
+with the reference's multi-member-block guard that a parsed name
+without a first name never matches in a shared-surname block.
+
+Pass 2 (substring fixpoint, ``match_names.py:140-156``): leftover
+names vs leftover members, candidate iff the raw name is a substring
+of upper(member last); accept mutually-unique (name, member) pairs
+and iterate until no new acceptances. The reference's sequential
+variant is order-dependent (a name claimed earlier can starve a later
+one); mutual uniqueness is the deterministic distributed refinement —
+on non-pathological data the fixpoints coincide.
+
+Scale: everything shuffles on (year, chamber, block key); the roster
+side is dimension-sized and broadcast. The fixpoint loop iterates on
+the small residue only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from palegislature_spark.er.name_match import (
+    name_struct,
+    names_match,
+    parse_vote_name,
+)
+
+
+def roll_years(roll_calls: DataFrame, session_days: DataFrame) -> DataFrame:
+    """(roll id, year, chamber): stamp year, else session-day year
+    (``match_names.py:86-95``)."""
+    days = session_days.select(F.col("id").alias("day_id"), F.col("date").alias("__day"))
+    return (
+        roll_calls.join(F.broadcast(days), "day_id", "left")
+        .select(
+            F.col("id").alias("roll_id"),
+            F.coalesce(F.year("stamp"), F.year("__day")).alias("year"),
+            "chamber",
+        )
+    )
+
+
+def roster(members: DataFrame, service: DataFrame) -> DataFrame:
+    """(year, chamber, member_id, mname struct, blk) roster rows."""
+    m = members.select(
+        F.col("id").alias("member_id"),
+        name_struct("first", "middle", "last", "suffix").alias("mname"),
+        F.lower("last").alias("blk"),
+        F.upper("last").alias("last_upper"),
+    )
+    return (
+        service.select("member_id", "year", "chamber")
+        .distinct()
+        .join(m, "member_id")
+    )
+
+
+def match_vote_names(
+    votes: DataFrame,
+    roll_calls: DataFrame,
+    session_days: DataFrame,
+    members: DataFrame,
+    service: DataFrame,
+    max_fixpoint_iterations: int = 10,
+) -> DataFrame:
+    """Resolve distinct raw voter names to member ids.
+
+    Output: (year, chamber, name, member_id, method) — method in
+    {'block', 'substring'}; unmatched names are absent (callers
+    anti-join for the review report).
+    """
+    years = roll_years(roll_calls, session_days)
+    vote_names = (
+        votes.join(years, "roll_id")
+        .select("year", "chamber", "name")
+        .distinct()
+        .withColumn("vname", parse_vote_name(F.col("name")))
+        .withColumn("blk", F.lower(F.col("vname")["last"]))
+    )
+    ros = roster(members, service)
+
+    block_sizes = ros.groupBy("year", "chamber", "blk").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+
+    cand = (
+        vote_names.join(F.broadcast(ros), ["year", "chamber", "blk"])
+        .join(F.broadcast(block_sizes), ["year", "chamber", "blk"])
+        .filter(names_match(F.col("vname"), F.col("mname"), require_suffix=False))
+        # multi-member block requires a parsed first name
+        # (match_names.py:33-34)
+        .filter((F.col("block_n") == 1) | F.col("vname")["first"].isNotNull())
+    )
+    pass1 = (
+        cand.groupBy("year", "chamber", "name")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("member_id").alias("member_id"),
+        )
+        .filter("n_matches = 1")
+        .select("year", "chamber", "name", "member_id", F.lit("block").alias("method"))
+    )
+
+    # ---- pass 2: substring fixpoint on the residue -----------------
+    unmatched_names = (
+        vote_names.select("year", "chamber", "name")
+        .join(pass1, ["year", "chamber", "name"], "left_anti")
+        .localCheckpoint()
+    )
+    hit_ids = pass1.select("year", "chamber", "member_id")
+    unmatched_members = (
+        ros.select("year", "chamber", "member_id", "last_upper")
+        .join(hit_ids, ["year", "chamber", "member_id"], "left_anti")
+        .localCheckpoint()
+    )
+
+    accepted = None
+    for _ in range(max_fixpoint_iterations):
+        c = unmatched_names.join(
+            unmatched_members,
+            ["year", "chamber"],
+        ).filter(F.col("last_upper").contains(F.col("name")))
+        per_name = c.groupBy("year", "chamber", "name").agg(
+            F.count(F.lit(1)).alias("n_m"), F.min("member_id").alias("member_id")
+        ).filter("n_m = 1")
+        # mutual uniqueness: the chosen member must be chosen by only
+        # one name this round
+        per_member = per_name.groupBy("year", "chamber", "member_id").agg(
+            F.count(F.lit(1)).alias("n_n"), F.min("name").alias("name")
+        ).filter("n_n = 1")
+        new = per_member.select(
+            "year", "chamber", "name", "member_id", F.lit("substring").alias("method")
+        ).localCheckpoint()
+        if new.limit(1).count() == 0:
+            break
+        accepted = new if accepted is None else accepted.union(new)
+        unmatched_names = unmatched_names.join(
+            new.select("year", "chamber", "name"), ["year", "chamber", "name"], "left_anti"
+        ).localCheckpoint()
+        # the reference drops the whole surname group of a matched
+        # member from future candidacy (match_names.py:153)
+        matched_lasts = new.join(
+            unmatched_members, ["year", "chamber", "member_id"]
+        ).select("year", "chamber", "last_upper")
+        unmatched_members = unmatched_members.join(
+            matched_lasts, ["year", "chamber", "last_upper"], "left_anti"
+        ).localCheckpoint()
+
+    return pass1.union(accepted) if accepted is not None else pass1
+
+
+def backfill_member_ids(votes: DataFrame, matches: DataFrame, years: DataFrame) -> DataFrame:
+    """Write pass: fill NULL votes.member_id from resolved names
+    (``match_names.py:168-188``). ``years`` is roll_years(...)."""
+    v = votes.join(years, "roll_id", "left")
+    m = F.broadcast(
+        matches.select(
+            "year", "chamber", F.col("name").alias("m_name"), F.col("member_id").alias("m_id")
+        )
+    )
+    return (
+        v.join(
+            m,
+            (F.col("name") == F.col("m_name"))
+            & (v.year == m.year)
+            & (v.chamber == m.chamber),
+            "left",
+        )
+        .select(
+            "session_id",
+            "roll_id",
+            "name",
+            "vote",
+            F.coalesce("member_id", "m_id").alias("member_id"),
+        )
+    )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from palegislature_spark.functions.expr_util import let
+
 _SUFFIXES = ["jr", "jr.", "sr", "sr.", "ii", "iii", "iv", "v"]
 
 
@@ -80,6 +82,67 @@ def advanced_decapitalization(col: Column | str) -> Column:
     return F.when(col.rlike("^[^a-z]+$"), python_title(col)).otherwise(mixed)
 
 
+def _split_suffix(tokens: Column) -> Column:
+    """tokens -> struct(body array, suffix string|null)."""
+    last_tok = F.element_at(tokens, -1)
+    has_suffix = (F.size(tokens) > 1) & F.lower(last_tok).isin(_SUFFIXES)
+    return F.struct(
+        F.when(has_suffix, F.slice(tokens, 1, F.size(tokens) - 1))
+        .otherwise(tokens)
+        .alias("body"),
+        F.when(has_suffix, last_tok).alias("suffix"),
+    )
+
+
+def _first_middle(body: Column) -> Column:
+    """body tokens (first [middle...]) -> struct(first, middle)."""
+    return F.struct(
+        F.when(F.size(body) >= 1, F.element_at(body, 1)).alias("first"),
+        F.when(F.size(body) >= 2, F.array_join(F.slice(body, 2, 100), " ")).alias(
+            "middle"
+        ),
+    )
+
+
+def _comma_form(s: Column) -> Column:
+    """"Last, First Middle... [Suffix]" -> name struct."""
+    return let(
+        _split_suffix(F.split(F.trim(F.substring_index(s, ",", -1)), " ")),
+        lambda tok: let(
+            _first_middle(tok["body"]),
+            lambda fm: F.struct(
+                fm["first"].alias("first"),
+                fm["middle"].alias("middle"),
+                F.trim(F.substring_index(s, ",", 1)).alias("last"),
+                tok["suffix"].alias("suffix"),
+            ),
+        ),
+    )
+
+
+def _plain_form(s: Column) -> Column:
+    """"First Middle... Last [Suffix]" / bare "Last" -> name struct."""
+    return let(
+        _split_suffix(F.split(s, " ")),
+        lambda tok: let(
+            tok["body"],
+            lambda body: let(
+                _first_middle(
+                    F.when(
+                        F.size(body) > 1, F.slice(body, 1, F.size(body) - 1)
+                    ).otherwise(F.array().cast("array<string>"))
+                ),
+                lambda fm: F.struct(
+                    fm["first"].alias("first"),
+                    fm["middle"].alias("middle"),
+                    F.element_at(body, -1).alias("last"),
+                    tok["suffix"].alias("suffix"),
+                ),
+            ),
+        ),
+    )
+
+
 def parse_name(col: Column | str) -> Column:
     """Parse a display name into struct(first, middle, last, suffix).
 
@@ -88,66 +151,23 @@ def parse_name(col: Column | str) -> Column:
     "Last, First [Middle...] [Suffix]", "First [Middle...] Last
     [Suffix]". A trailing generational suffix (Jr/Sr/II-V, with or
     without dot) is split off. Empty components are NULL.
+
+    Built with let-bindings (functions.expr_util) so each stage of
+    the parse is a small shared subtree — without them the composed
+    expression copies the whole upstream parse per field reference
+    and Catalyst analysis time explodes multiplicatively.
     """
     col = F.col(col) if isinstance(col, str) else col
-    s = F.regexp_replace(F.trim(col), r"\s+", " ")
-
-    comma_last = F.trim(F.substring_index(s, ",", 1))
-    # substring_index(s, ',', -1) is everything after the LAST comma;
-    # names have at most one comma in this corpus.
-    comma_rest = F.trim(F.substring_index(s, ",", -1))
-
-    def split_suffix(tokens: Column) -> Column:
-        """tokens -> struct(body array, suffix string|null)."""
-        last_tok = F.element_at(tokens, -1)
-        has_suffix = (F.size(tokens) > 1) & F.lower(last_tok).isin(_SUFFIXES)
-        return F.struct(
-            F.when(has_suffix, F.slice(tokens, 1, F.size(tokens) - 1))
-            .otherwise(tokens)
-            .alias("body"),
-            F.when(has_suffix, last_tok).alias("suffix"),
-        )
-
-    def first_middle(body: Column) -> Column:
-        """body tokens (first [middle...]) -> struct(first, middle)."""
-        return F.struct(
-            F.when(F.size(body) >= 1, F.element_at(body, 1)).alias("first"),
-            F.when(
-                F.size(body) >= 2, F.array_join(F.slice(body, 2, 100), " ")
-            ).alias("middle"),
-        )
-
-    # "Last, First Middle... [Suffix]"
-    c_tok = split_suffix(F.split(comma_rest, " "))
-    c_fm = first_middle(c_tok["body"])
-    comma_struct = F.struct(
-        c_fm["first"].alias("first"),
-        c_fm["middle"].alias("middle"),
-        comma_last.alias("last"),
-        c_tok["suffix"].alias("suffix"),
-    )
-
-    # "First Middle... Last [Suffix]" / bare "Last"
-    p_tok = split_suffix(F.split(s, " "))
-    p_body = p_tok["body"]
-    p_last = F.element_at(p_body, -1)
-    p_fm = first_middle(
-        F.when(F.size(p_body) > 1, F.slice(p_body, 1, F.size(p_body) - 1)).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
-    plain_struct = F.struct(
-        p_fm["first"].alias("first"),
-        p_fm["middle"].alias("middle"),
-        p_last.alias("last"),
-        p_tok["suffix"].alias("suffix"),
-    )
-
-    chosen = F.when(s.contains(","), comma_struct).otherwise(plain_struct)
-    # Normalize empties to NULL (reference: `hn.middle or None`).
-    return F.struct(
-        F.nullif(chosen["first"], F.lit("")).alias("first"),
-        F.nullif(chosen["middle"], F.lit("")).alias("middle"),
-        F.nullif(chosen["last"], F.lit("")).alias("last"),
-        F.nullif(chosen["suffix"], F.lit("")).alias("suffix"),
+    return let(
+        F.regexp_replace(F.trim(col), r"\s+", " "),
+        lambda s: let(
+            F.when(s.contains(","), _comma_form(s)).otherwise(_plain_form(s)),
+            # Normalize empties to NULL (reference: `hn.middle or None`).
+            lambda chosen: F.struct(
+                F.nullif(chosen["first"], F.lit("")).alias("first"),
+                F.nullif(chosen["middle"], F.lit("")).alias("middle"),
+                F.nullif(chosen["last"], F.lit("")).alias("last"),
+                F.nullif(chosen["suffix"], F.lit("")).alias("suffix"),
+            ),
+        ),
     )
