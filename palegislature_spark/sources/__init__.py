@@ -1,0 +1,27 @@
+"""Sources and sinks (SURVEY §2.1): merge-by-key writes, rulebook
+YAML config, incremental work queues."""
+
+from palegislature_spark.sources.merge import (
+    merge_by_key,
+    overwrite_updates,
+    upsert_parquet,
+)
+from palegislature_spark.sources.rules import (
+    load_edits,
+    member_rename_rules,
+    service_rules,
+    vote_rename_rules,
+)
+from palegislature_spark.sources.queue import stale_items, work_queue
+
+__all__ = [
+    "load_edits",
+    "member_rename_rules",
+    "merge_by_key",
+    "overwrite_updates",
+    "service_rules",
+    "stale_items",
+    "upsert_parquet",
+    "vote_rename_rules",
+    "work_queue",
+]

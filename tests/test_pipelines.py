@@ -1,0 +1,182 @@
+"""Pipeline tests: status gating, matrix export (golden CSV),
+merge-by-key writer, rulebook source, work queues."""
+
+from __future__ import annotations
+
+import datetime as dt
+import pathlib
+
+import pytest
+
+from palegislature_spark import pipelines, sources
+from pyspark.sql import functions as F
+from tests import snowflake_fixture
+from tests.conftest import rows
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "2019_House.csv"
+
+
+@pytest.fixture(scope="module")
+def snow(spark):
+    return snowflake_fixture.build(spark)
+
+
+def test_crawl_statuses(spark, snow):
+    got = rows(
+        pipelines.crawl_statuses(
+            snow["sessions"], snow["session_days"], snow["roll_calls"]
+        ),
+        "year",
+        "chamber",
+        "status",
+    )
+    assert got == [(2019, 1, "complete")]
+
+    # poke a hole: uncrawled day -> days missing
+    days2 = snow["session_days"].withColumn(
+        "last_crawl",
+        F.when(F.col("id") == 201, F.lit(None).cast("timestamp")).otherwise(
+            F.col("last_crawl")
+        ),
+    )
+    got = rows(
+        pipelines.crawl_statuses(snow["sessions"], days2, snow["roll_calls"]),
+        "status",
+    )
+    assert got == [("days missing",)]
+
+
+def test_ordered_rolls_stamp_fallback(snow):
+    got = (
+        pipelines.ordered_rolls(
+            snow["sessions"], snow["session_days"], snow["roll_calls"]
+        )
+        .orderBy("day_date", F.col("ord_stamp").asc_nulls_first(), "ord_id")
+        .collect()
+    )
+    # day 200 has a missing stamp -> whole day ordered by id, missing
+    # stamp displays as the day date
+    assert [r["roll_id"] for r in got] == [300, 301, 302]
+    assert got[0]["disp_stamp"] == "2019-06-01 10:00:00"
+    assert got[1]["disp_stamp"] == "2019-06-01"  # date fallback
+    assert got[0]["ord_stamp"] is None and got[0]["ord_id"] == 300
+
+
+def test_golden_matrix_export(spark, snow, tmp_path):
+    """Full pipeline: dedup -> match -> backfill -> export; compare to
+    the committed golden CSV byte-for-byte."""
+    from palegislature_spark import er
+
+    members2, service2, _ = er.merge_members(snow["members"], snow["service"])
+    matches = er.match_vote_names(
+        snow["votes"], snow["roll_calls"], snow["session_days"], members2, service2
+    )
+    years = er.vote_names.roll_years(snow["roll_calls"], snow["session_days"])
+    votes2 = er.backfill_member_ids(snow["votes"], matches, years)
+
+    paths = pipelines.export_matrices(
+        votes2,
+        snow["roll_calls"],
+        snow["session_days"],
+        snow["sessions"],
+        members2,
+        service2,
+        str(tmp_path),
+    )
+    assert [p.endswith("2019/House.csv") for p in paths] == [True]
+    produced = pathlib.Path(paths[0]).read_text()
+    assert produced == GOLDEN.read_text()
+
+
+def test_merge_by_key(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["id", "v", "x"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 21), (3, "c", 30)], ["id", "v", "x"]
+    )
+    got = rows(sources.merge_by_key(existing, updates, ["id"]), "id", "v", "x")
+    assert got == [(1, "a", 10), (2, "B", 21), (3, "c", 30)]
+
+
+def test_upsert_parquet_partition_discipline(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(2019, 1, "a"), (2020, 2, "b")], ["year", "id", "v"]
+    )
+    sources.upsert_parquet(spark, path, b1, keys=["year", "id"], partition_cols=["year"])
+    b2 = spark.createDataFrame(
+        [(2020, 2, "B2"), (2020, 3, "c")], ["year", "id", "v"]
+    )
+    sources.upsert_parquet(spark, path, b2, keys=["year", "id"], partition_cols=["year"])
+    got = rows(spark.read.parquet(path), "year", "id", "v")
+    assert got == [(2019, 1, "a"), (2020, 2, "B2"), (2020, 3, "c")]
+
+
+def test_overwrite_updates(spark):
+    fact = spark.createDataFrame(
+        [(1, "SMITH", None), (2, "DOE", 7)], "roll int, name string, member_id int"
+    )
+    fixes = spark.createDataFrame([("SMITH", 1)], "name string, member_id int")
+    got = rows(
+        sources.overwrite_updates(fact, fixes, ["name"], ["member_id"]),
+        "roll",
+        "member_id",
+    )
+    assert got == [(1, 1), (2, 7)]
+
+
+def test_rules_from_yaml(spark, tmp_path):
+    y = tmp_path / "edits.yaml"
+    y.write_text(
+        """
+2009:
+  House:
+    Hahn:
+    Mary Smith:
+  Senate:
+    Brewster:
+Votes:
+  WHITE DONALD: WHITE, DONALD
+  KELLER:
+    start: 2019-09-16
+    stop: 2019-12-31
+    name: KELLER, M. K.
+Rename:
+- from: {house_current_id: 1745}
+  to: {first: Donald}
+"""
+    )
+    edits = sources.load_edits(str(y))
+    svc = rows(sources.service_rules(spark, edits), "year", "chamber", "last", "first", "action")
+    assert svc == [
+        (2009, 1, "Hahn", None, "remove"),
+        (2009, 1, "Smith", "Mary", "remove"),
+        (2009, 2, "Brewster", None, "remove"),
+    ]
+    vr = rows(sources.vote_rename_rules(spark, edits), "before", "after", "start")
+    assert vr == [
+        ("KELLER", "KELLER, M. K.", dt.datetime(2019, 9, 16)),
+        ("WHITE DONALD", "WHITE, DONALD", None),
+    ]
+    mr = rows(sources.member_rename_rules(spark, edits), "key_field", "key_value", "first")
+    assert mr == [("house_current_id", 1745, "Donald")]
+
+
+def test_work_queue_and_staleness(spark):
+    ts = dt.datetime
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ts(2020, 1, 1)),
+            (3, None),
+            (4, ts(2020, 6, 1)),
+        ],
+        "id long, last_crawl timestamp",
+    )
+    q = rows(sources.work_queue(df, ["id"], limit=1), "id")
+    assert q == [(1,)]
+    stale = rows(
+        sources.stale_items(df, dt.timedelta(days=30), ts(2020, 6, 15)), "id"
+    )
+    assert stale == [(1,), (2,), (3,)]
