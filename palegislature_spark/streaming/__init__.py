@@ -1,0 +1,21 @@
+"""Structured Streaming surface (SURVEY §2.10 / M4)."""
+
+from palegislature_spark.streaming.jobs import (
+    dedup_within_watermark,
+    read_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    stream_upsert_parquet,
+    tumbling_counts,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "read_stream",
+    "run_available_now",
+    "session_counts",
+    "sliding_counts",
+    "stream_upsert_parquet",
+    "tumbling_counts",
+]

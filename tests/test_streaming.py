@@ -1,0 +1,113 @@
+"""Structured Streaming tests: windows match batch, dedup within
+watermark, incremental merge sink across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from palegislature_spark import streaming
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from tests.conftest import rows
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+TS = dt.datetime
+
+EVENTS_B1 = [
+    (1, TS(2024, 1, 1, 10, 5), 1, "click", 1.0),
+    (2, TS(2024, 1, 1, 10, 20), 1, "click", 2.0),
+    (3, TS(2024, 1, 1, 11, 10), 2, "buy", 10.0),
+    (3, TS(2024, 1, 1, 11, 10), 2, "buy", 10.0),  # duplicate event_id
+]
+EVENTS_B2 = [
+    (4, TS(2024, 1, 1, 11, 40), 1, "click", 3.0),
+    (5, TS(2024, 1, 1, 12, 30), 2, "buy", 20.0),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    spark.createDataFrame(EVENTS_B1, SCHEMA).coalesce(1).write.mode("append").parquet(
+        str(d)
+    )
+    spark.createDataFrame(EVENTS_B2, SCHEMA).coalesce(1).write.mode("append").parquet(
+        str(d)
+    )
+    return str(d)
+
+
+def drain(q):
+    q.awaitTermination(120)
+
+
+def test_tumbling_counts_matches_batch(spark, stream_dir, tmp_path):
+    stream = streaming.read_stream(spark, stream_dir, SCHEMA)
+    out = streaming.tumbling_counts(stream, window="1 hour", watermark="10 hours")
+    q = streaming.run_available_now(out, str(tmp_path / "cp"), "tumbling_t", output_mode="complete")
+    drain(q)
+    got = rows(
+        spark.table("tumbling_t"), "window_start", "event_type", "n", "sum_value"
+    )
+    batch = spark.createDataFrame(EVENTS_B1 + EVENTS_B2, SCHEMA)
+    want = rows(
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"),
+        "window_start",
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    assert got == want
+    assert len(got) == 4  # 10h click, 11h buy(x2 dup), 11h click, 12h buy
+
+
+def test_session_windows_stream(spark, stream_dir, tmp_path):
+    stream = streaming.read_stream(spark, stream_dir, SCHEMA)
+    out = streaming.session_counts(stream, gap="30 minutes", watermark="10 hours")
+    q = streaming.run_available_now(out, str(tmp_path / "cp"), "sessions_t", output_mode="complete")
+    drain(q)
+    got = rows(spark.table("sessions_t"), "user_id", "session_start", "n_events")
+    # user 1: 10:05+10:20 one session (gap<30m), 11:40 separate;
+    # user 2: 11:10 (dup collapses into same session, 2 events), 12:30
+    assert got == [
+        (1, TS(2024, 1, 1, 10, 5), 2),
+        (1, TS(2024, 1, 1, 11, 40), 1),
+        (2, TS(2024, 1, 1, 11, 10), 2),
+        (2, TS(2024, 1, 1, 12, 30), 1),
+    ]
+
+
+def test_dedup_within_watermark(spark, stream_dir, tmp_path):
+    stream = streaming.read_stream(spark, stream_dir, SCHEMA)
+    out = streaming.dedup_within_watermark(stream, keys=["event_id"], watermark="10 hours")
+    q = streaming.run_available_now(out, str(tmp_path / "cp"), "dedup_t")
+    drain(q)
+    got = rows(spark.table("dedup_t"), "event_id")
+    assert got == [(1,), (2,), (3,), (4,), (5,)]
+
+
+def test_stream_upsert_parquet_incremental(spark, stream_dir, tmp_path):
+    sink_path = str(tmp_path / "sink")
+    stream = streaming.read_stream(
+        spark, stream_dir, SCHEMA, max_files_per_trigger=1
+    )
+    q = streaming.stream_upsert_parquet(
+        stream, sink_path, keys=["event_id"], checkpoint_dir=str(tmp_path / "cp")
+    )
+    drain(q)
+    got = rows(spark.read.parquet(sink_path), "event_id")
+    # duplicate event 3 merged by key across micro-batches
+    assert got == [(1,), (2,), (3,), (4,), (5,)]
