@@ -1,0 +1,192 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star extension: image/audio/video payloads ride as ``binary``
+columns with a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+``mapInPandas`` (or stay JVM-side where binary built-ins suffice).
+
+Codec reality: this container has no image/audio libraries, so the
+actual DECODE step is stubbed — ``_codec()`` returns a real codec
+when one is importable (PIL) and otherwise a clearly-marked
+deterministic fake that derives pixel statistics from the payload
+bytes. Everything around the stub — schemas, Arrow batch transfer,
+partition behavior, binary slicing, UDF signatures — is real and
+tested; swapping in a real codec changes only ``_codec``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+
+class _FakeCodec:
+    """Deterministic stand-in for an image codec (STUB).
+
+    Pretends every payload decodes to a (width x height) gray image
+    whose statistics are stable functions of the payload bytes. Real
+    decoding raises NotImplementedError unless a real codec exists.
+    """
+
+    is_stub = True
+
+    def decode_stats(self, payload: bytes, width: int, height: int):
+        digest = hashlib.sha256(payload).digest()
+        mean = sum(payload) / len(payload) if payload else 0.0
+        return {
+            "mean_px": mean,
+            "checksum": digest.hex()[:16],
+        }
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError(
+            "no image codec in this environment; payload resize requires PIL"
+        )
+
+
+def _codec():
+    try:  # pragma: no cover - container has no PIL
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError("real-codec path not implemented yet")
+    except ImportError:
+        return _FakeCodec()
+
+
+def media_fingerprint(df: DataFrame) -> DataFrame:
+    """JVM-side payload facts: no Python, full codegen."""
+    return df.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Per-payload decoded statistics via Arrow-batched mapInPandas.
+
+    Output: (media_id, mean_px, checksum, n_bytes). The decode step
+    goes through the codec stub; the batch shape, Arrow transfer and
+    schema are the production plumbing.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mean_px", T.DoubleType()),
+            T.StructField("checksum", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    codec = _codec()
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [
+                codec.decode_stats(
+                    bytes(p),
+                    int(w) if w is not None else 0,
+                    int(h) if h is not None else 0,
+                )
+                for p, w, h in zip(
+                    pdf["payload"], pdf["meta"].map(lambda m: m["width"]),
+                    pdf["meta"].map(lambda m: m["height"]),
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mean_px": [s["mean_px"] for s in stats],
+                    "checksum": [s["checksum"] for s in stats],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(gen, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling without Python: slice the payload binary.
+
+    Video payloads carry (n_frames, frame_bytes) metadata; frame i
+    occupies bytes [i*frame_bytes, (i+1)*frame_bytes). Every
+    ``every_n``-th frame is emitted as its own row — explode over a
+    frame-index sequence plus a binary substring, all JVM-side.
+    """
+    nf = F.col("meta.n_frames")
+    idx = F.explode(
+        F.when(
+            nf.isNotNull() & (nf > 0),
+            F.filter(
+                F.sequence(F.lit(0), nf - 1),
+                lambda i: i % every_n == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("frame_idx")
+    frame = F.expr(
+        "substring(payload, frame_idx * meta.frame_bytes + 1, meta.frame_bytes)"
+    )
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select("media_id", "payload", "meta", idx)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            frame.alias("frame_payload"),
+        )
+    )
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing (STUB decode): schema and batching are real;
+    the pixel transform raises until a codec is installed."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+    codec = _codec()
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [codec.resize(bytes(p), width, height) for p in pdf["payload"]]
+            metas = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": resized, "meta": metas}
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(gen, out_schema)

@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: schema, Arrow batches, binary slicing.
+
+The codec is a documented stub; these tests pin the REAL parts —
+mapInPandas signatures, metadata struct handling, deterministic
+stats, and JVM-side frame slicing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from palegislature_spark.operators import multimodal as mm
+from tests.conftest import rows
+
+
+def payload(seed: int, n: int) -> bytes:
+    out = b""
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}:{len(out)}".encode()).digest()
+    return out[:n]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows_ = [
+        (1, "image", payload(1, 64), {"format": "fake", "width": 8, "height": 8,
+                                      "sample_rate": None, "n_frames": None,
+                                      "frame_bytes": None}),
+        (2, "image", payload(2, 256), {"format": "fake", "width": 16, "height": 16,
+                                       "sample_rate": None, "n_frames": None,
+                                       "frame_bytes": None}),
+        (3, "video", payload(3, 40), {"format": "fake", "width": 2, "height": 2,
+                                      "sample_rate": None, "n_frames": 5,
+                                      "frame_bytes": 8}),
+    ]
+    return spark.createDataFrame(rows_, mm.MEDIA_SCHEMA)
+
+
+def test_media_fingerprint_jvm_side(media):
+    got = rows(mm.media_fingerprint(media), "media_id", "n_bytes", "format")
+    assert got == [(1, 64, "fake"), (2, 256, "fake"), (3, 40, "fake")]
+    shas = {r["media_id"]: r["payload_sha"] for r in mm.media_fingerprint(media).collect()}
+    assert shas[1] == hashlib.sha256(payload(1, 64)).hexdigest()
+
+
+def test_image_features_arrow_batches(media):
+    out = mm.image_features(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "mean_px", "checksum", "n_bytes",
+    ]
+    got = {r["media_id"]: r for r in out.collect()}
+    p1 = payload(1, 64)
+    assert got[1]["n_bytes"] == 64
+    assert abs(got[1]["mean_px"] - sum(p1) / 64) < 1e-9
+    assert got[1]["checksum"] == hashlib.sha256(p1).hexdigest()[:16]
+
+
+def test_sample_frames_binary_slicing(media):
+    got = rows(mm.sample_frames(media, every_n=2), "media_id", "frame_idx")
+    assert got == [(3, 0), (3, 2), (3, 4)]
+    frames = {
+        r["frame_idx"]: bytes(r["frame_payload"])
+        for r in mm.sample_frames(media, every_n=2).collect()
+    }
+    p3 = payload(3, 40)
+    assert frames[0] == p3[0:8]
+    assert frames[2] == p3[16:24]
+    assert frames[4] == p3[32:40]
+
+
+def test_resize_is_explicit_stub(media):
+    with pytest.raises(Exception) as exc_info:
+        mm.resize_images(media, 4, 4).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
