@@ -71,14 +71,15 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
         .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         .filter(F.size("__toks") >= n)
     )
+    # Sliding window via zipped slices: k bulk slice ops + one struct
+    # concat per shingle — measurably faster than per-element
+    # element_at chains, and safe for short docs (slice clamps).
+    win = F.arrays_zip(
+        *[F.slice("__toks", j + 1, F.size("__toks") - (n - 1)) for j in range(n)]
+    )
     gram = F.when(
         F.size("__toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("__toks"), i + j) for j in range(n)]
-            ),
-        ),
+        F.transform(win, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
     return toks.select(id_col, F.array_distinct(gram).alias("sh"))
 
@@ -90,13 +91,28 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
-def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Shingles hashed to 64-bit ints at creation: (id, sh_hash).
+
+    Every downstream stage (MinHash family, inverted-index join,
+    Jaccard counts) works on fixed-width longs instead of shingle
+    strings — the string is hashed exactly once, shuffles carry 8
+    bytes per shingle, and equality joins compare ints. Collisions
+    (~2^-64 per shingle pair) are quantitatively irrelevant to
+    near-dup detection at any realistic corpus size.
+    """
+    return shingle_arrays(df, id_col, text_col, n).select(
+        id_col, F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("sh_hash")
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str, key: str = "sh_hash") -> DataFrame:
     """All same-shingle pairs -> (id_1, id_2, jaccard) via inverted index."""
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    s1 = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    s2 = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    s1 = sh.select(F.col(id_col).alias("id_1"), key)
+    s2 = sh.select(F.col(id_col).alias("id_2"), key)
     common = (
-        s1.join(s2, "shingle")
+        s1.join(s2, key)
         .filter(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("__common"))
@@ -126,7 +142,7 @@ def jaccard_pairs(
     out on hot shingles; at corpus scale prefer minhash_lsh_pairs and
     keep this as the verification oracle on candidate pairs.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = hashed_shingles(df, id_col, text_col, n)
     return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -138,18 +154,20 @@ def jaccard_pairs(
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 32) -> DataFrame:
     """Per-id MinHash signature: (id, h0..h{k-1}) — one wide row.
 
-    Input is shingles() rows. Hash family: xxhash64(shingle,
-    seed=hash_idx). Computed as `num_hashes` parallel min()
-    aggregates in one groupBy — all codegen'd, map-side combine
-    shrinks the shuffle to one wide row per id. (An array_min-over-
-    transform variant avoids the shuffle but higher-order lambdas are
-    interpreted per element — measurably slower. Caution for any
-    future HOF use: a two-parameter transform lambda receives the
-    array index as its second argument.)
+    Input is hashed_shingles() rows. Hash family: xxhash64(sh_hash,
+    i) — re-hashing the 8-byte base hash per family member instead of
+    re-hashing the shingle string k times (a multiply-add family
+    would be cheaper still, but long-overflow errors under ANSI mode,
+    which the driver's default session enables). Computed as
+    `num_hashes` parallel min() aggregates in one groupBy — all
+    codegen'd, map-side combine shrinks the shuffle to one wide row
+    per id. (An array_min-over-transform variant avoids the shuffle
+    but higher-order lambdas are interpreted per element — measurably
+    slower.)
     """
     return sh.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64("sh_hash", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -180,13 +198,12 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # The shingle index feeds signatures and the verify stage; persist
     # it once instead of recomputing the shingling per branch.
-    sh = shingles(df, id_col, text_col, n).persist()
+    sh = hashed_shingles(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
+    # band key = hash of the band's member hashes -> 8-byte join key
     band_arr = F.array(
         *[
-            F.concat_ws(
-                ",", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-            )
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
             for b in range(bands)
         ]
     )
@@ -231,11 +248,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nibbles => 60 bits, fits a BIGINT). md5 is used (not xxhash64) so
     external engines can reproduce the signature exactly.
 
-    Shape: explode tokens, md5 once per token row, then 60 partial
-    sums in a single groupBy(id) — map-side combine shrinks the
-    shuffle to one 61-column row per document. (An array-fold version
-    with aggregate() was tried and is ~3x slower: higher-order
-    lambdas are interpreted, these sum exprs are codegen'd.)
+    Shape: explode tokens, md5 once per token row, convert the first
+    15 hex nibbles to ONE 60-bit long per row (single conv), then 60
+    integer-shift partial sums in a single groupBy(id) — map-side
+    combine shrinks the shuffle to one 61-column row per document.
+    Bit numbering matches the nibble definition exactly: bit i lives
+    in hex nibble i//4 at in-nibble position i%4, and nibble p of the
+    big-endian 15-nibble number sits at integer bit 4*(14-p).
+    (An array-fold version with aggregate() was tried and is ~3x
+    slower: higher-order lambdas are interpreted, these sum exprs are
+    codegen'd.)
     """
     hexed = (
         df.repartition(F.col(id_col))
@@ -243,12 +265,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col(id_col),
             F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
         )
-        .withColumn("hex", F.md5("__tok"))
+        .withColumn(
+            "bits", F.expr("CAST(conv(substring(md5(__tok), 1, 15), 16, 10) AS BIGINT)")
+        )
     )
 
     def vote(i: int):
-        nib = f"CAST(conv(substring(hex, {i // 4 + 1}, 1), 16, 10) AS INT)"
-        return F.expr(f"sum(2 * (shiftright({nib}, {i % 4}) & 1) - 1)").alias(f"s{i}")
+        shift = 4 * (14 - i // 4) + (i % 4)
+        return F.expr(f"sum(2 * (shiftright(bits, {shift}) & 1) - 1)").alias(f"s{i}")
 
     votes = hexed.groupBy(id_col).agg(*[vote(i) for i in range(_SIMHASH_BITS)])
     hash_expr = " + ".join(
