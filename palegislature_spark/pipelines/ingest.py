@@ -1,0 +1,168 @@
+"""Crawl-shape ingest: fetch → parse → merge-upsert (SURVEY §3.1,
+§2.1 S1-S3, §2.8 UDTF surface).
+
+The reference crawls web pages sequentially in the driver
+(``crawl.py:34-47`` fetch, ``:73-113`` parse, ``db.update`` upserts).
+The distributed shape is three stages:
+
+  1. **fetch** — a work queue of URLs (``sources/queue.py``) mapped
+     through an injectable ``PageSource`` inside ``mapInPandas``
+     (executor-side, partition-parallel; a requests session per
+     partition in production, stored payloads in tests — the
+     reference's ``.cached_html`` cache (S2) becomes a bronze Parquet
+     layer of raw payloads);
+  2. **parse** — payload -> typed rows. Structured payloads parse
+     JVM-side with ``from_json`` + ``explode`` (the UDTF shape: one
+     page -> many rows); raw-HTML parsing would plug a pandas UDF
+     into the same seam;
+  3. **upsert** — ``sources/merge.py merge_by_key``, matching the
+     reference's ``db.update(table, row, keys)`` semantics.
+
+No network access happens in this repo: the HTTP page source is a
+documented stub; tests inject stored payloads. Everything else —
+work-queue scan, partition-parallel fetch plumbing, parse plans,
+merge writes — is the production path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("fetched_at", T.TimestampType()),
+    ]
+)
+
+# Payload contract for a session page (the JSON the parse stage
+# expects; a production HTML source emits the same shape from a
+# pandas-UDF extractor).
+SESSION_PAGE_SCHEMA = (
+    "struct<chamber:int, sessions:array<struct<code:string, name:string, "
+    "selected:boolean>>, days:array<struct<month:string, day:int>>>"
+)
+
+
+def http_page_source(user_agent: str = "palegislature_spark"):  # pragma: no cover
+    """Production page source (STUB — no network in this environment).
+
+    Returns a per-partition fetcher: urls -> (url, payload,
+    fetched_at), one requests.Session per partition.
+    """
+    raise NotImplementedError(
+        "network access is unavailable here; inject a stored-payload "
+        "page source (see fetch_pages tests) or implement with requests"
+    )
+
+
+def stored_page_source(pages: dict[str, str]):
+    """Page source over stored payloads — the S2 cache shape
+    (``crawl.py:34-47`` ``.cached_html``) and the test double for the
+    HTTP fetcher. Returned closure pickles by value, so it ships to
+    executors regardless of module path."""
+
+    def fetch(urls: list[str]) -> list[tuple[str, str]]:
+        return [(u, pages[u]) for u in urls]
+
+    return fetch
+
+
+def fetch_pages(
+    urls: DataFrame,
+    page_source: Callable[[list[str]], list[tuple[str, str]]],
+    url_col: str = "url",
+) -> DataFrame:
+    """Partition-parallel fetch through an injected page source.
+
+    ``page_source`` receives a batch of URLs and returns (url,
+    payload) pairs; it runs on executors inside mapInPandas, so it
+    must be picklable and self-contained (build sessions lazily).
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import datetime as dt
+
+        import pandas as pd
+
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        for pdf in batches:
+            fetched = page_source(list(pdf[url_col]))
+            yield pd.DataFrame(
+                {
+                    "url": [u for u, _ in fetched],
+                    "payload": [p for _, p in fetched],
+                    "fetched_at": [now] * len(fetched),
+                }
+            )
+
+    return urls.select(url_col).mapInPandas(gen, FETCH_SCHEMA)
+
+
+def parse_session_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Session-page payloads -> (sessions rows, session_days rows).
+
+    The UDTF shape (``crawl.py:73-113``): one page yields many rows.
+    JSON payloads parse entirely JVM-side: from_json -> explode.
+    Sessions: option code "YYYYI" -> (year, session_index) with the
+    option text as the display name. Days: month name + day-of-month
+    against the page's selected session year.
+    """
+    parsed = pages.select(
+        "url",
+        "fetched_at",
+        F.from_json("payload", SESSION_PAGE_SCHEMA).alias("p"),
+    )
+    sessions = parsed.select(
+        F.col("p.chamber").alias("chamber"),
+        F.explode("p.sessions").alias("s"),
+        "fetched_at",
+    ).select(
+        "chamber",
+        F.substring("s.code", 1, 4).cast("int").alias("year"),
+        F.substring("s.code", 5, 1).cast("int").alias("session_index"),
+        F.col("s.name").alias("name"),
+        F.col("fetched_at").alias("last_crawl"),
+    )
+    selected = parsed.select(
+        "url",
+        "fetched_at",
+        F.col("p.chamber").alias("chamber"),
+        F.filter("p.sessions", lambda s: s["selected"]).alias("sel"),
+        F.col("p.days").alias("days"),
+    ).select(
+        "url",
+        "fetched_at",
+        "chamber",
+        F.substring(F.element_at("sel", 1)["code"], 1, 4).cast("int").alias("year"),
+        F.substring(F.element_at("sel", 1)["code"], 5, 1).cast("int").alias("session_index"),
+        "days",
+    )
+    days = selected.select(
+        "chamber",
+        "year",
+        "session_index",
+        F.explode("days").alias("d"),
+        "fetched_at",
+    ).select(
+        "chamber",
+        "year",
+        "session_index",
+        F.make_date(
+            F.col("year"),
+            F.month(
+                F.try_to_timestamp(
+                    F.concat(F.col("d.month"), F.lit(" 1 2000")),
+                    F.lit("MMMM d yyyy"),
+                )
+            ),
+            F.col("d.day"),
+        ).alias("date"),
+        F.col("fetched_at").alias("last_crawl"),
+    )
+    return sessions, days
