@@ -124,6 +124,113 @@ def _hyperplane_sign_bits(vec_col, dim: int, n_planes: int):
     return bucket
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index: (centroids, assignments).
+
+    Centroids are ``n_lists`` corpus vectors picked deterministically
+    (smallest xxhash64(id) — sampled-point centroids, the IVF-flat
+    construction without k-means iterations; swap in k-means refinement
+    later without changing consumers). Every vector is assigned to its
+    max-cosine centroid via a broadcast of the tiny centroid set —
+    one linear pass, no shuffle beyond the final grouping.
+    """
+    ranked = embeddings.select(
+        F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
+    ).withColumn("__rk", F.xxhash64("__cid"))
+    centroids = (
+        ranked.orderBy("__rk")
+        .limit(n_lists)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("__cid"))
+            .alias("list_id"),
+            F.col("__cv").alias("centroid"),
+        )
+        .withColumn("__cn", _norm(F.col("centroid")))
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    scored = vecs.join(F.broadcast(centroids)).select(
+        "__id",
+        "__v",
+        "list_id",
+        (_dot(F.col("__v"), F.col("centroid")) / (F.col("__n") * F.col("__cn"))).alias(
+            "__cos"
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(), "list_id")
+    assignments = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter("__r = 1")
+        .select(F.col("__id").alias(id_col), "list_id", F.col("__v").alias("__vec"))
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: search only the ``n_probe``
+    inverted lists whose centroids are closest to each query.
+
+    Output schema matches brute_force_topk. Scale: assignment and
+    probing are linear passes against a broadcast centroid set; the
+    candidate join shuffles on list_id, so per-query work is
+    ~ corpus * n_probe / n_lists.
+    """
+    centroids, assignments = ivf_assignments(embeddings, id_col, vec_col, n_lists)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    q_scored = q.join(F.broadcast(centroids)).select(
+        "query_id",
+        "__qv",
+        "list_id",
+        (_dot(F.col("__qv"), F.col("centroid")) / (F.col("__qn") * F.col("__cn"))).alias(
+            "__cos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "list_id")
+    probes = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "list_id")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(assignments.withColumnRenamed(id_col, "neighbor_id"), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv"), F.col("__vec"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__vec")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+        )
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

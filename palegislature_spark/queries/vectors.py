@@ -112,3 +112,20 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(F.sqrt(sum_sq)), 6) / F.count(F.lit(1))).alias("avg_norm"),
         (F.round(F.sum(vsum / F.size("embedding")), 6) / F.count(F.lit(1))).alias("avg_mean_component"),
     )
+
+
+@register(
+    "knn_ivf",
+    covers="similarity-search extension: IVF inverted-list approximate top-k "
+    "(the second scale path beside LSH; approximate => rows-only check, "
+    "recall asserted in tests)",
+    oracle=None,
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF lists (sampled-point centroids, 2 probes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2)
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
