@@ -23,9 +23,9 @@ def test_driver_contract_shapes():
     # every oracle is a plain SELECT usable by DuckDB
     for name, sql in oracles.items():
         assert re.match(r"\s*(WITH|SELECT)\b", sql, re.IGNORECASE), name
-    # non-SQL-expressible ops are the only rows-only entries
+    # non-SQL-expressible (approximate) ops are the only rows-only entries
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"knn_lsh"}
+    assert rows_only <= {"knn_lsh", "knn_ivf"}
 
 
 def test_flagship_runs(spark, sf_dir):
