@@ -115,3 +115,103 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["k"].alias("k"),
         (parsed["k"] % 10).alias("k_mod10"),
     )
+
+
+_NAMES_FIXTURE = [
+    "SMITH",
+    "WHITE, MARY JO",
+    "KELLER, M. K.",
+    "VAN WYK, PETER",
+    "DOE, JANE III",
+    "John Smith Jr.",
+    "F. Scott Fitzgerald",
+    "COOK-ARTIS, MARIA",
+]
+_NAMES_VALUES = ", ".join(f"('{n}')" for n in _NAMES_FIXTURE)
+
+# The oracle restates python_title word-wise: lower the string, then
+# upper the first char of each space-separated word AND of each
+# hyphen part (the `retitled` CTE) — equivalent to the char-fold for
+# alpha/space/hyphen/dot inputs, which is the fixture's domain.
+_NAME_PARSE_ORACLE = f"""
+WITH raw(name) AS (VALUES {_NAMES_VALUES}),
+titled AS (
+  SELECT name,
+    CASE WHEN NOT regexp_matches(name, '[a-z]') THEN
+      array_to_string(list_transform(string_split(lower(name), ' '),
+        w -> CASE WHEN len(w) = 0 THEN w
+                  ELSE upper(w[1]) ||
+                       array_to_string(list_transform(string_split(w[2:], '-'),
+                         p -> CASE WHEN len(p) = 0 THEN p ELSE p END), '-')
+             END), ' ')
+    ELSE name END AS t
+  FROM raw
+),
+retitled AS (
+  -- python title() also capitalizes after '-': redo per hyphen part
+  SELECT name,
+    CASE WHEN NOT regexp_matches(name, '[a-z]') THEN
+      array_to_string(list_transform(string_split(t, '-'),
+        p -> CASE WHEN len(p) = 0 THEN p ELSE upper(p[1]) || p[2:] END), '-')
+    ELSE t END AS t
+  FROM titled
+),
+parsed AS (
+  SELECT name,
+    CASE WHEN position(',' IN t) > 0 THEN trim(split_part(t, ',', 1))
+         ELSE NULL END AS comma_last,
+    CASE WHEN position(',' IN t) > 0 THEN trim(split_part(t, ',', 2))
+         ELSE t END AS rest
+  FROM retitled
+),
+toks AS (
+  SELECT name, comma_last, string_split(rest, ' ') AS tk FROM parsed
+),
+sfx AS (
+  SELECT name, comma_last, tk,
+    CASE WHEN len(tk) > 1 AND lower(tk[-1]) IN
+              ('jr','jr.','sr','sr.','ii','iii','iv','v')
+         THEN tk[-1] ELSE NULL END AS suffix
+  FROM toks
+),
+body AS (
+  SELECT name, comma_last, suffix,
+    CASE WHEN suffix IS NOT NULL THEN tk[1:len(tk)-1] ELSE tk END AS b
+  FROM sfx
+)
+SELECT name,
+  CASE WHEN comma_last IS NOT NULL THEN nullif(b[1], '')
+       WHEN len(b) > 1 THEN b[1] ELSE NULL END AS first,
+  CASE WHEN comma_last IS NOT NULL AND len(b) >= 2
+         THEN array_to_string(b[2:], ' ')
+       WHEN comma_last IS NULL AND len(b) > 2
+         THEN array_to_string(b[2:len(b)-1], ' ')
+       ELSE NULL END AS middle,
+  COALESCE(comma_last, b[-1]) AS last,
+  suffix
+FROM body
+"""
+
+
+@register(
+    "name_parse_normalize",
+    covers="F1,F2 (crawl.py:223-261 advanced_decapitalization + name parsing "
+    "to struct; char-fold title semantics vs word-wise SQL restatement)",
+    oracle=_NAME_PARSE_ORACLE,
+)
+def name_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title-normalize and parse the fixture names to components."""
+    from palegislature_spark.functions import parse_name, python_title
+
+    raw = spark.createDataFrame([(n,) for n in _NAMES_FIXTURE], "name string")
+    titled = F.when(
+        ~F.col("name").rlike("[a-z]"), python_title(F.col("name"))
+    ).otherwise(F.col("name"))
+    parsed = parse_name(titled)
+    return raw.select(
+        "name",
+        parsed["first"].alias("first"),
+        parsed["middle"].alias("middle"),
+        parsed["last"].alias("last"),
+        parsed["suffix"].alias("suffix"),
+    )
