@@ -156,6 +156,63 @@ def match_vote_names(
     return pass1.union(accepted) if accepted is not None else pass1
 
 
+def match_report(
+    votes: DataFrame,
+    roll_calls: DataFrame,
+    session_days: DataFrame,
+    members: DataFrame,
+    service: DataFrame,
+    matches: DataFrame,
+) -> DataFrame:
+    """Human-review report (``match_names.py:192-233`` as data).
+
+    Output: (year, chamber, issue, name, member_id) with issue in
+    {'vote_name_unmatched', 'member_unmatched', 'ambiguous'} — the
+    ambiguous rows are unmatched vote names that collide with the
+    surname of one or more unmatched members (``:196-203``).
+    """
+    years = roll_years(roll_calls, session_days)
+    vote_names = (
+        votes.join(years, "roll_id").select("year", "chamber", "name").distinct()
+    )
+    missing = vote_names.join(
+        matches.select("year", "chamber", "name"), ["year", "chamber", "name"], "left_anti"
+    )
+    ros = roster(members, service)
+    unmatched = ros.join(
+        matches.select("year", "chamber", "member_id"),
+        ["year", "chamber", "member_id"],
+        "left_anti",
+    )
+    ambiguous = missing.join(
+        unmatched.select("year", "chamber", F.col("last_upper").alias("name"), "member_id"),
+        ["year", "chamber", "name"],
+    ).select(
+        "year", "chamber", F.lit("ambiguous").alias("issue"), "name", "member_id"
+    )
+    missing_rows = missing.join(
+        ambiguous.select("year", "chamber", "name"), ["year", "chamber", "name"], "left_anti"
+    ).select(
+        "year",
+        "chamber",
+        F.lit("vote_name_unmatched").alias("issue"),
+        "name",
+        F.lit(None).cast("long").alias("member_id"),
+    )
+    member_rows = unmatched.join(
+        ambiguous.select("year", "chamber", "member_id"),
+        ["year", "chamber", "member_id"],
+        "left_anti",
+    ).select(
+        "year",
+        "chamber",
+        F.lit("member_unmatched").alias("issue"),
+        F.col("last_upper").alias("name"),
+        "member_id",
+    )
+    return ambiguous.unionByName(missing_rows).unionByName(member_rows)
+
+
 def backfill_member_ids(votes: DataFrame, matches: DataFrame, years: DataFrame) -> DataFrame:
     """Write pass: fill NULL votes.member_id from resolved names
     (``match_names.py:168-188``). ``years`` is roll_years(...)."""

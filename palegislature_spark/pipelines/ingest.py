@@ -40,12 +40,26 @@ FETCH_SCHEMA = T.StructType(
     ]
 )
 
-# Payload contract for a session page (the JSON the parse stage
-# expects; a production HTML source emits the same shape from a
-# pandas-UDF extractor).
+# Payload contracts (the JSON the parse stages expect; a production
+# HTML source emits the same shapes from a pandas-UDF extractor).
 SESSION_PAGE_SCHEMA = (
     "struct<chamber:int, sessions:array<struct<code:string, name:string, "
     "selected:boolean>>, days:array<struct<month:string, day:int>>>"
+)
+
+# Floor-votes page of one session day (crawl.py:116-169): a DataTable
+# of roll-call links whose query params carry the roll identity.
+DAY_PAGE_SCHEMA = (
+    "struct<day_id:bigint, rolls:array<struct<rc_nbr:int, sess_yr:int, "
+    "sess_ind:int, rc_body:string, name:string>>>"
+)
+
+# One roll-call page (crawl.py:172-220): individual letter votes plus
+# an optional timestamp (date + time strings; time may be absent).
+ROLL_PAGE_SCHEMA = (
+    "struct<session_id:bigint, roll_id:bigint, "
+    "votes:array<struct<vote:string, name:string>>, "
+    "date_s:string, time_s:string>"
 )
 
 
@@ -166,3 +180,63 @@ def parse_session_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("fetched_at").alias("last_crawl"),
     )
     return sessions, days
+
+
+def parse_day_pages(pages: DataFrame) -> DataFrame:
+    """Floor-votes pages -> roll_calls rows (``crawl.py:150-169``).
+
+    Chamber decodes from the link's rc_body letter (H/S); stamp stays
+    NULL until the roll's own page is crawled (stage 3).
+    """
+    from palegislature_spark.functions.codecs import chamber_from_letter
+
+    parsed = pages.select("fetched_at", F.from_json("payload", DAY_PAGE_SCHEMA).alias("p"))
+    return parsed.select(
+        F.col("p.day_id").alias("day_id"),
+        F.explode("p.rolls").alias("r"),
+        "fetched_at",
+    ).select(
+        "day_id",
+        F.col("r.sess_yr").alias("session_year"),
+        F.col("r.sess_ind").alias("session_index"),
+        chamber_from_letter(F.col("r.rc_body")).alias("chamber"),
+        F.col("r.rc_nbr").alias("number"),
+        F.col("r.name").alias("name"),
+        F.col("fetched_at").alias("last_crawl"),
+    )
+
+
+def parse_roll_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Roll pages -> (votes rows, roll stamps) (``crawl.py:172-220``).
+
+    Letter votes decode through the Y/N/X/E codec; the stamp parses
+    from the page's date+time strings and is NULL when the time
+    section is missing (the reference's ``len(info_sections) == 3``
+    gate — ``crawl.py:212-218``).
+    """
+    from palegislature_spark.functions.codecs import vote_from_letter
+
+    parsed = pages.select("fetched_at", F.from_json("payload", ROLL_PAGE_SCHEMA).alias("p"))
+    votes = parsed.select(
+        F.col("p.session_id").alias("session_id"),
+        F.col("p.roll_id").alias("roll_id"),
+        F.explode("p.votes").alias("v"),
+    ).select(
+        "session_id",
+        "roll_id",
+        F.col("v.name").alias("name"),
+        vote_from_letter(F.col("v.vote")).alias("vote"),
+        F.lit(None).cast("long").alias("member_id"),
+    )
+    stamps = parsed.select(
+        F.col("p.roll_id").alias("id"),
+        F.when(
+            F.col("p.time_s").isNotNull(),
+            F.try_to_timestamp(
+                F.concat_ws(" ", "p.date_s", "p.time_s"),
+                F.lit("MM/dd/yyyy h:mm a"),
+            ),
+        ).alias("stamp"),
+        F.col("fetched_at").alias("last_crawl"),
+    )
+    return votes, stamps

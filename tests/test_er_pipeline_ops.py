@@ -173,3 +173,22 @@ def test_apply_member_renames(spark, snow):
     assert m[2]["first"] == "Thomas" and m[2]["last"] == "Smith"
     assert m[6]["middle"] == "Patrick" and m[6]["first"] == "Brian"
     assert out.count() == snow["members"].count()
+
+
+def test_match_report(snow):
+    members2, service2, _ = er.merge_members(snow["members"], snow["service"])
+    matches = er.match_vote_names(
+        snow["votes"], snow["roll_calls"], snow["session_days"], members2, service2
+    )
+    report = er.vote_names.match_report(
+        snow["votes"], snow["roll_calls"], snow["session_days"],
+        members2, service2, matches,
+    )
+    got = rows(report, "issue", "name")
+    # KRUGER misspelling: unmatched vote name; members 4/5 (Kellers)
+    # minus the matched 5 leaves 4 unmatched; member 10 Krueger also
+    # unmatched (KRUGER is not a substring of KRUEGER).
+    assert ("vote_name_unmatched", "KRUGER") in got
+    issues = {i for i, _ in got}
+    assert issues <= {"vote_name_unmatched", "member_unmatched", "ambiguous"}
+    assert ("member_unmatched", "KELLER") in got

@@ -86,3 +86,82 @@ def test_ingest_upsert_roundtrip(spark, fetched):
     once = merge_by_key(None, sessions, ["chamber", "year", "session_index"])
     twice = merge_by_key(once, sessions, ["chamber", "year", "session_index"])
     assert twice.count() == once.count() == 4
+
+
+DAY_PAGES = {
+    "https://x/day?200": json.dumps(
+        {
+            "day_id": 200,
+            "rolls": [
+                {"rc_nbr": 1, "sess_yr": 2019, "sess_ind": 0, "rc_body": "H", "name": "HB 1 PN 1"},
+                {"rc_nbr": 2, "sess_yr": 2019, "sess_ind": 0, "rc_body": "S", "name": "SB 2"},
+            ],
+        }
+    )
+}
+
+ROLL_PAGES = {
+    "https://x/roll?300": json.dumps(
+        {
+            "session_id": 100,
+            "roll_id": 300,
+            "votes": [
+                {"vote": "Y", "name": "SMITH"},
+                {"vote": "N", "name": "WHITE, MARY JO"},
+                {"vote": "E", "name": "DOE"},
+                {"vote": "X", "name": "JONES"},
+            ],
+            "date_s": "06/01/2019",
+            "time_s": "10:00 AM",
+        }
+    ),
+    "https://x/roll?301": json.dumps(
+        {
+            "session_id": 100,
+            "roll_id": 301,
+            "votes": [{"vote": "Y", "name": "SMITH"}],
+            "date_s": "06/01/2019",
+            "time_s": None,  # missing time section -> NULL stamp
+        }
+    ),
+}
+
+
+def test_parse_day_pages(spark):
+    pages = ingest.fetch_pages(
+        spark.createDataFrame([(u,) for u in DAY_PAGES], "url string"),
+        ingest.stored_page_source(DAY_PAGES),
+    )
+    got = rows(
+        ingest.parse_day_pages(pages),
+        "day_id",
+        "session_year",
+        "chamber",
+        "number",
+        "name",
+    )
+    assert got == [
+        (200, 2019, 1, 1, "HB 1 PN 1"),
+        (200, 2019, 2, 2, "SB 2"),
+    ]
+
+
+def test_parse_roll_pages(spark):
+    import datetime as dt
+
+    pages = ingest.fetch_pages(
+        spark.createDataFrame([(u,) for u in sorted(ROLL_PAGES)], "url string"),
+        ingest.stored_page_source(ROLL_PAGES),
+    )
+    votes, stamps = ingest.parse_roll_pages(pages)
+    got = rows(votes, "roll_id", "name", "vote", "member_id")
+    assert got == [
+        (300, "DOE", 4, None),
+        (300, "JONES", 3, None),
+        (300, "SMITH", 1, None),
+        (300, "WHITE, MARY JO", 2, None),
+        (301, "SMITH", 1, None),
+    ]
+    st = {r["id"]: r["stamp"] for r in stamps.collect()}
+    assert st[300] == dt.datetime(2019, 6, 1, 10, 0)
+    assert st[301] is None
