@@ -34,7 +34,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_bruteforce",
+    "knn_ivf",
     "fingerprint",
+    "window_rank_funcs",
+    "cube_order_stats",
+    "props_json_extract",
 ]
 
 
