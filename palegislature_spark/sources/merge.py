@@ -81,17 +81,14 @@ def upsert_parquet(
         existing = existing.join(F.broadcast(parts), list(partition_cols), "left_semi")
 
     merged = merge_by_key(existing, updates, keys, version_col)
-    writer = merged.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
     # Rewriting a dataset that is also the read source needs a
     # materialization barrier; localCheckpoint breaks the cycle
     # without a second full write.
     if exists:
         merged = merged.localCheckpoint()
-        writer = merged.write.mode("overwrite")
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
 
 
