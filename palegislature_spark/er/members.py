@@ -92,9 +92,10 @@ def merge_members(
     merge_map = losers.select("id", F.col("component").alias("survivor_id"))
 
     # Canonical name for each survivor: the merged name of its
-    # lowest-partner edge (the reference's merge_names[member_id1],
-    # find_duplicates.py:69-77).
-    w = Window.partitionBy("id_1").orderBy("id_2")
+    # HIGHEST-partner edge — the reference's merge_names[member_id1]
+    # is overwritten by each later match in the sorted id loop
+    # (find_duplicates.py:24-30), so the last (max id_2) wins.
+    w = Window.partitionBy("id_1").orderBy(F.col("id_2").desc())
     canon = (
         edges.join(
             comps.withColumnRenamed("id", "id_1"), "id_1"

@@ -192,3 +192,35 @@ def test_match_report(snow):
     issues = {i for i, _ in got}
     assert issues <= {"vote_name_unmatched", "member_unmatched", "ambiguous"}
     assert ("member_unmatched", "KELLER") in got
+
+
+def test_merge_members_three_way(spark):
+    """Transitive merges collapse to one survivor; the canonical name
+    comes from the survivor's highest-partner edge (the reference
+    overwrites merge_names[id1] per later match)."""
+    from palegislature_spark import schemas
+
+    members = spark.createDataFrame(
+        [
+            (1, 11, None, None, None, "Tom", None, "Smith", None, None, None),
+            (2, None, 22, None, None, "Thomas", None, "Smith", None, None, None),
+            (3, None, None, 33, None, "T.", None, "Smith", None, None, None),
+        ],
+        schemas.MEMBERS,
+    )
+    service = spark.createDataFrame(
+        [(1, 2019, 1, 5, "Democrat"), (2, 2019, 1, 5, "Democrat"), (3, 2019, 1, 5, "Democrat")],
+        schemas.SERVICE,
+    )
+    members2, service2, merge_map = er.merge_members(members, service)
+    mm = {r["id"]: r["survivor_id"] for r in merge_map.collect()}
+    assert mm == {2: 1, 3: 1}
+    m = {r["id"]: r for r in members2.collect()}
+    assert set(m) == {1}
+    # edges from 1: (1,2) merges to 'Thomas', (1,3) merges to 'Tom'
+    # (initial adopts the longer: T. vs Tom -> Tom); highest partner
+    # is 3, so the canonical first is 'Tom'.
+    assert m[1]["first"] == "Tom"
+    # id fields union across the component
+    assert (m[1]["house_archive_id"], m[1]["house_current_id"], m[1]["senate_archive_id"]) == (11, 22, 33)
+    assert service2.count() == 1
