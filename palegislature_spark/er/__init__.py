@@ -31,6 +31,7 @@ from palegislature_spark.er.repair import (
     apply_service_rules,
     apply_vote_renames,
 )
+from palegislature_spark.er import validate
 from palegislature_spark.er.vote_names import backfill_member_ids, match_vote_names
 
 __all__ = [
@@ -48,4 +49,5 @@ __all__ = [
     "names_match",
     "parse_vote_name",
     "self_block_pairs",
+    "validate",
 ]

@@ -224,3 +224,30 @@ def test_merge_members_three_way(spark):
     # id fields union across the component
     assert (m[1]["house_archive_id"], m[1]["house_current_id"], m[1]["senate_archive_id"]) == (11, 22, 33)
     assert service2.count() == 1
+
+
+def test_name_violations_gate(spark):
+    from palegislature_spark.er import name_struct, validate
+
+    existing = spark.createDataFrame(
+        [(11, "Thomas", None, "Smith", None), (12, "Mary", None, "White", None)],
+        "house_archive_id long, f string, m string, l string, s string",
+    ).select("house_archive_id", name_struct("f", "m", "l", "s").alias("name"))
+    incoming = spark.createDataFrame(
+        [
+            (11, "Tom", None, "Smith", None),    # nickname: reconciles
+            (12, "Paula", None, "White", None),  # different person: violates
+            (13, "New", None, "Member", None),   # no existing row: passes
+        ],
+        "house_archive_id long, f string, m string, l string, s string",
+    ).select("house_archive_id", name_struct("f", "m", "l", "s").alias("name"))
+
+    v = validate.name_violations(existing, incoming, "house_archive_id")
+    got = [(r["house_archive_id"], r["incoming_name"]["first"]) for r in v.collect()]
+    assert got == [(12, "Paula")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identity violations"):
+        validate.assert_no_violations(v, "member list")
+    validate.assert_no_violations(v.limit(0))
