@@ -1,0 +1,69 @@
+"""Physical-plan quality regression tests (SURVEY §4.2 guarantees).
+
+Correctness gates don't catch a silently degraded plan — a scan that
+stops pushing filters, a dimension join that falls back to
+sort-merge, a Python eval sneaking into a relational query. These
+tests pin the plan properties the 100 TB design depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from palegislature_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filters_push_to_scans(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_top_orders")
+    assert "PushedFilters: [IsNotNull" in plan
+    # column pruning: the lineitem scan must not read all 11 columns
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+@pytest.mark.parametrize("name", ["q3_top_orders", "q5_region_revenue", "interval_join_fast_ship"])
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no shuffle-requiring join strategies for dim-sized sides
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_top_orders", "window_running_total", "dedup_exact"],
+)
+def test_no_python_in_relational_plans(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"{name} plan contains {marker}"
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE's formatted output hides codegen spans pre-execution; the
+    # codegen explain mode reports the generated subtrees directly.
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_customers")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    # partial+final hash aggregation: two HashAggregate nodes around
+    # the exchange (map-side combine shrinks the shuffle)
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
