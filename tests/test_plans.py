@@ -47,14 +47,12 @@ def test_no_python_in_relational_plans(spark, sf_dir, name):
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
-    # AQE's formatted output hides codegen spans pre-execution; the
-    # codegen explain mode reports the generated subtrees directly.
+    # Under AQE the codegen spans only exist in the FINAL plan, so
+    # execute first, then inspect the executed plan.
     df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
-    )
-    assert "WholeStageCodegen subtrees" in plan
-    assert "Found 0 WholeStageCodegen" not in plan
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan
 
 
 def test_topk_plans_as_take_ordered(spark, sf_dir):
