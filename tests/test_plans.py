@@ -52,7 +52,8 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+    # codegen spans render as "*(<stage id>) <node>" in the tree string
+    assert "*(1)" in plan and "isFinalPlan=true" in plan
 
 
 def test_topk_plans_as_take_ordered(spark, sf_dir):
