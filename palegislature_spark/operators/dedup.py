@@ -146,6 +146,38 @@ def jaccard_pairs(
     return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection).
+
+    Hash every character k-gram (md5 hex — both engines reproduce it
+    exactly), then keep the lexicographic minimum of each sliding
+    window of ``w`` consecutive gram hashes; the distinct minima are
+    the document's fingerprints. Two documents sharing a substring of
+    length >= k + w - 1 are guaranteed to share a fingerprint — the
+    winnowing property that makes this the standard local-similarity
+    sketch. Output: (id, fingerprint) rows, one shuffle-free linear
+    pass until the caller aggregates.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
+        lambda i: F.md5(F.col(text_col).substr(i, F.lit(k))),
+    )
+    hashes = F.when(F.length(text_col) >= k, grams)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    fps = F.when(F.size(hashes) >= w, F.array_distinct(wins))
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), fps.alias("__fps"))
+        .filter(F.col("__fps").isNotNull())
+        .select(id_col, F.explode("__fps").alias("fingerprint"))
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + banded LSH
 # --------------------------------------------------------------------------

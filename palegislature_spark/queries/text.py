@@ -274,3 +274,26 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
         F.sha2(F.col("text").cast("binary"), 256).alias("payload_sha"),
     )
+
+
+@register(
+    "winnow_fingerprint",
+    covers="text-analysis extension: winnowing rolling-hash fingerprints "
+    "(local-similarity sketch; shared substrings of length >= k+w-1 "
+    "guarantee a shared fingerprint)",
+    oracle="""
+SELECT doc_id, h AS fingerprint FROM (
+  SELECT doc_id,
+         list_distinct([list_min(g[j:j+3]) FOR j IN range(1, len(g)-4+2)]) AS fps
+  FROM (
+    SELECT doc_id,
+           [md5(substr(text, i, 5)) FOR i IN range(1, length(text)-5+2)] AS g
+    FROM documents WHERE length(text) >= 5
+  ) WHERE len(g) >= 4
+), unnest(fps) AS t(h)
+""",
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5 char grams, window 4)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)

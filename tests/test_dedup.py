@@ -116,3 +116,24 @@ def test_simhash_pigeonhole_guarantee(spark):
             "id_2",
         )
         assert banded == brute
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    # documents sharing a substring of length >= k + w - 1 = 8 must
+    # share at least one fingerprint (the winnowing guarantee)
+    df = spark.createDataFrame(
+        [
+            (1, "xxCOMMON-SUBSTRINGyy"),
+            (2, "aaCOMMON-SUBSTRINGbb"),
+            (3, "completely unrelated content"),
+            (4, "tiny"),  # shorter than k -> no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]  # shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
