@@ -39,6 +39,7 @@ HEADLINE = [
     "window_rank_funcs",
     "cube_order_stats",
     "props_json_extract",
+    "winnow_fingerprint",
 ]
 
 
@@ -71,6 +72,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # loadavg at finish: round-over-round deltas are only attributable
+    # when co-resident machine load is recorded alongside the numbers
+    # (BASELINE.md documents a ~1.4x swing from load alone).
+    la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
     print(
         json.dumps(
             {
@@ -79,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg": [la1, la5, la15],
             }
         )
     )

@@ -4,14 +4,18 @@ The reference merges pairwise groups keyed by the lowest member id in
 each block (``find_duplicates.py:69-110``), which under-merges when
 matches chain across blocks. The correct general construction is
 connected components; match graphs here are tiny per block (a few
-edges per surname), so large-star/small-star iteration converges in
-a handful of rounds.
+edges per surname), so min-label propagation converges in a handful
+of rounds.
 
-Algorithm (large-star only, sufficient for undirected edges):
-repeat { label(v) = min(label(v), min over neighbors' labels) } until
-no label changes. Each round is one groupBy-min plus one join —
+Algorithm: repeat { label(v) = min(label(v), min over neighbors'
+labels) } until no label changes — converges in O(component
+diameter) rounds. Each round is one groupBy-min plus one join —
 shuffle-bounded, no driver-side graph. Iterations are capped and each
-round's result is localCheckpoint()ed to keep lineage flat.
+round's result is localCheckpoint()ed to keep lineage flat; hitting
+the cap before a fixpoint raises (silent under-merge is worse than a
+loud failure). Path-halving contraction (the Kiveris large-star/
+small-star scheme, O(log n) rounds) is the upgrade path if diameters
+ever grow past the cap.
 """
 
 from __future__ import annotations
@@ -73,4 +77,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Min-label propagation converges in O(component diameter)
+        # rounds; exiting the cap with labels still moving means some
+        # component is only partially merged — silent under-merge is
+        # an ER correctness bug, not a tuning knob (ADVICE r1).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — a component's diameter exceeds the cap; raise "
+            "max_iterations"
+        )
     return labels.select(F.col("a").alias("id"), F.col("comp").alias("component"))

@@ -265,13 +265,21 @@ def _merge_impl(n1: Column, n2: Column, require_suffix: bool) -> Column:
             suffix_ok = sfx_equal
         else:
             suffix_ok = sfx_equal | s1.isNull() | s2.isNull()
+        # Both firsts absent: the reference compares empty strings
+        # ('' == '' -> match, names.py:96-105), so e.g. two suffix-
+        # bearing 'Smith Jr.' records merge even though neither is
+        # ``bare`` (ADVICE r1) — fv stays NULL and the merged first
+        # is NULL, matching the reference's empty-first output.
+        both_null_first = f1.isNull() & f2.isNull()
         merged = F.struct(
             F.when(bare, f2).otherwise(fv).alias("first"),
             F.when(bare, m2).otherwise(middle_val).alias("middle"),
             lv.alias("last"),
             F.when(bare, s2).otherwise(F.coalesce(s1, s2)).alias("suffix"),
         )
-        ok = lv.isNotNull() & (bare | (fv.isNotNull() & middle_ok & suffix_ok))
+        ok = lv.isNotNull() & (
+            bare | ((fv.isNotNull() | both_null_first) & middle_ok & suffix_ok)
+        )
         return F.when(ok, merged)
 
     return let2(last_val, first_val, assemble)

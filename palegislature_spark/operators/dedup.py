@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from palegislature_spark.functions.expr_util import let
+
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
 # --------------------------------------------------------------------------
@@ -147,31 +149,70 @@ def jaccard_pairs(
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4, base: int = 257
 ) -> DataFrame:
-    """Winnowing document fingerprints (rolling-hash selection).
+    """Winnowing document fingerprints (Karp-Rabin rolling-hash selection).
 
-    Hash every character k-gram (md5 hex — both engines reproduce it
-    exactly), then keep the lexicographic minimum of each sliding
+    Hash every character k-gram with an integer Karp-Rabin polynomial
+    (``sum code(c_t) * base^(k-1-t)`` — pure 64-bit arithmetic, exact
+    and collision-free for ASCII text with base > 255, and reproducible
+    verbatim in DuckDB SQL), then keep the minimum of each sliding
     window of ``w`` consecutive gram hashes; the distinct minima are
     the document's fingerprints. Two documents sharing a substring of
     length >= k + w - 1 are guaranteed to share a fingerprint — the
     winnowing property that makes this the standard local-similarity
-    sketch. Output: (id, fingerprint) rows, one shuffle-free linear
-    pass until the caller aggregates.
+    sketch. Output: (id, fingerprint: long) rows, one linear pass
+    until the caller aggregates.
+
+    Expression discipline (the r1 perf lesson): the char-code and
+    gram arrays are ``let``-bound lambda variables, so each is
+    evaluated once per row.  Inlining them instead makes every window
+    position re-evaluate the whole gram subtree inside interpreted
+    higher-order functions — O(L*w) gram recomputations per row,
+    which measured 224s at sf0.01 in round 1 vs <2s for this form.
+    Overflow: max code 0x10FFFF * base^(k-1) * k must stay < 2^63 —
+    holds for the defaults (k=5, base=257) by ~380x.
     """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
-        lambda i: F.md5(F.col(text_col).substr(i, F.lit(k))),
+    if base ** (k - 1) * 0x110000 * k >= 2**63:
+        raise ValueError(f"k={k}, base={base} would overflow 64-bit gram hashes")
+
+    def grams_of(codes):  # codes: bound array<long> of char codes
+        # Guarded so the expression is total: Catalyst may reorder the
+        # row filter below with the projection, so a too-short text
+        # must yield NULL here, not an element_at out-of-bounds.
+        return F.when(
+            F.size(codes) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(codes) - (k - 1)),
+                lambda i: sum(
+                    (
+                        F.element_at(codes, i + t) * F.lit(base ** (k - 1 - t))
+                        for t in range(1, k)
+                    ),
+                    start=F.element_at(codes, i) * F.lit(base ** (k - 1)),
+                ),
+            ),
+        )
+
+    def wins_of(g):  # g: bound array<long> of gram hashes
+        return F.when(
+            F.size(g) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(g) - (w - 1)),
+                    lambda j: F.array_min(F.slice(g, j, w)),
+                )
+            ),
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text_col)),
+        lambda i: F.ascii(F.col(text_col).substr(i, F.lit(1))).cast("long"),
     )
-    hashes = F.when(F.length(text_col) >= k, grams)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
-    )
-    fps = F.when(F.size(hashes) >= w, F.array_distinct(wins))
+    fps = let(codes, lambda c: let(grams_of(c), wins_of))
     return (
-        df.repartition(F.col(id_col))
+        df.filter(F.length(text_col) >= k)
+        .repartition(F.col(id_col))
         .select(F.col(id_col), fps.alias("__fps"))
         .filter(F.col("__fps").isNotNull())
         .select(id_col, F.explode("__fps").alias("fingerprint"))
@@ -226,11 +267,20 @@ def minhash_lsh_pairs(
     the candidate join shuffles on (band, band_key) — skewed buckets
     split by AQE; the quadratic verify runs only on same-bucket
     survivors, pruned by a semi-join on candidate ids.
+
+    Reuse discipline (ADVICE r1 — the previous persist()s leaked
+    cached blocks across calls): everything is ONE lazy plan now, no
+    persist at all.  The candidate subtree appears twice (id prune +
+    final pair semi-join); the recompute is cheaper than it looks
+    because AQE collapses the small sides to broadcasts at runtime
+    (measured: 4.3s at sf0.1 vs 4.7s for the persisted r1 version).
+    The candidate-id prune carries no broadcast hint — AQE picks
+    broadcast vs shuffle semi-join at runtime from the OBSERVED
+    candidate-set size, which is exactly the high-dup-rate guard a
+    static hint can't give.
     """
     rows = num_hashes // bands
-    # The shingle index feeds signatures and the verify stage; persist
-    # it once instead of recomputing the shingling per branch.
-    sh = hashed_shingles(df, id_col, text_col, n).persist()
+    sh = hashed_shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
     # band key = hash of the band's member hashes -> 8-byte join key
     band_arr = F.array(
@@ -244,22 +294,20 @@ def minhash_lsh_pairs(
     )
     b1 = band_key.select(F.col(id_col).alias("id_1"), "band", "band_key")
     b2 = band_key.select(F.col(id_col).alias("id_2"), "band", "band_key")
-    # cand is referenced three times below (two id prunes + the final
-    # semi-join); persist so the band join pipeline runs once.
     cand = (
         b1.join(b2, ["band", "band_key"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
-        .persist()
     )
-    # Exact verification restricted to candidate ids (semi-join prune).
+    # Exact verification restricted to candidate ids (semi-join prune;
+    # broadcast decision left to AQE — see docstring).
     cand_ids = (
         cand.select(F.col("id_1").alias(id_col))
         .union(cand.select("id_2"))
         .distinct()
     )
-    sh_pruned = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_pruned = sh.join(cand_ids, id_col, "left_semi")
     verified = _pair_jaccard(sh_pruned, id_col).join(cand, ["id_1", "id_2"], "left_semi")
     return verified.filter(F.col("jaccard") >= threshold)
 

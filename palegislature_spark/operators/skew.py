@@ -42,7 +42,19 @@ def salted_join(
     (key, salt) partition still finds its match. Shuffle volume for
     the other side multiplies by ``buckets`` — use for dimension-
     sized or pre-filtered right sides.
+
+    Only join types where replicated-but-unmatched ``other`` rows
+    never reach the output are allowed: with right/full-outer, each
+    unmatched ``other`` row would surface once per salt bucket
+    (``buckets``-way duplication, ADVICE r1).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched replicated "
+            f"rows; supported: {sorted(allowed)}"
+        )
     keys = list(keys)
     s = skewed.withColumn("__salt", _salt(list(salt_cols), buckets))
     o = other.withColumn(

@@ -304,19 +304,25 @@ SELECT o_orderpriority,
        count(*)                                                  AS n_orders,
        sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)      AS n_open,
        sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)      AS n_done,
-       100.0 * sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) / count(*) AS pct_open
+       round(CAST(100.0 AS DOUBLE) * sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) / count(*), 2) AS pct_open
 FROM orders GROUP BY o_orderpriority
 """,
 )
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional counts + ratio — the crawl-status report shape."""
+    """Conditional counts + ratio — the crawl-status report shape.
+
+    pct_open is rounded to 2 places on BOTH engines: DuckDB promotes the
+    ``100.0`` literal to DECIMAL and does decimal division, so unrounded
+    last-place digits differ from Spark's DOUBLE arithmetic (driver r1
+    hash mismatch). round(2) makes the two arithmetics agree exactly.
+    """
     o = load(spark, sf_dir, "orders")
     n_open = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         n_open.alias("n_open"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_done"),
-        (100.0 * n_open / F.count(F.lit(1))).alias("pct_open"),
+        F.round(100.0 * n_open / F.count(F.lit(1)), 2).alias("pct_open"),
     )
 
 

@@ -287,13 +287,20 @@ SELECT doc_id, h AS fingerprint FROM (
          list_distinct([list_min(g[j:j+3]) FOR j IN range(1, len(g)-4+2)]) AS fps
   FROM (
     SELECT doc_id,
-           [md5(substr(text, i, 5)) FOR i IN range(1, length(text)-5+2)] AS g
+           [ord(text[i])*4362470401 + ord(text[i+1])*16974593 + ord(text[i+2])*66049
+              + ord(text[i+3])*257 + ord(text[i+4])
+            FOR i IN range(1, length(text)-5+2)] AS g
     FROM documents WHERE length(text) >= 5
   ) WHERE len(g) >= 4
 ), unnest(fps) AS t(h)
 """,
 )
 def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (k=5 char grams, window 4)."""
+    """Winnowing fingerprints (k=5 char grams, window 4).
+
+    Gram hash = Karp-Rabin polynomial base 257 (powers 257^4..257^0 in
+    the oracle) — integer arithmetic both engines compute identically;
+    exact (not just collision-resistant) for ASCII text.
+    """
     docs = load(spark, sf_dir, "documents")
     return dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)

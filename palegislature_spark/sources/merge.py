@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path class for ``path``'s scheme (works for
+    file:, hdfs:, s3a: alike — the swap logic below is scheme-agnostic)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), conf
+    )
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
 def merge_by_key(
     existing: DataFrame | None,
     updates: DataFrame,
@@ -63,10 +74,22 @@ def upsert_parquet(
 ) -> None:
     """Merge ``updates`` into the Parquet dataset at ``path``.
 
-    First write creates the dataset. With ``partition_cols`` and the
-    session's dynamic partition-overwrite mode, only partitions that
-    appear in ``updates`` are rewritten — existing rows of touched
-    partitions are merged in, untouched partitions are untouched.
+    First write creates the dataset. With ``partition_cols``, only
+    partitions that appear in ``updates`` are rewritten — existing
+    rows of touched partitions are merged in, untouched partitions
+    are untouched.
+
+    Durability: the merged output is fully written to a staging
+    directory *next to* the dataset, then swapped in with O(1)
+    filesystem renames (per touched partition when partitioned,
+    whole-dataset otherwise).  The live data is never deleted before
+    its replacement is durable — a crash mid-job leaves the previous
+    dataset intact, and a crash mid-swap leaves every partition at
+    either its old or its new complete state.  This also removes the
+    read-then-overwrite-same-path cycle, so no checkpoint barrier is
+    needed at all (the r1 design localCheckpoint'ed and overwrote in
+    place: executor loss or mid-write failure could destroy the
+    dataset — see ADVICE r1).
     """
     try:
         existing = spark.read.parquet(path)
@@ -81,15 +104,60 @@ def upsert_parquet(
         existing = existing.join(F.broadcast(parts), list(partition_cols), "left_semi")
 
     merged = merge_by_key(existing, updates, keys, version_col)
-    # Rewriting a dataset that is also the read source needs a
-    # materialization barrier; localCheckpoint breaks the cycle
-    # without a second full write.
-    if exists:
-        merged = merged.localCheckpoint()
+
+    if not exists:
+        writer = merged.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return
+
+    base = path.rstrip("/")
+    staging = base + ".__staging__"
+    fs, HPath = _hadoop_fs(spark, base)
+    fs.delete(HPath(staging), True)
+
     writer = merged.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+    writer.parquet(staging)
+
+    if partition_cols:
+        _swap_partitions(fs, HPath, staging, base, len(partition_cols))
+        fs.delete(HPath(staging), True)
+    else:
+        trash = base + ".__old__"
+        fs.delete(HPath(trash), True)
+        fs.rename(HPath(base), HPath(trash))
+        fs.rename(HPath(staging), HPath(base))
+        fs.delete(HPath(trash), True)
+
+
+def _swap_partitions(fs, HPath, staging: str, live: str, depth: int) -> None:
+    """Move every ``col=value/.../col=value`` leaf directory written
+    under ``staging`` into ``live``, replacing the old partition dir.
+    Each swap is one delete + one rename of a complete directory."""
+
+    def leaves(dir_path: str, level: int) -> list[str]:
+        out = []
+        for st in fs.listStatus(HPath(dir_path)):
+            name = st.getPath().getName()
+            if not st.isDirectory() or "=" not in name:
+                continue
+            child = f"{dir_path}/{name}"
+            if level == 1:
+                out.append(child)
+            else:
+                out.extend(leaves(child, level - 1))
+        return out
+
+    for src in leaves(staging, depth):
+        rel = src[len(staging) + 1 :]
+        dst = f"{live}/{rel}"
+        parent = dst.rsplit("/", 1)[0]
+        fs.mkdirs(HPath(parent))
+        fs.delete(HPath(dst), True)
+        fs.rename(HPath(src), HPath(dst))
 
 
 def overwrite_updates(

@@ -15,7 +15,7 @@ Design notes for scale:
     replayable micro-batches; ``Trigger.AvailableNow`` drains a
     backlog with the same bounded batches then stops — the Q5
     "process what's new, in caps" protocol;
-  * sinks go through foreachBatch -> merge_by_key so replays are
+  * sinks go through foreachBatch -> upsert_parquet so replays are
     idempotent (exactly-once effect on keyed tables).
 """
 
@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from palegislature_spark.sources.merge import merge_by_key
+from palegislature_spark.sources.merge import upsert_parquet
 
 
 def read_stream(
@@ -136,19 +136,17 @@ def stream_upsert_parquet(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Incremental merge sink: each micro-batch upserts by key into a
-    Parquet dataset (foreachBatch + merge_by_key) — idempotent under
+    Parquet dataset (foreachBatch + upsert_parquet) — idempotent under
     replay, the streaming analogue of the reference's upsert loop.
+    Durability comes from upsert_parquet's staging-dir + rename swap:
+    a batch that dies mid-write leaves the prior dataset intact, so
+    the replayed batch re-reads real existing data instead of
+    silently starting from nothing (ADVICE r1).
     """
     keys = list(keys)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch creates the dataset
-            existing = None
-        merged = merge_by_key(existing, batch, keys)
-        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+        upsert_parquet(batch.sparkSession, path, batch, keys)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -2,9 +2,12 @@
 
 Runs every registered query on Spark and its DuckDB oracle on the
 same parquet, then compares row count, column names, and values
-(order-insensitive; exact for non-floats, 1e-9-relative for floats —
-stricter than a hash, so passing here implies the hash matches unless
-both engines drift identically).
+(order-insensitive; EXACT for every type, floats included — the
+driver's gate hashes raw values with no rounding tolerance, so any
+last-place float drift that would pass a tolerant compare still fails
+the driver.  Queries must therefore round/cast identically on both
+engines; this gate exists to catch the ones that don't before the
+driver does).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 """
@@ -36,7 +39,7 @@ def values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+        return fa == fb  # exact: the driver hashes with no tolerance
     return a == b
 
 
