@@ -19,6 +19,11 @@ dedup, rule-based repair — re-expressed as DataFrame operators:
 
 from palegislature_spark.er.blocking import block_join, self_block_pairs
 from palegislature_spark.er.components import connected_components
+from palegislature_spark.er.member_ingest import (
+    service_from_observations,
+    upsert_archive_members,
+    upsert_current_members,
+)
 from palegislature_spark.er.members import candidate_pairs, merge_members
 from palegislature_spark.er.name_match import (
     merge_names,
@@ -49,5 +54,8 @@ __all__ = [
     "names_match",
     "parse_vote_name",
     "self_block_pairs",
+    "service_from_observations",
+    "upsert_archive_members",
+    "upsert_current_members",
     "validate",
 ]

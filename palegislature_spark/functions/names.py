@@ -143,6 +143,17 @@ def _plain_form(s: Column) -> Column:
     )
 
 
+def get_name_struct(col: Column | str) -> Column:
+    """``get_name_dict`` (``crawl.py:246-261``): decapitalize when the
+    raw string contains two consecutive capitals (TWO_CAPS search),
+    then parse to the name struct."""
+    col = F.col(col) if isinstance(col, str) else col
+    return let(
+        F.when(col.rlike("[A-Z]{2}"), advanced_decapitalization(col)).otherwise(col),
+        parse_name,
+    )
+
+
 def parse_name(col: Column | str) -> Column:
     """Parse a display name into struct(first, middle, last, suffix).
 

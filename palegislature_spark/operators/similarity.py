@@ -71,6 +71,101 @@ def cosine_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_filter_projections: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT cosine-threshold pairs (id_1 < id_2) without a cartesian.
+
+    Guaranteed-lossless bucketing: for unit vectors, cosine(a, b) >=
+    t  ==>  ||a_hat - b_hat|| <= delta = sqrt(2 - 2t), and any unit-norm
+    projection p satisfies |p.a_hat - p.b_hat| <= delta (Cauchy-
+    Schwarz).  So bucketing one deterministic Rademacher projection at
+    width delta and joining each bucket with itself and its upper
+    neighbor (an EQUI-join on bucket id — no CartesianProduct in the
+    plan) can never drop a qualifying pair: miss probability is
+    exactly zero, unlike sign-bit LSH banding.  Additional projections
+    become cheap scalar prefilters (|dp_i| <= delta) before the exact
+    dot-product verify.
+
+    Scale: one linear pass computes norms + projections; the candidate
+    join shuffles on the bucket id.  Pruning strength is delta-driven:
+    real near-dup thresholds (t >= 0.9, delta <= 0.45 ~ 3.6x the
+    1/sqrt(dim) projection spread at dim=64) cut candidate volume
+    hard.  Loose thresholds (delta approaching the sqrt(2) random-
+    pair distance) prune little — that is inherent to any EXACT
+    method, not a bucketing defect: at such thresholds nearly every
+    pair is "near".  Degenerate hot buckets are split by AQE skew
+    handling; raise ``n_filter_projections`` to shrink the verify set
+    further.
+
+    Projections are xxhash64-seeded sign vectors — deterministic, no
+    stored model, reproducible across runs (rand() would break retry
+    determinism).
+    """
+    import math
+
+    delta = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
+
+    vec = _as_double(vec_col)
+    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v")).withColumn(
+        "__n", _norm(F.col("__v"))
+    )
+
+    def projection(i: int):
+        signed = F.transform(
+            F.col("__v"),
+            lambda x, j: x
+            * F.when(
+                F.pmod(F.xxhash64(F.lit(seed + i), j), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        # normalized-vector projection, scaled to unit direction norm
+        return F.aggregate(signed, F.lit(0.0), lambda a, x: a + x) / (
+            F.col("__n") * F.sqrt(F.size("__v"))
+        )
+
+    projs = [projection(i).alias(f"__p{i}") for i in range(1 + n_filter_projections)]
+    scored = base.select("__id", "__v", "__n", *projs).withColumn(
+        "__bucket", F.floor(F.col("__p0") / F.lit(delta)).cast("long")
+    )
+
+    a = scored.select(
+        *[F.col(c).alias(f"{c}_1") for c in scored.columns if c != "__bucket"],
+        "__bucket",
+    )
+    # Right side probes its own bucket and the one below, so every
+    # cross-bucket pair is generated exactly once (via the lower
+    # bucket) and same-bucket pairs once after the id ordering filter.
+    b = scored.select(
+        *[F.col(c).alias(f"{c}_2") for c in scored.columns if c != "__bucket"],
+        F.explode(
+            F.array(F.col("__bucket"), F.col("__bucket") - 1)
+        ).alias("__bucket"),
+        F.col("__bucket").alias("__bucket_2"),
+    )
+    cand = a.join(b, "__bucket").filter(
+        ((F.col("__bucket") == F.col("__bucket_2")) & (F.col("__id_1") < F.col("__id_2")))
+        | (F.col("__bucket") != F.col("__bucket_2"))
+    )
+    for i in range(1, 1 + n_filter_projections):
+        cand = cand.filter(
+            F.abs(F.col(f"__p{i}_1") - F.col(f"__p{i}_2")) <= F.lit(delta)
+        )
+    verified = cand.select(
+        F.least("__id_1", "__id_2").alias("id_1"),
+        F.greatest("__id_1", "__id_2").alias("id_2"),
+        (
+            _dot(F.col("__v_1"), F.col("__v_2")) / (F.col("__n_1") * F.col("__n_2"))
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    return verified.dropDuplicates(["id_1", "id_2"])
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -62,6 +62,30 @@ ROLL_PAGE_SCHEMA = (
     "date_s:string, time_s:string>"
 )
 
+# Historical member-list page (crawl.py:302-330): archive links whose
+# ID query param is the chamber's archive id.
+MEMBER_LIST_SCHEMA = (
+    "struct<chamber:int, members:array<struct<archive_id:bigint, "
+    "full_name:string>>>"
+)
+
+# Current/per-year member list (crawl.py:378-506): SessYear dropdown
+# (crawl bookkeeping + selected year range) and per-member wrappers
+# with current_id, party letter and district.
+CURRENT_ROLL_SCHEMA = (
+    "struct<chamber:int, session_year_options:array<string>, "
+    "year_range_s:string, members:array<struct<current_id:bigint, "
+    "full_name:string, bio_href:string, party:string, district:int>>>"
+)
+
+# Member bio page (crawl.py:533-636): h1 name, life line (dob), and
+# the 5-column service table (Sessions/Office/Position/District/Party).
+BIO_PAGE_SCHEMA = (
+    "struct<member_id:bigint, chamber:int, error:string, name_s:string, "
+    "life_s:string, rows:array<struct<sessions_s:string, office:string, "
+    "district_s:string, party:string>>>"
+)
+
 
 def http_page_source(user_agent: str = "palegislature_spark"):  # pragma: no cover
     """Production page source (STUB — no network in this environment).
@@ -240,3 +264,175 @@ def parse_roll_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("fetched_at").alias("last_crawl"),
     )
     return votes, stamps
+
+
+# --------------------------------------------------------------------------
+# Stage 4: member lists (crawl.py:302-330, 378-506)
+# --------------------------------------------------------------------------
+
+
+def parse_member_list_pages(pages: DataFrame) -> DataFrame:
+    """Historical member-list pages -> member observations keyed by
+    (chamber, archive_id) (``crawl.py:302-321``): one link per member,
+    the ID query param is the chamber's archive id, the link text
+    parses through ``get_name_dict``."""
+    from palegislature_spark.functions.names import get_name_struct
+
+    parsed = pages.select(
+        "fetched_at", F.from_json("payload", MEMBER_LIST_SCHEMA).alias("p")
+    )
+    return (
+        parsed.select(
+            F.col("p.chamber").alias("chamber"),
+            F.explode("p.members").alias("m"),
+            "fetched_at",
+        )
+        .select(
+            "chamber",
+            F.col("m.archive_id").alias("archive_id"),
+            get_name_struct(F.col("m.full_name")).alias("name"),
+            F.col("fetched_at").alias("last_crawl"),
+        )
+    )
+
+
+def parse_current_roll_pages(
+    pages: DataFrame, resolutions: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Current/per-year member-list pages -> (member_crawl rows,
+    member+service observations) (``crawl.py:378-506``).
+
+    member_crawl bookkeeping: one row per SessYear dropdown option,
+    named "<value> <CHAMBER>" (``crawl.py:397-398``). Observations:
+    one row per member wrapper with the current_id, parsed name,
+    party (letter -> full name; unknown letters stay NULL for the
+    validation stage — the reference raises), district, and the
+    selected year range expanded to a ``years`` array
+    (``crawl.py:402,501-503``).
+
+    ``resolutions`` is the redirect-resolution dim (F9 —
+    ``sources/redirects.py``): (url, resolved) rows mapping a bio
+    href to its archive destination; a resolved archives URL's ID
+    param becomes the archive_id (``crawl.py:419-431``). Pass None
+    when no resolution map is available (archive_id stays NULL, as
+    the reference's no-archive branch ``crawl.py:436-438``).
+    """
+    from palegislature_spark.functions.codecs import party_name
+
+    parsed = pages.select(
+        "url", "fetched_at", F.from_json("payload", CURRENT_ROLL_SCHEMA).alias("p")
+    )
+    chamber_name = F.when(F.col("p.chamber") == 1, "HOUSE").otherwise("SENATE")
+    member_crawl = parsed.select(
+        F.col("p.chamber").alias("chamber"),
+        F.explode("p.session_year_options").alias("opt"),
+        chamber_name.alias("chamber_name"),
+        "fetched_at",
+    ).select(
+        F.concat_ws(" ", "opt", "chamber_name").alias("name"),
+        F.col("fetched_at").alias("last_crawl"),
+    )
+
+    from palegislature_spark.functions.names import get_name_struct
+    from palegislature_spark.functions.temporal import year_range_expand
+
+    obs = parsed.select(
+        F.col("p.chamber").alias("chamber"),
+        year_range_expand(F.col("p.year_range_s")).alias("years"),
+        F.explode("p.members").alias("m"),
+        "fetched_at",
+    ).select(
+        "chamber",
+        F.col("m.current_id").alias("current_id"),
+        get_name_struct(F.col("m.full_name")).alias("name"),
+        F.col("m.bio_href").alias("bio_href"),
+        party_name(F.col("m.party")).alias("party"),
+        F.col("m.district").alias("district"),
+        "years",
+        F.col("fetched_at").alias("last_crawl"),
+    )
+
+    if resolutions is not None:
+        res = F.broadcast(
+            resolutions.select(
+                F.col("url").alias("bio_href"), F.col("resolved").alias("__resolved")
+            )
+        )
+        obs = obs.join(res, "bio_href", "left").withColumn(
+            "archive_id",
+            F.when(
+                F.col("__resolved").contains("archives"),
+                F.regexp_extract("__resolved", r"[?&]ID=(\d+)", 1).try_cast("long"),
+            ),
+        ).drop("__resolved")
+    else:
+        obs = obs.withColumn("archive_id", F.lit(None).cast("long"))
+    return member_crawl, obs
+
+
+# --------------------------------------------------------------------------
+# Stage 5: bios (crawl.py:533-636)
+# --------------------------------------------------------------------------
+
+
+def parse_bio_pages(
+    pages: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bio pages -> (service observations, member updates, violations)
+    (``crawl.py:533-636``).
+
+    Service rows come from the 5-column Sessions/Office/Position/
+    District/Party table: 'Chief Clerk' rows are skipped
+    (``crawl.py:598-599``); a non-empty office other than a House
+    'Representative' is a violation row (the reference exits at
+    ``:600-602``); 'N/A'/''/unparseable districts are NULL
+    (``:604-611``); empty party is NULL; the Sessions year range
+    expands to one row per year (``:620-630``). Member updates carry
+    the dob parsed from the "m/d/yyyy - ..." life line
+    (``:577-581``) and the page's parsed h1 name for the Q1 identity
+    check (``:585``). Error pages (``Message-Error``) produce nothing.
+    """
+    from palegislature_spark.functions.names import get_name_struct
+    from palegislature_spark.functions.temporal import parse_dob, year_range_expand
+
+    parsed = pages.select(
+        "fetched_at", F.from_json("payload", BIO_PAGE_SCHEMA).alias("p")
+    ).filter(F.col("p.error").isNull())
+
+    rows = parsed.select(
+        F.col("p.member_id").alias("member_id"),
+        F.col("p.chamber").alias("chamber"),
+        F.explode("p.rows").alias("r"),
+    ).filter(F.col("r.office").isNull() | (F.col("r.office") != "Chief Clerk"))
+
+    office_ok = F.col("r.office").isNull() | (
+        (F.col("r.office") == "Representative") & (F.col("chamber") == 1)
+    )
+    violations = rows.filter(~office_ok).select(
+        "member_id",
+        "chamber",
+        F.col("r.office").alias("office"),
+        F.lit("weird office").alias("violation"),
+    )
+
+    service = (
+        rows.filter(office_ok)
+        .select(
+            "member_id",
+            "chamber",
+            F.explode(year_range_expand(F.col("r.sessions_s"))).alias("year"),
+            F.col("r.district_s").try_cast("int").alias("district"),
+            F.col("r.party").alias("party"),
+        )
+        .select("member_id", "year", "chamber", "district", "party")
+    )
+
+    member_updates = parsed.select(
+        F.col("p.member_id").alias("id"),
+        F.when(
+            F.col("p.life_s").contains("-"), parse_dob(F.col("p.life_s"))
+        ).alias("dob"),
+        get_name_struct(F.col("p.name_s")).alias("name"),
+        F.col("fetched_at").alias("last_crawl"),
+    )
+    return service, member_updates, violations

@@ -1,0 +1,264 @@
+"""Ingest registry queries (SURVEY §2.1 S3, §3.1 stages 4-5): stored
+real-shaped HTML -> pandas-UDF extraction -> JVM-side parse -> member/
+service derivation, hash-checked against DuckDB oracles.
+
+The HTML extractors are pure Python (``pipelines/html_extract.py``),
+so the JSON payload each page extracts to is computed once at import
+time and embedded in the oracle SQL — DuckDB then *independently
+recomputes* the parse semantics (json_transform -> unnest -> year
+expansion -> office/district rules) while Spark runs the real
+extract+parse pipeline from the raw HTML. The derivation logic is
+restated in SQL, not pasted as an expected-rows literal.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from palegislature_spark.pipelines import html_extract as hx
+from palegislature_spark.pipelines import ingest as ing
+from palegislature_spark.queries.registry import register
+
+_FETCHED = dt.datetime(2026, 1, 1)
+
+# --------------------------------------------------------------------------
+# Stage 5: bio pages -> service rows
+# --------------------------------------------------------------------------
+
+_BIO_PAGES = [
+    # House bio: year-range rows, a Chief Clerk row (skipped), a weird
+    # office (violation, excluded), an N/A district (crawl.py:588-630).
+    (
+        "https://example.org/bio.cfm?member_id=5&chamber=1",
+        """
+<html><body>
+<h1>John Smith</h1>
+<h4>6/1/1970 - Present</h4>
+<div class="bio-table"><table>
+<tr><th>Sessions</th><th>Office</th><th>Position</th><th>District</th><th>Party</th></tr>
+<tr><td>2019-2020</td><td>Representative</td><td></td><td>18</td><td>Democrat</td></tr>
+<tr><td>2021</td><td>Chief Clerk</td><td></td><td>N/A</td><td></td></tr>
+<tr><td>2023</td><td>Speaker of the House</td><td></td><td>18</td><td>Democrat</td></tr>
+<tr><td>2024</td><td>Representative</td><td></td><td>N/A</td><td>Democrat</td></tr>
+</table></div>
+</body></html>
+""",
+    ),
+    # Senate bio: DataTable-Grid + h3 life line, empty office rows.
+    (
+        "https://example.org/bio.cfm?member_id=9&chamber=2",
+        """
+<html><body>
+<h1>SMITH, JANE A.</h1>
+<h3>2/14/1965 - Present</h3>
+<table class="DataTable-Grid">
+<tr><th>Sessions</th><th>Office</th><th>Position</th><th>District</th><th>Party</th></tr>
+<tr><td>2015-2018</td><td></td><td></td><td>44</td><td>Republican</td></tr>
+<tr><td>2019</td><td></td><td></td><td>44</td><td></td></tr>
+</table>
+</body></html>
+""",
+    ),
+    # Error page: contributes nothing (crawl.py:553-556).
+    (
+        "https://example.org/bio.cfm?member_id=7&chamber=2",
+        '<html><body><div class="Message-Error">No bio found</div></body></html>',
+    ),
+]
+
+_BIO_PAYLOADS = [
+    (url, json.dumps(hx.extract_bio_page(url, html))) for url, html in _BIO_PAGES
+]
+
+_BIO_PAYLOAD_VALUES = ", ".join(
+    "(" + "'" + p.replace("'", "''") + "')" for _, p in _BIO_PAYLOADS
+)
+
+_BIO_TRANSFORM = (
+    '{"member_id":"BIGINT","chamber":"INTEGER","error":"VARCHAR",'
+    '"name_s":"VARCHAR","life_s":"VARCHAR",'
+    '"rows":[{"sessions_s":"VARCHAR","office":"VARCHAR",'
+    '"district_s":"VARCHAR","party":"VARCHAR"}]}'
+)
+
+_BIO_ORACLE = f"""
+WITH pages(payload) AS (VALUES {_BIO_PAYLOAD_VALUES}),
+p AS (
+  SELECT json_transform(payload, '{_BIO_TRANSFORM}') AS j FROM pages
+),
+r AS (
+  SELECT j.member_id AS member_id, j.chamber AS chamber, unnest(j.rows) AS row
+  FROM p WHERE j.error IS NULL
+),
+kept AS (
+  SELECT * FROM r
+  WHERE (row.office IS NULL OR row.office <> 'Chief Clerk')
+    AND (row.office IS NULL OR (row.office = 'Representative' AND chamber = 1))
+),
+expanded AS (
+  SELECT member_id, chamber,
+         unnest(generate_series(
+            TRY_CAST(split_part(row.sessions_s, '-', 1) AS INTEGER),
+            COALESCE(TRY_CAST(split_part(row.sessions_s, '-', 2) AS INTEGER),
+                     TRY_CAST(row.sessions_s AS INTEGER)))) AS year,
+         TRY_CAST(row.district_s AS INTEGER) AS district,
+         row.party AS party
+  FROM kept
+)
+SELECT CAST(member_id AS BIGINT) AS member_id,
+       CAST(year AS INTEGER)     AS year,
+       CAST(chamber AS INTEGER)  AS chamber,
+       CAST(district AS INTEGER) AS district,
+       party
+FROM expanded
+"""
+
+
+def _bio_pages_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [Row(url=u, payload=h, fetched_at=_FETCHED) for u, h in _BIO_PAGES],
+        schema=ing.FETCH_SCHEMA,
+    )
+
+
+@register(
+    "ingest_bio_service",
+    covers="S3,F5,F6,Q1 (crawl.py:533-636 bio pages -> service history: "
+    "HTML extraction, Chief-Clerk skip, weird-office exclusion, year-range "
+    "expansion, N/A district nulling, per-chamber table shapes)",
+    oracle=_BIO_ORACLE,
+)
+def ingest_bio_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-5 parse: stored bio HTML -> service observations."""
+    pages = hx.extract_pages(_bio_pages_df(spark), "bio")
+    service, _updates, _violations = ing.parse_bio_pages(pages)
+    return service
+
+
+# --------------------------------------------------------------------------
+# Stage 4b: current member-list page -> member match + service rows
+# --------------------------------------------------------------------------
+
+_CURRENT_URL = "https://example.org/mbrList.cfm?body=H&SessYear=2023"
+_CURRENT_HTML = """
+<html><body>
+<select id="SessYear">
+  <option value="2023" selected>2023-2024</option>
+  <option value="2021">2021-2022</option>
+</select>
+<div class="MemberInfoList-MemberWrapper">
+  <div class="MemberInfoList-MemberBio">
+    <a href="bio.cfm?id=501">John Smith</a>
+    (D)<br/>
+    District 18
+  </div>
+</div>
+<div class="MemberInfoList-MemberWrapper">
+  <div class="MemberInfoList-MemberBio">
+    <a href="bio.cfm?id=502">Jane Doe</a>
+    (R)<br/>
+    District 44
+  </div>
+</div>
+</body></html>
+"""
+
+_CURRENT_PAYLOAD = json.dumps(
+    hx.extract_current_roll_page(_CURRENT_URL, _CURRENT_HTML)
+).replace("'", "''")
+
+_CURRENT_TRANSFORM = (
+    '{"chamber":"INTEGER","year_range_s":"VARCHAR",'
+    '"members":[{"current_id":"BIGINT","full_name":"VARCHAR",'
+    '"bio_href":"VARCHAR","party":"VARCHAR","district":"INTEGER"}]}'
+)
+
+# Existing members dim: id 1 holds the archive id the resolutions map
+# resolves member 501's bio link to; member 502 is new (id = max+1).
+_MEMBERS_VALUES = "(1, 123, CAST(NULL AS BIGINT), 'John', 'Smith')"
+_RESOLUTIONS_VALUES = "('bio.cfm?id=501', 'https://archives.example.org/people?ID=123')"
+
+_CURRENT_ORACLE = f"""
+WITH page(payload) AS (VALUES ('{_CURRENT_PAYLOAD}')),
+members(id, house_archive_id, house_current_id, first, last) AS
+  (VALUES {_MEMBERS_VALUES}),
+resolutions(url, resolved) AS (VALUES {_RESOLUTIONS_VALUES}),
+p AS (SELECT json_transform(payload, '{_CURRENT_TRANSFORM}') AS j FROM page),
+obs AS (
+  SELECT unnest(j.members) AS m,
+         TRY_CAST(split_part(j.year_range_s, '-', 1) AS INTEGER) AS y0,
+         COALESCE(TRY_CAST(split_part(j.year_range_s, '-', 2) AS INTEGER),
+                  TRY_CAST(j.year_range_s AS INTEGER)) AS y1
+  FROM p
+),
+resolved AS (
+  SELECT m.current_id AS current_id, m.district AS district,
+         CASE m.party WHEN 'D' THEN 'Democrat' WHEN 'R' THEN 'Republican'
+                      WHEN 'I' THEN 'Independent' END AS party,
+         y0, y1,
+         CASE WHEN r.resolved LIKE '%archives%'
+              THEN TRY_CAST(regexp_extract(r.resolved, '[?&]ID=(\\d+)', 1) AS BIGINT)
+         END AS archive_id
+  FROM obs LEFT JOIN resolutions r ON obs.m.bio_href = r.url
+),
+matched AS (
+  SELECT o.*, m.id AS existing_id
+  FROM resolved o LEFT JOIN members m
+    ON CASE WHEN o.archive_id IS NOT NULL THEN o.archive_id = m.house_archive_id
+            ELSE o.current_id = m.house_current_id END
+),
+mapped AS (
+  SELECT current_id, district, party, y0, y1,
+         COALESCE(existing_id,
+                  (SELECT max(id) FROM members)
+                  + row_number() OVER (PARTITION BY existing_id IS NULL
+                                       ORDER BY current_id)) AS member_id
+  FROM matched
+)
+SELECT CAST(member_id AS BIGINT) AS member_id,
+       CAST(unnest(generate_series(y0, y1)) AS INTEGER) AS year,
+       CAST(1 AS INTEGER) AS chamber,
+       CAST(district AS INTEGER) AS district,
+       party
+FROM mapped
+"""
+
+
+@register(
+    "ingest_member_service",
+    covers="S3,S10,F3,F6,F9,J2,Q1 (crawl.py:378-506 current member list -> "
+    "member match by resolved archive id / current id, new-member id "
+    "allocation, year-range-expanded service upserts)",
+    oracle=_CURRENT_ORACLE,
+)
+def ingest_member_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-4b parse + ER: stored member-list HTML -> service rows."""
+    from palegislature_spark.er.member_ingest import (
+        service_from_observations,
+        upsert_current_members,
+    )
+
+    pages = spark.createDataFrame(
+        [Row(url=_CURRENT_URL, payload=_CURRENT_HTML, fetched_at=_FETCHED)],
+        schema=ing.FETCH_SCHEMA,
+    )
+    resolutions = spark.createDataFrame(
+        [("bio.cfm?id=501", "https://archives.example.org/people?ID=123")],
+        schema="url string, resolved string",
+    )
+    _crawl, obs = ing.parse_current_roll_pages(
+        hx.extract_pages(pages, "current_roll"), resolutions
+    )
+    members = spark.createDataFrame(
+        [(1, 123, None, None, None, "John", None, "Smith", None, None, None)],
+        schema="id long, house_archive_id long, house_current_id long, "
+        "senate_archive_id long, senate_current_id long, first string, "
+        "middle string, last string, suffix string, dob date, last_crawl timestamp",
+    )
+    _members_out, member_map, _violations = upsert_current_members(
+        members, obs, chamber=1
+    )
+    return service_from_observations(obs, member_map, chamber=1)

@@ -78,15 +78,13 @@ WHERE {_COS} >= 0.45
 """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine >= 0.45 (brute force at test scale; the
-    LSH bucket join is the 100 TB path — same verify step)."""
+    """Pairs with cosine >= 0.45 via lossless projection bucketing —
+    candidates come from an EQUI-join on a Rademacher-projection
+    bucket (zero-miss by the Cauchy-Schwarz bound, so the exact
+    all-pairs oracle still matches), never a cartesian; plan-asserted
+    in tests/test_plans.py."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs(
-        emb.select(F.col("vec_id").alias("id_1"), "embedding"),
-        emb.select(F.col("vec_id").alias("id_2"), "embedding"),
-        "id_1",
-        "id_2",
-    ).filter((F.col("id_1") < F.col("id_2")) & (F.col("cosine") >= 0.45))
+    pairs = similarity.near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
     return pairs.select("id_1", "id_2", F.round("cosine", 4).alias("cosine"))
 
 

@@ -66,3 +66,11 @@ def test_partial_aggregation_present(spark, sf_dir):
     # the exchange (map-side combine shrinks the shuffle)
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_embedding_near_dup_no_cartesian(spark, sf_dir):
+    # the near-dup candidate join must be the bucket EQUI-join, never
+    # an all-pairs product (the r1 registration was O(n^2))
+    plan = plan_of(spark, sf_dir, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
