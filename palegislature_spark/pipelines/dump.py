@@ -166,9 +166,24 @@ def export_matrices(
     ]
     written: list[str] = []
     root = pathlib.Path(out_dir)
-    for year, chamber in groups:
+
+    # Submit every group's pivot job concurrently — the Spark scheduler
+    # interleaves them across cores, so export wall-time no longer
+    # serializes ~38 small jobs (ADVICE r1). The collects stay bounded
+    # by the CSV contract (<=1.6k rows x ~210 cols per group); CSV
+    # writing below stays sequential and in deterministic group order,
+    # keeping the golden files byte-identical.
+    def _build(yc: tuple[int, int]):
+        year, chamber = yc
         pivoted, cols = vote_matrix(votes, ordered, columns, year, chamber)
-        matrix_rows = pivoted.collect()
+        return pivoted.collect(), cols
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(len(groups), 1))) as pool:
+        results = list(pool.map(_build, groups))
+
+    for (year, chamber), (matrix_rows, cols) in zip(groups, results):
         if not matrix_rows:
             continue
         chamber_name = {1: "House", 2: "Senate"}[chamber]
