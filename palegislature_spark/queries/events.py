@@ -241,3 +241,42 @@ def dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped",
         )
     )
+
+
+@register(
+    "value_transitions",
+    covers="streaming §2.10 custom stateful operator (applyInPandasWithState "
+    "CDC-style change detection; batch-checked via its lag-window "
+    "equivalent — the real-stream form with cross-micro-batch state and "
+    "event-time TTL is exercised in tests/test_streaming.py)",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value, prev_value
+FROM seq WHERE prev_value IS NULL OR value <> prev_value
+""",
+)
+def value_transitions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows where a user's value CHANGES from its previous event —
+    the batch lag-window equivalent of streaming.value_transitions
+    (a reverted value re-emits, which plain dedup cannot express)."""
+    from pyspark.sql.window import Window
+
+    ensure_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_value", F.lag("value").over(w))
+    return (
+        seq.filter(
+            F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value"))
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+            "prev_value",
+        )
+    )

@@ -8,6 +8,7 @@ from palegislature_spark.streaming.jobs import (
     sliding_counts,
     stream_upsert_parquet,
     tumbling_counts,
+    value_transitions,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "sliding_counts",
     "stream_upsert_parquet",
     "tumbling_counts",
+    "value_transitions",
 ]

@@ -110,6 +110,96 @@ def session_counts(
     )
 
 
+def value_transitions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 2 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful operator: emit a row only when a key's value
+    CHANGES (CDC-style compaction of a status stream — the streaming
+    analogue of tracking the reference's crawl-status transitions).
+
+    Not expressible with built-ins: ``dropDuplicates`` on (key,
+    value) would suppress a value that REVERTS (A -> B -> A must emit
+    three transitions), and window aggregates lose the per-row emit.
+    So this is the ``applyInPandasWithState`` surface: per-key state
+    holds (last value, last event ms); each micro-batch folds its
+    rows in event-time order, emitting (key, ts, value, prev) on
+    every change.
+
+    State discipline for scale: state is one scalar per key;
+    event-time timeout (``state_ttl_ms`` past the watermark) evicts
+    idle keys, so state size is bounded by the active-key set, not
+    stream history. Rows at or before the state's last seen event
+    time are ignored (late data beyond reordering is the watermark
+    contract).
+    """
+    value_type = stream.schema[value_col].dataType
+    out_schema = T.StructType(
+        [
+            stream.schema[key_col],
+            stream.schema[ts_col],
+            stream.schema[value_col],
+            T.StructField(f"prev_{value_col}", value_type),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_value", value_type),
+            T.StructField("last_ms", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_value, last_ms = state.get
+        else:
+            last_value, last_ms = None, -1
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="stable")
+        out_keys, out_ts, out_vals, out_prev = [], [], [], []
+        for ts, value in zip(batch[ts_col], batch[value_col]):
+            ms = int(ts.value // 1_000_000)
+            if ms <= last_ms:
+                continue  # older than state: watermark-late, ignore
+            if last_ms < 0 or value != last_value:
+                out_keys.append(key[0])
+                out_ts.append(ts)
+                out_vals.append(value)
+                out_prev.append(last_value)
+            last_value, last_ms = value, ms
+
+        state.update((last_value, last_ms))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        if out_keys:
+            yield pd.DataFrame(
+                {
+                    key_col: out_keys,
+                    ts_col: out_ts,
+                    value_col: out_vals,
+                    f"prev_{value_col}": out_prev,
+                }
+            )
+
+    return (
+        stream.select(key_col, ts_col, value_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: Sequence[str] = ("event_id",),

@@ -97,3 +97,63 @@ def test_lsh_recall_against_brute_force(spark):
     }
     hits = sum(1 for k, v in brute.items() if lsh.get(k) == v)
     assert hits >= 8  # >=80% top-1 recall on trivially clustered data
+
+
+def test_near_dup_pairs_zero_miss_vs_brute_force(spark):
+    # The Cauchy-Schwarz bucketing claims EXACT results (no LSH-style
+    # misses). Check the full output against brute-force all-pairs on
+    # seeded random vectors across thresholds, including pairs placed
+    # right at bucket boundaries.
+    import itertools
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    # plant genuine near-dups: tiny perturbations of existing vectors
+    for i in range(60, 70):
+        base = vecs[i - 60][1]
+        vecs.append((i, [x + rng.uniform(-0.02, 0.02) for x in base]))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    # float32 storage: recompute expectation from the float32 values
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    stored = [(i, [f32(x) for x in v]) for i, v in vecs]
+    df = spark.createDataFrame(stored, schema)
+
+    for threshold in (0.45, 0.8, 0.95):
+        expected = {
+            (a[0], b[0])
+            for a, b in itertools.combinations(stored, 2)
+            if cos(a[1], b[1]) >= threshold
+        }
+        got = {
+            (r["id_1"], r["id_2"])
+            for r in similarity.near_dup_pairs(
+                df, threshold=threshold
+            ).collect()
+        }
+        # allow float-tolerance churn only for pairs within 1e-6 of the
+        # threshold; everything else must match exactly
+        sym_diff = expected ^ got
+        for a_id, b_id in sym_diff:
+            c = cos(stored[a_id][1], stored[b_id][1])
+            assert abs(c - threshold) < 1e-6, (
+                f"pair ({a_id},{b_id}) cos={c} missed at threshold {threshold}"
+            )

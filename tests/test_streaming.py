@@ -111,3 +111,41 @@ def test_stream_upsert_parquet_incremental(spark, stream_dir, tmp_path):
     got = rows(spark.read.parquet(sink_path), "event_id")
     # duplicate event 3 merged by key across micro-batches
     assert got == [(1,), (2,), (3,), (4,), (5,)]
+
+
+def test_value_transitions_stateful(spark, tmp_path):
+    """applyInPandasWithState: emit only on value change, state carried
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces two batches),
+    reverted values re-emit (the semantics dropDuplicates cannot give)."""
+    d = tmp_path / "status_stream"
+    b1 = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "status", 1.0),
+        (2, TS(2024, 1, 1, 10, 10), 1, "status", 1.0),  # repeat: suppressed
+        (3, TS(2024, 1, 1, 10, 20), 1, "status", 2.0),  # change: emit
+        (4, TS(2024, 1, 1, 10, 0), 2, "status", 5.0),
+    ]
+    b2 = [
+        (5, TS(2024, 1, 1, 11, 0), 1, "status", 2.0),  # repeat across batch
+        (6, TS(2024, 1, 1, 11, 10), 1, "status", 1.0),  # revert: emit again
+        (7, TS(2024, 1, 1, 11, 0), 2, "status", 5.0),  # repeat: suppressed
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = streaming.read_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    out = streaming.value_transitions(stream, "user_id", "ts", "value")
+    q = streaming.run_available_now(out, str(tmp_path / "cp"), "transitions_t")
+    drain(q)
+    got = rows(
+        spark.table("transitions_t"),
+        "user_id",
+        "ts",
+        "value",
+        "prev_value",
+    )
+    assert got == [
+        (1, TS(2024, 1, 1, 10, 0), 1.0, None),
+        (1, TS(2024, 1, 1, 10, 20), 2.0, 1.0),
+        (1, TS(2024, 1, 1, 11, 10), 1.0, 2.0),
+        (2, TS(2024, 1, 1, 10, 0), 5.0, None),
+    ]
