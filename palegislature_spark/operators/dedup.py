@@ -205,9 +205,10 @@ def winnow_fingerprints(
             ),
         )
 
+    # split('') chars the string in ONE pass; per-position substr()
+    # inside a transform would re-scan the string per char (O(L^2)).
     codes = F.transform(
-        F.sequence(F.lit(1), F.length(text_col)),
-        lambda i: F.ascii(F.col(text_col).substr(i, F.lit(1))).cast("long"),
+        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
     )
     fps = let(codes, lambda c: let(grams_of(c), wins_of))
     return (
