@@ -139,10 +139,18 @@ def upsert_current_members(
     # collapse them up front or each extra page double-counts matches
     # and double-inserts new members).
     mobs = obs.dropDuplicates(["current_id"])
-    cond = F.when(
-        F.col("archive_id").isNotNull(), F.col("archive_id") == F.col("__makey")
-    ).otherwise(F.col("current_id") == F.col("__mckey"))
-    joined = mobs.join(F.broadcast(m), cond, "left")
+    # Match by archive_id when present, else by current_id.  As one
+    # join that disjunctive condition is not equi-joinable and Spark
+    # falls back to BroadcastNestedLoopJoin (O(|obs|*|dim|) compares);
+    # split into the two keyed branches and each is a broadcast HASH
+    # join — same rows out, scales as O(|obs|).
+    by_archive = mobs.filter(F.col("archive_id").isNotNull()).join(
+        F.broadcast(m), F.col("archive_id") == F.col("__makey"), "left"
+    )
+    by_current = mobs.filter(F.col("archive_id").isNull()).join(
+        F.broadcast(m), F.col("current_id") == F.col("__mckey"), "left"
+    )
+    joined = by_archive.unionByName(by_current)
 
     n_matches = joined.groupBy("current_id").agg(
         F.count("__mid").alias("__n")
