@@ -6,6 +6,7 @@ from palegislature_spark.streaming.jobs import (
     run_available_now,
     session_counts,
     sliding_counts,
+    stream_interval_join,
     stream_upsert_parquet,
     tumbling_counts,
     value_transitions,
@@ -17,6 +18,7 @@ __all__ = [
     "run_available_now",
     "session_counts",
     "sliding_counts",
+    "stream_interval_join",
     "stream_upsert_parquet",
     "tumbling_counts",
     "value_transitions",

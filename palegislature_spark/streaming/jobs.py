@@ -218,6 +218,47 @@ def dedup_within_watermark(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream equi + interval join: pair each right-stream row
+    with every left-stream row of the same ``key`` whose timestamp
+    falls in ``[right_ts - upper, right_ts]`` (the streaming analogue
+    of the batch interval join in ``operators/asof.py``; e.g. clicks
+    within the hour before each purchase).
+
+    Both sides are watermarked so Spark can bound the join state: a
+    buffered left row is evicted once the right watermark passes
+    ``left_ts + upper``, and vice versa — state stays proportional to
+    the interval width times the input rate, not to total history.
+    The join itself shuffles both streams on ``key``, the same
+    partitioning the state store uses, so a 1000-executor run
+    co-locates matching keys with their state.
+
+    Columns come back prefixed (``l_``/``r_``) so self-joins of one
+    event stream against itself don't collide.
+    """
+    lcols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    lw = left.select(*lcols).withWatermark(f"{left_prefix}{left_ts}", watermark)
+    rw = right.select(*rcols).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lt, rt = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(f"{left_prefix}{key}") == F.col(f"{right_prefix}{key}"))
+        & (F.col(lt) <= F.col(rt))
+        & (F.col(lt) >= F.col(rt) - F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def stream_upsert_parquet(
     stream: DataFrame,
     path: str,

@@ -149,3 +149,59 @@ def test_value_transitions_stateful(spark, tmp_path):
         (1, TS(2024, 1, 1, 11, 10), 1.0, 2.0),
         (2, TS(2024, 1, 1, 10, 0), 5.0, None),
     ]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two real file streams joined on user within a 1-hour interval;
+    maxFilesPerTrigger=1 forces the join to buffer left rows in state
+    across micro-batches (click arrives a batch before its purchase).
+    Result must equal the batch interval join over the union."""
+    clicks_d, buys_d = tmp_path / "clicks", tmp_path / "buys"
+    clicks_b1 = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, TS(2024, 1, 1, 10, 30), 2, "click", 2.0),
+    ]
+    clicks_b2 = [
+        (3, TS(2024, 1, 1, 12, 0), 1, "click", 3.0),
+    ]
+    buys_b1 = [
+        (10, TS(2024, 1, 1, 10, 45), 1, "purchase", 9.0),  # joins click 1
+    ]
+    buys_b2 = [
+        (11, TS(2024, 1, 1, 12, 20), 1, "purchase", 8.0),  # joins click 3
+        (12, TS(2024, 1, 1, 13, 0), 2, "purchase", 7.0),  # >1h after click 2: no join
+    ]
+    for d, batches in ((clicks_d, (clicks_b1, clicks_b2)), (buys_d, (buys_b1, buys_b2))):
+        for b in batches:
+            spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode("append").parquet(
+                str(d)
+            )
+
+    out = streaming.stream_interval_join(
+        streaming.read_stream(spark, str(clicks_d), SCHEMA, max_files_per_trigger=1),
+        streaming.read_stream(spark, str(buys_d), SCHEMA, max_files_per_trigger=1),
+        key="user_id",
+        upper="1 hour",
+        watermark="4 hours",
+    )
+    q = streaming.run_available_now(out, str(tmp_path / "cp"), "ssj_t")
+    drain(q)
+    got = rows(spark.table("ssj_t"), "l_event_id", "r_event_id")
+    assert got == [(1, 10), (3, 11)]
+
+    # batch oracle: same join condition over the full tables
+    c = spark.createDataFrame(clicks_b1 + clicks_b2, SCHEMA)
+    b = spark.createDataFrame(buys_b1 + buys_b2, SCHEMA)
+    want = rows(
+        c.alias("c")
+        .join(
+            b.alias("b"),
+            (F.col("c.user_id") == F.col("b.user_id"))
+            & (F.col("c.ts") <= F.col("b.ts"))
+            & (F.col("c.ts") >= F.col("b.ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select(F.col("c.event_id").alias("l"), F.col("b.event_id").alias("r")),
+        "l",
+        "r",
+    )
+    assert got == want
