@@ -195,18 +195,47 @@ def brute_force_topk(
     )
 
 
+# Shared Lehmer-style hash constants: plane signs and centroid ranks are
+# (x * _HASH_A) mod _HASH_M with M = 2^31 - 1 (prime).  Pure integer
+# arithmetic so Spark, DuckDB (the correctness oracle), and plain Python
+# all derive the IDENTICAL pseudo-random index — which is what lets the
+# approximate ANN paths have EXACT replayable oracles instead of
+# rows-only checks.  Intermediate products stay < 2^63 by pre-modding.
+_HASH_A = 2654435761  # Knuth's 2^32 / phi multiplier
+_HASH_M = 2147483647  # 2^31 - 1
+
+
+def plane_sign(p: int, i: int, dim: int) -> int:
+    """±1 component i of hyperplane p — pure-Python twin of the Column
+    expression in :func:`_hyperplane_sign_bits`; used to embed the plane
+    matrix as literals in the DuckDB oracle (queries/vectors.py)."""
+    h = ((p * dim + i + 1) * _HASH_A) % _HASH_M
+    return 2 * (h >> 30) - 1
+
+
 def _hyperplane_sign_bits(vec_col, dim: int, n_planes: int):
     """LSH bucket id: sign bits against pseudo-random hyperplanes.
 
-    Plane p component i = ±1 from the parity of xxhash64(p, i) — fully
-    deterministic, no stored model, recomputable on any cluster.
+    Plane p component i = ±1 from bit 30 of the shared multiplicative
+    hash of (p*dim + i + 1) — fully deterministic, no stored model,
+    recomputable on any cluster AND in the DuckDB oracle (the values
+    are integer arithmetic, identical on every engine).
     """
     plane_dot = lambda p: F.aggregate(  # noqa: E731
         F.zip_with(
             vec_col,
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) * 2 - 1).cast("double"),
+                lambda i: (
+                    F.shiftright(
+                        F.pmod(
+                            (F.lit(p * dim + 1) + i) * F.lit(_HASH_A), F.lit(_HASH_M)
+                        ),
+                        30,
+                    )
+                    * 2
+                    - 1
+                ).cast("double"),
             ),
             lambda x, s: x * s,
         ),
@@ -228,17 +257,22 @@ def ivf_assignments(
     """IVF index: (centroids, assignments).
 
     Centroids are ``n_lists`` corpus vectors picked deterministically
-    (smallest xxhash64(id) — sampled-point centroids, the IVF-flat
-    construction without k-means iterations; swap in k-means refinement
-    later without changing consumers). Every vector is assigned to its
+    (smallest shared multiplicative hash of the id — sampled-point
+    centroids, the IVF-flat construction without k-means iterations;
+    swap in k-means refinement later without changing consumers).  The
+    hash is plain integer arithmetic so the DuckDB oracle replays the
+    exact same centroid choice.  Every vector is assigned to its
     max-cosine centroid via a broadcast of the tiny centroid set —
     one linear pass, no shuffle beyond the final grouping.
     """
     ranked = embeddings.select(
         F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
-    ).withColumn("__rk", F.xxhash64("__cid"))
+    ).withColumn(
+        "__rk",
+        F.pmod(F.pmod(F.col("__cid"), F.lit(_HASH_M)) * F.lit(_HASH_A), F.lit(_HASH_M)),
+    )
     centroids = (
-        ranked.orderBy("__rk")
+        ranked.orderBy("__rk", "__cid")
         .limit(n_lists)
         .select(
             F.row_number()

@@ -304,25 +304,35 @@ SELECT o_orderpriority,
        count(*)                                                  AS n_orders,
        sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)      AS n_open,
        sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)      AS n_done,
-       round(CAST(100.0 AS DOUBLE) * sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) / count(*), 2) AS pct_open
+       ((10000 * sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)) // count(*)) / 100.0 AS pct_open
 FROM orders GROUP BY o_orderpriority
 """,
 )
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional counts + ratio — the crawl-status report shape.
 
-    pct_open is rounded to 2 places on BOTH engines: DuckDB promotes the
-    ``100.0`` literal to DECIMAL and does decimal division, so unrounded
-    last-place digits differ from Spark's DOUBLE arithmetic (driver r1
-    hash mismatch). round(2) makes the two arithmetics agree exactly.
+    pct_open (hundredths of a percent) is derived entirely in INTEGER
+    space — ``(10000 * n_open) div n`` — then divided by 100.0.  Both
+    engines do one exact integer division and one IEEE double division
+    by 100.0, which is bit-identical everywhere.  Earlier rounds used
+    ``round(double, 2)`` on both sides, but round() semantics differ
+    between engines AND between DuckDB versions (exact-decimal HALF_UP
+    vs scaled std::round), which made the driver's hash comparison
+    version-dependent (r1/r2 mismatch).  Integer arithmetic removes the
+    ambiguity entirely.
     """
     o = load(spark, sf_dir, "orders")
     n_open = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        n_open.alias("n_open"),
-        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_done"),
-        F.round(100.0 * n_open / F.count(F.lit(1)), 2).alias("pct_open"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            n_open.alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_done"),
+        )
+        .withColumn(
+            "pct_open", F.expr("(10000 * n_open) div n_orders") / F.lit(100.0)
+        )
     )
 
 

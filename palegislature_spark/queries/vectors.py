@@ -12,11 +12,25 @@ from pyspark.sql import functions as F
 
 from palegislature_spark.catalog import load
 from palegislature_spark.operators import similarity
+from palegislature_spark.operators.similarity import plane_sign
 from palegislature_spark.queries.registry import register
 
 # Cosine in double precision on both engines; 6dp rounding absorbs
 # float-associativity drift without masking real mismatches.
 _COS = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
+# The LSH hyperplanes are ±1 vectors from the shared multiplicative
+# hash (operators/similarity.py), so the exact plane matrix embeds as
+# SQL literals — which is what turns the "approximate" LSH query into a
+# deterministic, fully-oracle-checkable one.
+_DIM, _N_PLANES = 64, 4
+_PLANES_VALUES = ",\n  ".join(
+    "({p}, CAST([{c}] AS DOUBLE[]))".format(
+        p=p,
+        c=", ".join(f"{plane_sign(p, i, _DIM)}.0" for i in range(_DIM)),
+    )
+    for p in range(_N_PLANES)
+)
 
 
 @register(
@@ -55,11 +69,45 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_lsh",
     covers="similarity-search extension: LSH-bucketed approximate top-k (scale path; "
-    "approximate => rows-only check, recall asserted in tests)",
-    oracle=None,
+    "deterministic plane matrix => exact replay oracle, recall asserted in tests)",
+    oracle=f"""
+WITH planes(p, pvec) AS (VALUES
+  {_PLANES_VALUES}
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.pvec) > 0 THEN 1 << p.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
+),
+bv AS (SELECT b.vec_id, b.bucket, e.v FROM buckets b JOIN emb e USING (vec_id)),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM bv WHERE vec_id < 20
+),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, b.v) AS cos
+  FROM probes p JOIN bv b USING (bucket)
+  WHERE p.query_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane buckets + multiprobe."""
+    """Approximate top-5 via random-hyperplane buckets + multiprobe.
+
+    The plane matrix is derived from the shared integer hash, so the
+    DuckDB oracle replays the IDENTICAL bucketing/probing/ranking —
+    approximate vs brute force, but exactly reproducible."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     topk = similarity.lsh_topk(emb, queries, k=5, dim=64, n_planes=4)
@@ -115,12 +163,57 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_ivf",
     covers="similarity-search extension: IVF inverted-list approximate top-k "
-    "(the second scale path beside LSH; approximate => rows-only check, "
-    "recall asserted in tests)",
-    oracle=None,
+    "(the second scale path beside LSH; deterministic centroid pick => "
+    "exact replay oracle, recall asserted in tests)",
+    oracle="""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (
+           ORDER BY (vec_id % 2147483647) * 2654435761 % 2147483647, vec_id
+         ) AS pick
+  FROM emb
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked WHERE pick <= 8
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN centroids c
+),
+assignments AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
+qprobe AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN centroids c WHERE e.vec_id < 20
+),
+probes AS (SELECT query_id, qv, list_id FROM qprobe WHERE r <= 2),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, a.v) AS cos
+  FROM probes p JOIN assignments a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF lists (sampled-point centroids, 2 probes)."""
+    """Approximate top-5 via IVF lists (sampled-point centroids, 2 probes).
+
+    Centroid pick, assignment, probing, and ranking are all
+    deterministic integer/double arithmetic, so the DuckDB oracle
+    replays the identical index — exact-checkable approximation."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     topk = similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2)
