@@ -12,6 +12,7 @@ needs no stored model.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: TC002 — needed at runtime for pandas_udf type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -71,6 +72,101 @@ def cosine_pairs(
     )
 
 
+def _band_keys_udf(n_bands: int, band_bits: int):
+    """Arrow-vectorized banded sign-LSH signature: array<long> of
+    ``n_bands`` keys, key b = the ``band_bits`` sign bits of planes
+    [b*band_bits, (b+1)*band_bits).
+
+    Signature generation is a dense matmul ((batch x dim) @ (dim x
+    n_planes)) — the one vector op built-in Columns cannot express
+    without O(n_planes * dim) interpreted HOF folds per row, so this is
+    a deliberate Arrow/pandas UDF (BLAS does the work; one batch
+    transfer each way).  Planes use the same shared multiplicative hash
+    as :func:`plane_sign`, so the index is deterministic and model-free.
+    """
+
+    @F.pandas_udf("array<long>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        dim = mat.shape[1]
+        n_planes = n_bands * band_bits
+        planes = np.array(
+            [[plane_sign(p, i, dim) for i in range(dim)] for p in range(n_planes)],
+            dtype=np.float64,
+        )
+        bits = (mat @ planes.T > 0).astype(np.int64)
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        keys = bits.reshape(len(mat), n_bands, band_bits) @ weights
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def near_dup_candidates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 16,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Banded sign-LSH candidate pairs (id_1 < id_2), pre-verify.
+
+    Scale shape (mirrors operators/dedup.py MinHash-LSH): one linear
+    Arrow pass emits per-row band keys; the self-join shuffles ONLY
+    (id, band, key) triples — vectors are joined back by id afterwards
+    — so candidate generation is sub-quadratic whenever keys spread
+    (random corpora: ~n^2 * n_bands / 2^band_bits pairs, vs n^2/2).
+    """
+    keys = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_band_keys_udf(n_bands, band_bits)(F.col(vec_col))).alias(
+            "__band", "__key"
+        ),
+    )
+    a = keys.select(F.col("__id").alias("id_1"), "__band", "__key")
+    b = keys.select(F.col("__id").alias("id_2"), "__band", "__key")
+    return (
+        a.join(b, ["__band", "__key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+
+
+def _near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """LSH-banded candidates + exact cosine verify (the tight-threshold
+    scale path).  High-recall approximate: a qualifying pair is missed
+    only if it collides in NO band (miss prob (1 - p^r)^b with
+    p = 1 - theta/pi; at t=0.9, r=8, b=16: ~0.4%)."""
+    cand = near_dup_candidates_lsh(df, id_col, vec_col, n_bands, band_bits)
+    vecs = df.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__vv")
+    ).withColumn("__vn", _norm(F.col("__vv")))
+    joined = (
+        cand.join(vecs.withColumnRenamed("__vid", "id_1"), "id_1")
+        .withColumnsRenamed({"__vv": "__v_1", "__vn": "__n_1"})
+        .join(vecs.withColumnRenamed("__vid", "id_2"), "id_2")
+    )
+    return joined.select(
+        "id_1",
+        "id_2",
+        (
+            _dot(F.col("__v_1"), F.col("__vv")) / (F.col("__n_1") * F.col("__vn"))
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -78,8 +174,26 @@ def near_dup_pairs(
     threshold: float = 0.45,
     n_filter_projections: int = 3,
     seed: int = 42,
+    method: str = "auto",
+    n_bands: int = 16,
+    band_bits: int = 8,
 ) -> DataFrame:
-    """EXACT cosine-threshold pairs (id_1 < id_2) without a cartesian.
+    """Cosine-threshold pairs (id_1 < id_2) without a cartesian.
+
+    Two regimes, picked by ``method='auto'``:
+
+    - ``exact`` (threshold < 0.8): lossless single-projection
+      bucketing — zero-miss, oracle-checkable, but candidate volume is
+      delta-driven and a loose threshold means most pairs qualify-ish,
+      so the work is inherently ~O(qualifying pairs).
+    - ``lsh`` (threshold >= 0.8): banded sign-LSH candidates + exact
+      cosine verify.  At tight thresholds the RESULT is small but the
+      lossless bucket (width delta = sqrt(2-2t), still ~2.5x the
+      sqrt(2/dim) projection spread at t=0.9/dim=64) barely prunes, so
+      candidates stay ~O(n^2); band keys spread candidates over
+      2^band_bits buckets per band instead, trading a bounded miss
+      probability ((1-p^r)^b, ~0.4% at t=0.9) for sub-quadratic
+      candidate volume.  This is the 100 TB path for near-dup mining.
 
     Guaranteed-lossless bucketing: for unit vectors, cosine(a, b) >=
     t  ==>  ||a_hat - b_hat|| <= delta = sqrt(2 - 2t), and any unit-norm
@@ -92,21 +206,21 @@ def near_dup_pairs(
     become cheap scalar prefilters (|dp_i| <= delta) before the exact
     dot-product verify.
 
-    Scale: one linear pass computes norms + projections; the candidate
-    join shuffles on the bucket id.  Pruning strength is delta-driven:
-    real near-dup thresholds (t >= 0.9, delta <= 0.45 ~ 3.6x the
-    1/sqrt(dim) projection spread at dim=64) cut candidate volume
-    hard.  Loose thresholds (delta approaching the sqrt(2) random-
-    pair distance) prune little — that is inherent to any EXACT
-    method, not a bucketing defect: at such thresholds nearly every
-    pair is "near".  Degenerate hot buckets are split by AQE skew
-    handling; raise ``n_filter_projections`` to shrink the verify set
-    further.
-
+    Exact-path scale: one linear pass computes norms + projections;
+    the candidate join shuffles on the bucket id; degenerate hot
+    buckets are split by AQE skew handling, and extra projections are
+    cheap scalar prefilters before the dot-product verify.
     Projections are xxhash64-seeded sign vectors — deterministic, no
     stored model, reproducible across runs (rand() would break retry
     determinism).
     """
+    if method not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown near_dup_pairs method: {method}")
+    if method == "lsh" or (method == "auto" and threshold >= 0.8):
+        return _near_dup_pairs_lsh(
+            df, id_col, vec_col, threshold, n_bands, band_bits
+        )
+
     import math
 
     delta = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
@@ -195,31 +309,55 @@ def brute_force_topk(
     )
 
 
-# Shared Lehmer-style hash constants: plane signs and centroid ranks are
-# (x * _HASH_A) mod _HASH_M with M = 2^31 - 1 (prime).  Pure integer
-# arithmetic so Spark, DuckDB (the correctness oracle), and plain Python
-# all derive the IDENTICAL pseudo-random index — which is what lets the
-# approximate ANN paths have EXACT replayable oracles instead of
-# rows-only checks.  Intermediate products stay < 2^63 by pre-modding.
-_HASH_A = 2654435761  # Knuth's 2^32 / phi multiplier
-_HASH_M = 2147483647  # 2^31 - 1
+# Shared 31-bit xorshift-multiply hash: plane signs and centroid ranks
+# derive from mix31(x) = two rounds of h = ((h ^ h>>16) * 73244475) &
+# (2^31-1) plus a final xor-fold.  Pure integer arithmetic (xor, shift,
+# multiply, mask — products stay < 2^58, so no 64-bit overflow under
+# ANSI mode) that Spark SQL, DuckDB (the correctness oracle), and plain
+# Python all compute IDENTICALLY — which is what lets the approximate
+# ANN paths have EXACT replayable oracles instead of rows-only checks.
+# A plain Lehmer hash ((x*A) mod M) is NOT usable here: it is linear,
+# so sequential plane indices produce near-identical sign vectors
+# (measured mean |corr| 0.50 across planes); the xorshift rounds break
+# the linearity (measured 0.10, the random-planes floor at dim 64).
+_HASH_A = 73244475
+_HASH_M31 = 2147483647  # 2^31 - 1 mask
+
+
+def _mix31(x: int) -> int:
+    """Pure-Python twin of :func:`_mix31_col` (and of the inline SQL in
+    the knn_ivf oracle, queries/vectors.py)."""
+    h = x & _HASH_M31
+    for _ in range(2):
+        h = ((h ^ (h >> 16)) * _HASH_A) & _HASH_M31
+    return h ^ (h >> 16)
+
+
+def _mix31_col(c):
+    """mix31 as a Column expression.  The cast to long is load-bearing:
+    int32 * 73244475 overflows, and Spark 4 ANSI mode errors on it."""
+    h = c.cast("long").bitwiseAND(F.lit(_HASH_M31))
+    for _ in range(2):
+        h = (h.bitwiseXOR(F.shiftright(h, 16)) * F.lit(_HASH_A)).bitwiseAND(
+            F.lit(_HASH_M31)
+        )
+    return h.bitwiseXOR(F.shiftright(h, 16))
 
 
 def plane_sign(p: int, i: int, dim: int) -> int:
     """±1 component i of hyperplane p — pure-Python twin of the Column
     expression in :func:`_hyperplane_sign_bits`; used to embed the plane
-    matrix as literals in the DuckDB oracle (queries/vectors.py)."""
-    h = ((p * dim + i + 1) * _HASH_A) % _HASH_M
-    return 2 * (h >> 30) - 1
+    matrix as literals in the DuckDB oracle (queries/vectors.py) and to
+    build the numpy plane matrix in :func:`_band_keys_udf`."""
+    return 2 * ((_mix31(p * dim + i + 1) >> 7) & 1) - 1
 
 
 def _hyperplane_sign_bits(vec_col, dim: int, n_planes: int):
     """LSH bucket id: sign bits against pseudo-random hyperplanes.
 
-    Plane p component i = ±1 from bit 30 of the shared multiplicative
-    hash of (p*dim + i + 1) — fully deterministic, no stored model,
-    recomputable on any cluster AND in the DuckDB oracle (the values
-    are integer arithmetic, identical on every engine).
+    Plane p component i = ±1 from bit 7 of mix31(p*dim + i + 1) — fully
+    deterministic, no stored model, recomputable on any cluster AND in
+    the DuckDB oracle (integer arithmetic, identical on every engine).
     """
     plane_dot = lambda p: F.aggregate(  # noqa: E731
         F.zip_with(
@@ -227,12 +365,8 @@ def _hyperplane_sign_bits(vec_col, dim: int, n_planes: int):
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda i: (
-                    F.shiftright(
-                        F.pmod(
-                            (F.lit(p * dim + 1) + i) * F.lit(_HASH_A), F.lit(_HASH_M)
-                        ),
-                        30,
-                    )
+                    F.shiftright(_mix31_col(F.lit(p * dim + 1) + i), 7)
+                    .bitwiseAND(F.lit(1))
                     * 2
                     - 1
                 ).cast("double"),
@@ -267,10 +401,7 @@ def ivf_assignments(
     """
     ranked = embeddings.select(
         F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
-    ).withColumn(
-        "__rk",
-        F.pmod(F.pmod(F.col("__cid"), F.lit(_HASH_M)) * F.lit(_HASH_A), F.lit(_HASH_M)),
-    )
+    ).withColumn("__rk", _mix31_col(F.col("__cid")))
     centroids = (
         ranked.orderBy("__rk", "__cid")
         .limit(n_lists)

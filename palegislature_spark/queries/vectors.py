@@ -167,12 +167,20 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact replay oracle, recall asserted in tests)",
     oracle="""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+-- mix31(vec_id): the shared 31-bit xorshift-multiply hash
+-- (operators/similarity.py _mix31), replayed as plain SQL.
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM emb
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
 picked AS (
   SELECT vec_id, v,
-         row_number() OVER (
-           ORDER BY (vec_id % 2147483647) * 2654435761 % 2147483647, vec_id
-         ) AS pick
-  FROM emb
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
 ),
 centroids AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec

@@ -143,10 +143,13 @@ def test_near_dup_pairs_zero_miss_vs_brute_force(spark):
             for a, b in itertools.combinations(stored, 2)
             if cos(a[1], b[1]) >= threshold
         }
+        # method="exact" pins the lossless path: the zero-miss claim is
+        # exactly what this test proves, at every threshold (auto would
+        # route t>=0.8 to the LSH scale path, tested separately below).
         got = {
             (r["id_1"], r["id_2"])
             for r in similarity.near_dup_pairs(
-                df, threshold=threshold
+                df, threshold=threshold, method="exact"
             ).collect()
         }
         # allow float-tolerance churn only for pairs within 1e-6 of the
@@ -157,3 +160,76 @@ def test_near_dup_pairs_zero_miss_vs_brute_force(spark):
             assert abs(c - threshold) < 1e-6, (
                 f"pair ({a_id},{b_id}) cos={c} missed at threshold {threshold}"
             )
+
+
+def test_near_dup_auto_routes_tight_thresholds_to_lsh(spark):
+    # auto: t=0.9 takes the LSH path; output must be a SUBSET of the
+    # exact result (verify is exact cosine) and must contain every
+    # planted near-identical pair (miss prob ~1e-13 at cos ~0.998).
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    planted = []
+    for i in range(80, 100):
+        base = vecs[i - 80][1]
+        vecs.append((i, [x + rng.uniform(-0.005, 0.005) for x in base]))
+        planted.append((i - 80, i))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(vecs, schema)
+    exact = {
+        (r["id_1"], r["id_2"])
+        for r in similarity.near_dup_pairs(df, threshold=0.9, method="exact").collect()
+    }
+    auto = {
+        (r["id_1"], r["id_2"])
+        for r in similarity.near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert auto <= exact
+    assert set(planted) <= auto
+
+
+def test_near_dup_lsh_subquadratic_candidates_10k(spark):
+    # The scale claim itself: on a 10k-vector corpus at t=0.9, banded
+    # LSH candidate volume is a small fraction of all pairs while every
+    # planted near-dup pair survives candidates + exact verify.
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(5)
+    n_base, n_planted, dim = 10_000, 50, 64
+    base = rng.standard_normal((n_base, dim))
+    rows_ = [(i, base[i].astype("float32").tolist()) for i in range(n_base)]
+    planted = []
+    for j in range(n_planted):
+        noisy = base[j] + 0.01 * rng.standard_normal(dim)
+        rows_.append((n_base + j, noisy.astype("float32").tolist()))
+        planted.append((j, n_base + j))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows_, schema)
+    n = len(rows_)
+    all_pairs = n * (n - 1) // 2
+
+    n_cand = similarity.near_dup_candidates_lsh(df, band_bits=12).count()
+    assert n_cand < 0.01 * all_pairs, f"{n_cand} candidates vs {all_pairs} pairs"
+
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in similarity.near_dup_pairs(
+            df, threshold=0.9, method="lsh", band_bits=12
+        ).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found >= int(0.95 * n_planted), f"planted recall {found}/{n_planted}"
