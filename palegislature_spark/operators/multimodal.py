@@ -5,13 +5,13 @@ columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` (or stay JVM-side where binary built-ins suffice).
 
-Codec reality: this container has no image/audio libraries, so the
-actual DECODE step is stubbed — ``_codec()`` returns a real codec
-when one is importable (PIL) and otherwise a clearly-marked
+Codec: ``_codec()`` returns the real Pillow codec when PIL is
+importable (production clusters) and otherwise a clearly-marked
 deterministic fake that derives pixel statistics from the payload
-bytes. Everything around the stub — schemas, Arrow batch transfer,
-partition behavior, binary slicing, UDF signatures — is real and
-tested; swapping in a real codec changes only ``_codec``.
+bytes (this container has no image libraries, so the fake runs here
+and the PIL path is covered by a skipif-gated test). Everything
+around the codec — schemas, Arrow batch transfer, partition
+behavior, binary slicing, UDF signatures — is identical either way.
 """
 
 from __future__ import annotations
@@ -68,11 +68,46 @@ class _FakeCodec:
         )
 
 
-def _codec():
-    try:  # pragma: no cover - container has no PIL
-        import PIL.Image  # noqa: F401
+class _PilCodec:
+    """Real image codec over Pillow — selected automatically when PIL
+    imports (production clusters); the sandbox has no PIL, so here it
+    is exercised only by the skipif-gated test."""
 
-        raise NotImplementedError("real-codec path not implemented yet")
+    is_stub = False
+
+    def decode_stats(self, payload: bytes, width: int, height: int):
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            data = list(gray.getdata())
+        return {
+            "mean_px": (sum(data) / len(data)) if data else 0.0,
+            "checksum": hashlib.sha256(payload).digest().hex()[:16],
+        }
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            fmt = im.format or "PNG"
+            out = io.BytesIO()
+            im.resize((w, h)).save(out, format=fmt)
+            return out.getvalue()
+
+
+def _codec():
+    """Real codec when Pillow is importable, else the deterministic
+    fake.  Callers can also inject a codec explicitly (tests pin the
+    fake so synthetic payloads stay decodable in PIL environments)."""
+    try:
+        import PIL.Image  # noqa: F401, PLC0415
+
+        return _PilCodec()  # pragma: no cover - container has no PIL
     except ImportError:
         return _FakeCodec()
 
@@ -88,12 +123,13 @@ def media_fingerprint(df: DataFrame) -> DataFrame:
     )
 
 
-def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def image_features(df: DataFrame, batch_hint: int = 1024, codec=None) -> DataFrame:
     """Per-payload decoded statistics via Arrow-batched mapInPandas.
 
     Output: (media_id, mean_px, checksum, n_bytes). The decode step
-    goes through the codec stub; the batch shape, Arrow transfer and
-    schema are the production plumbing.
+    goes through the selected codec (PIL when importable, else the
+    deterministic fake); the batch shape, Arrow transfer and schema
+    are the production plumbing either way.
     """
     out_schema = T.StructType(
         [
@@ -103,7 +139,7 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             T.StructField("n_bytes", T.LongType()),
         ]
     )
-    codec = _codec()
+    codec = codec or _codec()
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -164,9 +200,9 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing (STUB decode): schema and batching are real;
-    the pixel transform raises until a codec is installed."""
+def resize_images(df: DataFrame, width: int, height: int, codec=None) -> DataFrame:
+    """Resize: real pixel transform under PIL; with the fake codec the
+    schema/batching plumbing still runs and the pixel step raises."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -174,7 +210,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             T.StructField("meta", MEDIA_META),
         ]
     )
-    codec = _codec()
+    codec = codec or _codec()
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -87,16 +87,57 @@ BIO_PAGE_SCHEMA = (
 )
 
 
-def http_page_source(user_agent: str = "palegislature_spark"):  # pragma: no cover
-    """Production page source (STUB — no network in this environment).
+def http_page_source(
+    user_agent: str = "palegislature_spark",
+    timeout: float = 30.0,
+    retries: int = 3,
+    backoff: float = 0.5,
+    session_factory=None,
+):
+    """Production page source: requests GET with retry + backoff.
 
-    Returns a per-partition fetcher: urls -> (url, payload,
-    fetched_at), one requests.Session per partition.
+    Returns a per-partition fetcher (urls -> [(url, payload)]) for
+    :func:`fetch_pages`; one ``requests.Session`` is built lazily per
+    fetch batch (i.e. per partition, executor-side), mirroring the
+    reference's per-run session (``crawl.py:34-47``).  Transient
+    failures retry with exponential backoff; after ``retries``
+    attempts the error propagates so Spark task retry takes over.
+
+    The HTTP mechanics (headers, retry loop, status raise) are real
+    and covered by tests through ``session_factory`` injection — only
+    the socket needs a network, so the path ships dormant in offline
+    environments instead of as a stub.
     """
-    raise NotImplementedError(
-        "network access is unavailable here; inject a stored-payload "
-        "page source (see fetch_pages tests) or implement with requests"
-    )
+
+    def fetch(urls: list[str]) -> list[tuple[str, str]]:
+        import time
+
+        if session_factory is not None:
+            session = session_factory()
+        else:  # pragma: no cover — needs a network
+            import requests
+
+            session = requests.Session()
+        session.headers.update({"User-Agent": user_agent})
+        out = []
+        for url in urls:
+            last_err = None
+            for attempt in range(retries):
+                try:
+                    resp = session.get(url, timeout=timeout)
+                    resp.raise_for_status()
+                    out.append((url, resp.text))
+                    last_err = None
+                    break
+                except Exception as e:  # noqa: BLE001 — retry any transport error
+                    last_err = e
+                    if attempt + 1 < retries:
+                        time.sleep(backoff * (2**attempt))
+            if last_err is not None:
+                raise last_err
+        return out
+
+    return fetch
 
 
 def stored_page_source(pages: dict[str, str]):

@@ -18,8 +18,9 @@ url at scale.
 
 The redirect-chain walk itself (``chain_resolver``) is pure logic
 over an injectable ``head(url) -> (status, location)`` callable, so
-it is fully testable without network; the real HTTP head is the one
-documented stub (no network in this environment).
+it is fully testable without network; ``http_head`` is the real
+requests implementation (dormant here — no network — but exercised
+in tests via an injected session).
 """
 
 from __future__ import annotations
@@ -62,12 +63,27 @@ def chain_resolver(
     return resolve
 
 
-def http_head(url: str) -> tuple[int, str | None]:  # pragma: no cover
-    """Production HEAD (STUB — no network in this environment)."""
-    raise NotImplementedError(
-        "network access is unavailable here; inject a stored head map "
-        "(see chain_resolver tests) or implement with requests.head"
-    )
+def http_head(
+    url: str,
+    user_agent: str = "palegislature_spark",
+    timeout: float = 30.0,
+    session=None,
+) -> tuple[int, str | None]:
+    """Production HEAD: (status, Location) with redirects NOT followed
+    — the chain walk in :func:`chain_resolver` does the following, as
+    the reference does at ``crawl.py:348-366``.
+
+    Real code path, covered by tests through ``session`` injection
+    (only the socket needs a network); production use is
+    ``chain_resolver(http_head)``.
+    """
+    if session is None:  # pragma: no cover — needs a network
+        import requests
+
+        session = requests.Session()
+        session.headers.update({"User-Agent": user_agent})
+    resp = session.head(url, allow_redirects=False, timeout=timeout)
+    return resp.status_code, resp.headers.get("Location")
 
 
 def resolve_urls(

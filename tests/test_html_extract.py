@@ -415,3 +415,36 @@ def test_resolve_urls_consults_cache_first(spark, tmp_path):
 def test_extract_pages_unknown_type(spark):
     with pytest.raises(ValueError, match="unknown page_type"):
         hx.extract_pages(_pages(spark, "u", "<html/>"), "nope")
+
+
+class _HeadResponse:
+    def __init__(self, status_code, location=None):
+        self.status_code = status_code
+        self.headers = {"Location": location} if location else {}
+
+
+class _HeadSession:
+    """requests.Session stand-in for http_head: asserts redirects are
+    NOT auto-followed (the chain walk owns that)."""
+
+    def __init__(self, table):
+        self.table = table
+        self.headers = {}
+
+    def head(self, url, allow_redirects=True, timeout=None):
+        assert allow_redirects is False
+        status, loc = self.table[url]
+        return _HeadResponse(status, loc)
+
+
+def test_http_head_real_path_drives_chain_resolver():
+    table = {
+        "https://a.org/x": (301, "/y"),
+        "https://a.org/y": (302, "https://b.org/z"),
+        "https://b.org/z": (200, None),
+    }
+    session = _HeadSession(table)
+    resolve = redirects.chain_resolver(
+        lambda u: redirects.http_head(u, session=session)
+    )
+    assert resolve(["https://a.org/x"]) == [("https://a.org/x", "https://b.org/z")]

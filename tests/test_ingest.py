@@ -165,3 +165,101 @@ def test_parse_roll_pages(spark):
     st = {r["id"]: r["stamp"] for r in stamps.collect()}
     assert st[300] == dt.datetime(2019, 6, 1, 10, 0)
     assert st[301] is None
+
+
+# --------------------------------------------------------------------------
+# Real HTTP fetch path (dormant in-sandbox): mechanics via injected session
+# --------------------------------------------------------------------------
+
+
+class _FakeResponse:
+    def __init__(self, status_code=200, text="", headers=None):
+        self.status_code = status_code
+        self.text = text
+        self.headers = headers or {}
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise ConnectionError(f"HTTP {self.status_code}")
+
+
+class _ScriptedSession:
+    """requests.Session stand-in: per-URL list of responses/exceptions,
+    consumed one per attempt — lets tests script transient failures."""
+
+    def __init__(self, script):
+        self.script = {u: list(attempts) for u, attempts in script.items()}
+        self.headers = {}
+        self.attempts = {}
+
+    def get(self, url, timeout=None):
+        self.attempts[url] = self.attempts.get(url, 0) + 1
+        step = self.script[url].pop(0)
+        if isinstance(step, Exception):
+            raise step
+        return step
+
+
+def test_http_page_source_retries_then_succeeds():
+    session = _ScriptedSession(
+        {
+            "https://x/ok": [_FakeResponse(200, "payload-ok")],
+            "https://x/flaky": [
+                ConnectionError("transient"),
+                _FakeResponse(503, ""),
+                _FakeResponse(200, "payload-after-retries"),
+            ],
+        }
+    )
+    fetch = ingest.http_page_source(
+        session_factory=lambda: session, retries=3, backoff=0.0
+    )
+    got = fetch(["https://x/ok", "https://x/flaky"])
+    assert got == [
+        ("https://x/ok", "payload-ok"),
+        ("https://x/flaky", "payload-after-retries"),
+    ]
+    assert session.attempts["https://x/flaky"] == 3
+    assert session.headers["User-Agent"] == "palegislature_spark"
+
+
+def test_http_page_source_raises_after_exhausted_retries():
+    session = _ScriptedSession(
+        {"https://x/dead": [ConnectionError("down")] * 2}
+    )
+    fetch = ingest.http_page_source(
+        session_factory=lambda: session, retries=2, backoff=0.0
+    )
+    with pytest.raises(ConnectionError):
+        fetch(["https://x/dead"])
+
+
+def test_http_page_source_through_fetch_pages(spark):
+    # End-to-end through the executor-side mapInPandas plumbing: the
+    # session factory pickles to executors and builds one session per
+    # partition batch.  Everything is defined inside the factory so
+    # cloudpickle ships it by value (test modules aren't importable on
+    # executors).
+    pages = dict(PAGES)
+
+    def session_factory():
+        class Resp:
+            def __init__(self, text):
+                self.status_code, self.text, self.headers = 200, text, {}
+
+            def raise_for_status(self):
+                pass
+
+        class Sess:
+            headers = {}
+
+            def get(self, url, timeout=None):
+                return Resp(pages[url])
+
+        return Sess()
+
+    fetch = ingest.http_page_source(session_factory=session_factory, retries=1)
+    urls = spark.createDataFrame([(u,) for u in sorted(PAGES)], "url string")
+    out = ingest.fetch_pages(urls, fetch)
+    got = {r["url"]: r["payload"] for r in out.collect()}
+    assert got == PAGES

@@ -45,7 +45,9 @@ def test_media_fingerprint_jvm_side(media):
 
 
 def test_image_features_arrow_batches(media):
-    out = mm.image_features(media)
+    # pin the fake codec: synthetic payloads are not real images,
+    # so this test must not pick up PIL where it exists
+    out = mm.image_features(media, codec=mm._FakeCodec())
     assert [f.name for f in out.schema.fields] == [
         "media_id", "mean_px", "checksum", "n_bytes",
     ]
@@ -71,7 +73,41 @@ def test_sample_frames_binary_slicing(media):
 
 def test_resize_is_explicit_stub(media):
     with pytest.raises(Exception) as exc_info:
-        mm.resize_images(media, 4, 4).collect()
+        mm.resize_images(media, 4, 4, codec=mm._FakeCodec()).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_codec_selection_matches_environment():
+    from palegislature_spark.operators import multimodal as mm
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    codec = mm._codec()
+    assert codec.is_stub is (not has_pil)
+
+
+def test_pil_codec_real_decode_and_resize():
+    # Runs only where Pillow exists (production clusters); the sandbox
+    # skips it but the code path ships ready.
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from palegislature_spark.operators.multimodal import _PilCodec
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 2), color=100).save(buf, format="PNG")
+    payload = buf.getvalue()
+    codec = _PilCodec()
+    stats = codec.decode_stats(payload, 4, 2)
+    assert abs(stats["mean_px"] - 100.0) < 1e-9
+    resized = codec.resize(payload, 2, 1)
+    with Image.open(io.BytesIO(resized)) as out:
+        assert out.size == (2, 1)
