@@ -43,6 +43,36 @@ HEADLINE = [
 ]
 
 
+def er_match_scale(spark, sf_dir: str, sf: float):
+    """ER vote-name matching + backfill over the BASELINE.md synthetic
+    snowflake shape, scaled by sf (sf0.1 -> 500 members x 25 years x
+    2 chambers x 40 rolls = 500k votes, ~12.5k distinct name blocks).
+    Tracks the signature capability (match_names.py pipeline) as a
+    perf row; correctness is covered by er_blocked_name_match's
+    driver oracle and tests/test_er_pipeline_ops.py."""
+    from palegislature_spark.er.scalegen import synthetic_vote_corpus
+    from palegislature_spark.er.vote_names import (
+        backfill_member_ids,
+        match_vote_names,
+        roll_years,
+    )
+
+    n_members = max(100, int(5000 * (sf if isinstance(sf, float) else 0.1)))
+    c = synthetic_vote_corpus(spark, n_members=n_members)
+    matches = match_vote_names(
+        c["votes"], c["roll_calls"], c["session_days"], c["members"], c["service"]
+    )
+    return backfill_member_ids(
+        c["votes"], matches, roll_years(c["roll_calls"], c["session_days"])
+    )
+
+
+# Bench-only entries (not registry queries: inputs are generated, so
+# there is no parquet-backed DuckDB oracle; correctness of the same
+# operators is driver-checked via their registry siblings).
+EXTRA = {"er_match_scale": er_match_scale}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from palegislature_spark.queries import REGISTRY
@@ -68,6 +98,13 @@ def main() -> None:
         fn = REGISTRY[name].fn
         df = fn(spark, sf_dir)
         t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    for name, fn in EXTRA.items():
+        # timer wraps the builder too: match_vote_names materializes
+        # its fixpoint via localCheckpoint during plan construction
+        t0 = time.time()
+        df = fn(spark, sf_dir, sf)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 

@@ -251,3 +251,32 @@ def test_name_violations_gate(spark):
     with _pytest.raises(ValueError, match="identity violations"):
         validate.assert_no_violations(v, "member list")
     validate.assert_no_violations(v.limit(0))
+
+
+def test_synthetic_corpus_resolves_completely(spark):
+    # The bench generator (er/scalegen.py): every "LAST, FIRST" name
+    # resolves in pass 1; bare-surname voters (every 50th member, here
+    # member 0) resolve in the pass-2 substring fixpoint once their
+    # block-mates are claimed; backfill leaves no NULL member_id.
+    from palegislature_spark.er.scalegen import synthetic_vote_corpus
+    from palegislature_spark.er.vote_names import (
+        backfill_member_ids,
+        match_vote_names,
+        roll_years,
+    )
+
+    c = synthetic_vote_corpus(spark, n_members=20, n_years=2, rolls_per_group=3)
+    assert c["votes"].count() == 20 * 2 * 3
+    m = match_vote_names(
+        c["votes"], c["roll_calls"], c["session_days"], c["members"], c["service"]
+    ).collect()
+    # one resolution per (member, year): 20 members x 2 years
+    assert len(m) == 40
+    assert {r["method"] for r in m} == {"block", "substring"}
+    assert sum(1 for r in m if r["method"] == "substring") == 2  # member 0, both years
+    bf = backfill_member_ids(
+        c["votes"],
+        spark.createDataFrame(m),
+        roll_years(c["roll_calls"], c["session_days"]),
+    )
+    assert bf.filter("member_id IS NULL").count() == 0

@@ -15,7 +15,15 @@ the patterns that do not survive a 100 TB / 1000-executor scale-up:
 - WholeStageCodegen span count — reported; 0 spans on a relational
   query means interpreted evaluation somewhere hot.
 
+Besides the registry queries, the audit drives the PIPELINE jobs
+(the five crawl stages over the stored-HTML lifecycle fixture, ER
+vote-name match + backfill, the dump matrix builders) and audits
+every pre-action DataFrame they build: crawl writes go through a
+capture-and-write ``upsert_parquet`` wrapper so the exact plan each
+stage is about to materialize is what gets inspected.
+
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
+       (pipeline section runs whenever no explicit query filter is given)
 Exit 1 if any hard flag fires outside the allowlist.
 """
 
@@ -44,7 +52,107 @@ ALLOW_NESTED_LOOP = {
     "ingest_member_service",
 }
 
+# Pipeline DataFrames whose only NLJ is a 1-row scalar attach
+# (crossJoin(broadcast(<1-row aggregate>)) — max-stamp / next-id), the
+# standard distributed pattern, not a data-scale cartesian.
+ALLOW_NESTED_LOOP_PIPELINE = {
+    "crawl2:session_days",  # crossJoin(broadcast(max(fetched_at))) day marker
+    "crawl4:members",  # new-member id allocator crossJoin(broadcast(max(id)))
+    "crawl4:service",  # downstream of the same allocator via member_map
+}
+
 HARD = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def pipeline_plans(spark) -> list[tuple[str, object]]:
+    """Build every pipeline job's pre-action DataFrame.
+
+    Crawl stages run for real into a temp store (stages read each
+    other's tables), with ``upsert_parquet`` wrapped to capture each
+    DataFrame as handed to the sink.  ER and dump jobs are pure
+    builders, captured directly over the snowflake fixture.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from palegislature_spark.er.vote_names import (
+        backfill_member_ids,
+        match_vote_names,
+        roll_years,
+    )
+    from palegislature_spark.pipelines import crawl, dump
+    from palegislature_spark.pipelines.ingest import stored_page_source
+    from palegislature_spark.queries import er_fixtures
+    from tests.test_crawl_job import PAGES, _url_of_day, _url_of_roll
+
+    captured: list[tuple[str, object]] = []
+    stage = ["crawl1"]
+    real_upsert = crawl.upsert_parquet
+
+    def capturing_upsert(spark_, path, df, keys, **kw):
+        captured.append((f"{stage[0]}:{path.rsplit('/', 1)[-1]}", df))
+        return real_upsert(spark_, path, df, keys, **kw)
+
+    source = stored_page_source(PAGES)
+    root = tempfile.mkdtemp(prefix="plan_audit_store_")
+    crawl.upsert_parquet = capturing_upsert
+    try:
+        session_urls = spark.createDataFrame(
+            [("https://x/SessionDays.cfm?Chamber=H",)], "url string"
+        )
+        crawl.run_sessions_stage(spark, root, session_urls, source)
+        stage[0] = "crawl2"
+        crawl.run_days_stage(spark, root, source, _url_of_day)
+        stage[0] = "crawl3"
+        crawl.run_rolls_stage(spark, root, source, _url_of_roll)
+        stage[0] = "crawl4"
+        member_urls = spark.createDataFrame(
+            [("https://x/mbrList.cfm?body=H&SessYear=2019",)], "url string"
+        )
+        crawl.run_member_stage(spark, root, member_urls, source, chamber=1)
+        stage[0] = "crawl5"
+        bio_urls = spark.createDataFrame(
+            [("https://x/bio.cfm?member_id=1&chamber=1",)], "url string"
+        )
+        crawl.run_bio_stage(spark, root, bio_urls, source)
+    finally:
+        crawl.upsert_parquet = real_upsert
+
+    snow = er_fixtures.snowflake(spark)
+    matches = match_vote_names(
+        snow["votes"],
+        snow["roll_calls"],
+        snow["session_days"],
+        snow["members"],
+        snow["service"],
+    )
+    captured.append(("er:match_vote_names", matches))
+    captured.append(
+        (
+            "er:backfill_member_ids",
+            backfill_member_ids(
+                snow["votes"],
+                matches,
+                roll_years(snow["roll_calls"], snow["session_days"]),
+            ),
+        )
+    )
+
+    ordered = dump.ordered_rolls(
+        snow["sessions"], snow["session_days"], snow["roll_calls"]
+    )
+    columns = dump.matrix_columns(snow["members"], snow["service"])
+    captured.append(("dump:ordered_rolls", ordered))
+    captured.append(("dump:matrix_columns", columns))
+    votes_filled = backfill_member_ids(
+        snow["votes"], matches, roll_years(snow["roll_calls"], snow["session_days"])
+    )
+    matrix, _cols = dump.vote_matrix(votes_filled, ordered, columns, 2019, 1)
+    captured.append(("dump:vote_matrix", matrix))
+    # silence lint: F imported for parity with stage callables
+    _ = F.lit(1)
+    return captured
 
 
 def audit_plan(plan: str) -> dict:
@@ -57,6 +165,42 @@ def audit_plan(plan: str) -> dict:
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
     }
+
+
+def audit_one(name: str, df, allow: set[str], allow_note: str) -> bool:
+    """Audit one DataFrame's physical plan; print a row; True = fail."""
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # codegen *(N) markers only appear in the simple-mode string
+        simple = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"{name:32s} ERROR {type(e).__name__}: {e}")
+        return True
+    a = audit_plan(plan)
+    a["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", simple)))
+    flags = []
+    if a["cartesian"]:
+        flags.append("CARTESIAN")
+    if a["bnlj"]:
+        flags.append("BNLJ")
+    if a["py_row_udf"]:
+        flags.append("PY_ROW_UDF")
+    if a["py_arrow"]:
+        flags.append("arrow-udf")
+    hard = [f for f in flags if f.isupper()]
+    failed = bool(hard) and name not in allow
+    status = ",".join(flags) if flags else "-"
+    if name in allow and hard:
+        status += f" (allowed: {allow_note})"
+    print(
+        f"{name:32s} {a['exchanges']:4d} {a['codegen_spans']:4d} "
+        f"{a['pushed_filters']:4d}  {status}"
+    )
+    return failed
 
 
 def main() -> int:
@@ -74,38 +218,20 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            # codegen *(N) markers only appear in the simple-mode string
-            simple = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "simple"
-            )
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:32s} ERROR {type(e).__name__}: {e}")
             continue
-        a = audit_plan(plan)
-        a["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", simple)))
-        flags = []
-        if a["cartesian"]:
-            flags.append("CARTESIAN")
-        if a["bnlj"]:
-            flags.append("BNLJ")
-        if a["py_row_udf"]:
-            flags.append("PY_ROW_UDF")
-        if a["py_arrow"]:
-            flags.append("arrow-udf")
-        hard = [f for f in flags if f.isupper()]
-        if hard and name not in ALLOW_NESTED_LOOP:
+        if audit_one(name, df, ALLOW_NESTED_LOOP, "exact oracle"):
             failures.append(name)
-        status = ",".join(flags) if flags else "-"
-        if name in ALLOW_NESTED_LOOP and hard:
-            status += " (allowed: exact oracle)"
-        print(
-            f"{name:32s} {a['exchanges']:4d} {a['codegen_spans']:4d} "
-            f"{a['pushed_filters']:4d}  {status}"
-        )
+
+    if not only:
+        print(f"\n{'pipeline job':32s} {'xchg':>4s} {'wscg':>4s} {'push':>4s}  flags")
+        for name, df in pipeline_plans(spark):
+            if audit_one(
+                name, df, ALLOW_NESTED_LOOP_PIPELINE, "1-row scalar attach"
+            ):
+                failures.append(name)
 
     if failures:
         print(f"\nFLAGGED: {sorted(failures)}")
