@@ -302,9 +302,9 @@ def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        count(*)                                                  AS n_orders,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)      AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)      AS n_done,
-       ((10000 * sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)) // count(*)) / 100.0 AS pct_open
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+       CAST(((10000 * sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)) // count(*)) / 100.0 AS DOUBLE) AS pct_open
 FROM orders GROUP BY o_orderpriority
 """,
 )

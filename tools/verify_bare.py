@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from tools.verify_local import normalize, values_equal  # noqa: E402
+from tools.verify_local import dtype_kind_mismatch, normalize, values_equal  # noqa: E402
 
 
 def main() -> int:
@@ -64,9 +64,16 @@ def main() -> int:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_pdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        dt_bad = dtype_kind_mismatch(sdf, d_pdf)
+        if dt_bad:
+            failures.append(name)
+            print(f"FAIL  {name}: driver-lens dtype mismatch: {'; '.join(dt_bad)}")
             continue
 
         sc, sr = normalize(s_rows, s_cols)

@@ -29,6 +29,35 @@ def normalize(rows: list[tuple], cols: list[str]):
     return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
+def dtype_kind_mismatch(sdf, pdf) -> list[str]:
+    """Driver-lens dtype probe: the driver materializes the DuckDB oracle
+    through pandas, where HUGEINT (any integer ``sum()``) exports as
+    float64 while Spark emits int64 — numerically equal values that
+    hash differently (``2978`` vs ``2978.0``).  ``fetchall()`` hides
+    this (HUGEINT -> Python int), which is how ``conditional_agg``
+    stayed locally green through three red driver rounds.  Compare the
+    pandas dtype *kind* per column against the Spark schema; flag any
+    int-vs-float disagreement on a null-free column (nullable int
+    columns legitimately export as float64, so nulls are excused).
+    """
+    spark_kind = {}
+    for f in sdf.schema.fields:
+        t = f.dataType.typeName()
+        if t in ("byte", "short", "integer", "long"):
+            spark_kind[f.name] = "i"
+        elif t in ("float", "double"):
+            spark_kind[f.name] = "f"
+    bad = []
+    for col in pdf.columns:
+        sk = spark_kind.get(col)
+        dk = pdf[col].dtype.kind
+        if sk is None or dk not in "iuf":
+            continue
+        if (sk == "i") != (dk in "iu") and not pdf[col].isna().any():
+            bad.append(f"{col}: spark={'int' if sk == 'i' else 'float'} duckdb-pandas={pdf[col].dtype}")
+    return bad
+
+
 def values_equal(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
@@ -81,9 +110,16 @@ def main() -> int:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_pdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        dt_bad = dtype_kind_mismatch(sdf, d_pdf)
+        if dt_bad:
+            failures.append(name)
+            print(f"FAIL  {name}: driver-lens dtype mismatch: {'; '.join(dt_bad)}")
             continue
 
         sc, sr = normalize(s_rows, s_cols)
