@@ -93,20 +93,33 @@ def main() -> None:
 
     load(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
 
+    # min-of-REPS per query: BENCH_r03 recorded 3-4.5x phantom
+    # regressions on untouched code from co-resident load spikes; a
+    # single-shot timer cannot police a 2x gate.  The min is the
+    # least-load-contaminated observation; the max-min spread is kept
+    # as a side field so a noisy run is visible in the artifact.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+
+    def timed(build, prebuilt=None):
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = prebuilt if prebuilt is not None else build()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        return round(min(samples), 3), round(max(samples) - min(samples), 3)
+
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        df = fn(spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # plan built once outside the timer (write-only timing, as in
+        # every prior BENCH artifact, so numbers stay comparable)
+        timings[name], spreads[name] = timed(None, prebuilt=fn(spark, sf_dir))
     for name, fn in EXTRA.items():
         # timer wraps the builder too: match_vote_names materializes
         # its fixpoint via localCheckpoint during plan construction
-        t0 = time.time()
-        df = fn(spark, sf_dir, sf)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name], spreads[name] = timed(lambda: fn(spark, sf_dir, sf))
 
     total = round(sum(timings.values()), 3)
     # loadavg at finish: round-over-round deltas are only attributable
@@ -120,6 +133,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "reps": reps,
                 "sf": sf,
                 "loadavg": [la1, la5, la15],
             }
