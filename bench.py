@@ -26,7 +26,7 @@ HEADLINE = [
     "q5_region_revenue",
     "pivot_status",
     "interval_join_fast_ship",
-    "window_running_total",
+    "analytic_running_total",
     "islands_user_days",
     "asof_click_purchase",
     "session_windows",
@@ -36,7 +36,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_ivf",
     "fingerprint",
-    "window_rank_funcs",
+    "analytic_rank_funcs",
     "cube_order_stats",
     "props_json_extract",
     "winnow_fingerprint",

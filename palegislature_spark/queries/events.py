@@ -244,7 +244,7 @@ def dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "value_transitions",
+    "cdc_value_transitions",
     covers="streaming §2.10 custom stateful operator (applyInPandasWithState "
     "CDC-style change detection; batch-checked via its lag-window "
     "equivalent — the real-stream form with cross-micro-batch state and "

@@ -574,7 +574,7 @@ def window_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_total",
+    "analytic_running_total",
     covers="W1,W3 + analytic extension (SURVEY §2.5: full window surface)",
     oracle="""
 SELECT o_custkey, o_orderkey,

@@ -13,7 +13,7 @@ from palegislature_spark.queries.registry import register
 
 
 @register(
-    "window_rank_funcs",
+    "analytic_rank_funcs",
     covers="W5 + ranking extension (SURVEY §2.5: rank/dense_rank/ntile surface)",
     oracle="""
 SELECT o_custkey, o_orderkey,

@@ -137,7 +137,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "vector_stats",
+    "agg_vector_stats",
     covers="similarity-search extension: vector norms/aggregates (array math, JVM-side)",
     oracle="""
 SELECT label,

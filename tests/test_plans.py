@@ -38,7 +38,7 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["q1_pricing_summary", "q3_top_orders", "window_running_total", "dedup_exact"],
+    ["q1_pricing_summary", "q3_top_orders", "analytic_running_total", "dedup_exact"],
 )
 def test_no_python_in_relational_plans(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
