@@ -121,6 +121,15 @@ def match_vote_names(
         .localCheckpoint()
     )
 
+    # Residue accounting short-circuits the fixpoint: a loop trip costs
+    # a join + two groupBys + localCheckpoint + count (~6 tiny jobs,
+    # ~2s at the 500k-vote bench scale), so avoid trips that provably
+    # find nothing.  Both inputs are already materialized by
+    # localCheckpoint, so these counts are metadata-cheap.
+    n_resid = unmatched_names.count()
+    if n_resid == 0 or unmatched_members.limit(1).count() == 0:
+        return pass1
+
     accepted = None
     for _ in range(max_fixpoint_iterations):
         c = unmatched_names.join(
@@ -138,9 +147,16 @@ def match_vote_names(
         new = per_member.select(
             "year", "chamber", "name", "member_id", F.lit("substring").alias("method")
         ).localCheckpoint()
-        if new.limit(1).count() == 0:
+        n_new = new.count()
+        if n_new == 0:
             break
         accepted = new if accepted is None else accepted.union(new)
+        n_resid -= n_new
+        if n_resid == 0:
+            # every residual name resolved — the next trip can only
+            # come back empty, so skip it and the two anti-join
+            # checkpoints it would need as input
+            break
         unmatched_names = unmatched_names.join(
             new.select("year", "chamber", "name"), ["year", "chamber", "name"], "left_anti"
         ).localCheckpoint()
