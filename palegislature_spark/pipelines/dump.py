@@ -136,7 +136,13 @@ def vote_matrix(
         .pivot("member_id", member_ids)
         .agg(F.first("letter"))
         .orderBy(
-            "day_date", F.col("ord_stamp").asc_nulls_first(), F.col("ord_id")
+            # roll_id last: the reference's stable Python sort keeps
+            # stamp ties in SQLite insertion (id) order (dump.py:59);
+            # real files have duplicate stamps within a day (32 pairs
+            # in 2019/House.csv), so without it tie order is
+            # nondeterministic
+            "day_date", F.col("ord_stamp").asc_nulls_first(), F.col("ord_id"),
+            F.col("roll_id"),
         )
     )
     return pivoted, cols

@@ -6,6 +6,7 @@ from palegislature_spark.sources.merge import (
     overwrite_updates,
     upsert_parquet,
 )
+from palegislature_spark.sources.matrix_load import load_matrix_csv
 from palegislature_spark.sources.rules import (
     load_edits,
     member_rename_rules,
@@ -16,6 +17,7 @@ from palegislature_spark.sources.queue import stale_items, work_queue
 
 __all__ = [
     "load_edits",
+    "load_matrix_csv",
     "member_rename_rules",
     "merge_by_key",
     "overwrite_updates",

@@ -180,3 +180,29 @@ def test_work_queue_and_staleness(spark):
         sources.stale_items(df, dt.timedelta(days=30), ts(2020, 6, 15)), "id"
     )
     assert stale == [(1,), (2,), (3,)]
+
+
+REFERENCE_CSV = pathlib.Path("/root/reference/vote_data/2019/House.csv")
+
+
+@pytest.mark.skipif(not REFERENCE_CSV.exists(), reason="reference corpus absent")
+def test_real_corpus_matrix_roundtrip(spark, tmp_path):
+    """Fidelity gate against the real published corpus: parse one real
+    reference CSV back into snowflake rows, re-export it, and require
+    byte identity.  Unlike the self-generated golden fixture, this
+    catches a shared misunderstanding of the reference format (column
+    order, stamp-fallback row order, tie order of duplicate stamps —
+    2019/House.csv has 32 duplicate (day, stamp) pairs — blank-vs-X
+    cells, quoting, CRLF line endings)."""
+    snow = sources.load_matrix_csv(spark, str(REFERENCE_CSV), year=2019, chamber=1)
+    paths = pipelines.export_matrices(
+        snow["votes"],
+        snow["roll_calls"],
+        snow["session_days"],
+        snow["sessions"],
+        snow["members"],
+        snow["service"],
+        str(tmp_path),
+    )
+    assert [p.endswith("2019/House.csv") for p in paths] == [True]
+    assert pathlib.Path(paths[0]).read_bytes() == REFERENCE_CSV.read_bytes()
