@@ -387,17 +387,24 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 8,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index: (centroids, assignments).
 
-    Centroids are ``n_lists`` corpus vectors picked deterministically
-    (smallest shared multiplicative hash of the id — sampled-point
-    centroids, the IVF-flat construction without k-means iterations;
-    swap in k-means refinement later without changing consumers).  The
-    hash is plain integer arithmetic so the DuckDB oracle replays the
-    exact same centroid choice.  Every vector is assigned to its
-    max-cosine centroid via a broadcast of the tiny centroid set —
-    one linear pass, no shuffle beyond the final grouping.
+    Starting centroids are ``n_lists`` corpus vectors picked
+    deterministically (smallest shared multiplicative hash of the id —
+    the IVF-flat sampled-point construction).  ``refine_iters`` Lloyd
+    iterations then move each centroid to the mean of its assigned
+    vectors and re-assign — the k-means refinement real IVF users
+    expect on skewed corpora, where sampled points cluster in the
+    dense region.  The mean is a SEQUENTIAL fold in id order (array
+    sort + left fold), not a parallel sum, so it is bit-reproducible
+    and the DuckDB oracle replays the identical iteration with
+    ``list(v ORDER BY id)`` + ``list_reduce``.  Every assignment pass
+    broadcasts the tiny centroid set — linear passes, no shuffle
+    beyond the final grouping; the per-iteration mean shuffles only
+    (list_id, vector)-sized data.  Lists emptied by a re-assignment
+    drop out, matching the SQL replay's GROUP BY.
     """
     ranked = embeddings.select(
         F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
@@ -416,19 +423,46 @@ def ivf_assignments(
     vecs = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
-    scored = vecs.join(F.broadcast(centroids)).select(
-        "__id",
-        "__v",
-        "list_id",
-        (_dot(F.col("__v"), F.col("centroid")) / (F.col("__n") * F.col("__cn"))).alias(
-            "__cos"
-        ),
-    )
-    w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(), "list_id")
-    assignments = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter("__r = 1")
-        .select(F.col("__id").alias(id_col), "list_id", F.col("__v").alias("__vec"))
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = vecs.join(F.broadcast(cents)).select(
+            "__id",
+            "__v",
+            "list_id",
+            (
+                _dot(F.col("__v"), F.col("centroid"))
+                / (F.col("__n") * F.col("__cn"))
+            ).alias("__cos"),
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(), "list_id")
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter("__r = 1")
+            .select("__id", "list_id", "__v")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(refine_iters):
+        lists = assigned.groupBy("list_id").agg(
+            F.array_sort(F.collect_list(F.struct("__id", "__v"))).alias("__svs"),
+            F.count(F.lit(1)).cast("double").alias("__cnt"),
+        )
+        vs = F.transform(F.col("__svs"), lambda s: s["__v"])
+        zero = F.transform(F.element_at(vs, 1), lambda x: F.lit(0.0))
+        summed = F.aggregate(
+            vs, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+        )
+        centroids = (
+            lists.select(
+                "list_id",
+                F.transform(summed, lambda x: x / F.col("__cnt")).alias("centroid"),
+            )
+            .withColumn("__cn", _norm(F.col("centroid")))
+        )
+        assigned = assign(centroids)
+
+    assignments = assigned.select(
+        F.col("__id").alias(id_col), "list_id", F.col("__v").alias("__vec")
     )
     return centroids, assignments
 
@@ -441,6 +475,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_lists: int = 8,
     n_probe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: search only the ``n_probe``
     inverted lists whose centroids are closest to each query.
@@ -450,7 +485,9 @@ def ivf_topk(
     candidate join shuffles on list_id, so per-query work is
     ~ corpus * n_probe / n_lists.
     """
-    centroids, assignments = ivf_assignments(embeddings, id_col, vec_col, n_lists)
+    centroids, assignments = ivf_assignments(
+        embeddings, id_col, vec_col, n_lists, refine_iters
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))

@@ -193,17 +193,38 @@ assign AS (
   FROM emb e CROSS JOIN centroids c
 ),
 assignments AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
+-- one Lloyd iteration, replayed exactly: the Spark side computes each
+-- list mean as a SEQUENTIAL left fold in vec_id order, which
+-- list_reduce over list(v ORDER BY vec_id) reproduces bit-for-bit
+lists AS (
+  SELECT list_id, list(v ORDER BY vec_id) AS vs, CAST(count(*) AS DOUBLE) AS n
+  FROM assignments GROUP BY list_id
+),
+refined AS (
+  SELECT list_id,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+           x -> x / n) AS cvec
+  FROM lists
+),
+assign2 AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN refined c
+),
+assignments2 AS (SELECT vec_id, v, list_id FROM assign2 WHERE r = 1),
 qprobe AS (
   SELECT e.vec_id AS query_id, e.v AS qv, c.list_id,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
-  FROM emb e CROSS JOIN centroids c WHERE e.vec_id < 20
+  FROM emb e CROSS JOIN refined c WHERE e.vec_id < 20
 ),
 probes AS (SELECT query_id, qv, list_id FROM qprobe WHERE r <= 2),
 pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          list_cosine_similarity(p.qv, a.v) AS cos
-  FROM probes p JOIN assignments a USING (list_id)
+  FROM probes p JOIN assignments2 a USING (list_id)
   WHERE p.query_id <> a.vec_id
 ),
 ranked AS (
@@ -217,14 +238,16 @@ FROM ranked WHERE rank <= 5
 """,
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF lists (sampled-point centroids, 2 probes).
+    """Approximate top-5 via IVF lists (1 Lloyd iteration, 2 probes).
 
     Centroid pick, assignment, probing, and ranking are all
     deterministic integer/double arithmetic, so the DuckDB oracle
     replays the identical index — exact-checkable approximation."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    topk = similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2)
+    topk = similarity.ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=2, refine_iters=1
+    )
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

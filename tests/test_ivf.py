@@ -51,3 +51,43 @@ def test_ivf_deterministic(clustered):
     a = sorted(map(tuple, similarity.ivf_topk(clustered, clustered, k=1).collect()))
     b = sorted(map(tuple, similarity.ivf_topk(clustered, clustered, k=1).collect()))
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One dense cluster (most sampled-point centroids land there) +
+    three sparse clusters the refinement must move centroids toward."""
+    pts = []
+    for i in range(60):  # dense cluster near angle 0
+        pts.append((i, [math.cos(i * 0.004), math.sin(i * 0.004)]))
+    for c in range(3):  # sparse clusters at angles 1.5/3.0/4.5
+        for j in range(6):
+            i = 60 + c * 6 + j
+            a = 1.5 * (c + 1) + j * 0.004
+            pts.append((i, [math.cos(a), math.sin(a)]))
+    return spark.createDataFrame(pts, SCHEMA)
+
+
+def _top1_recall(corpus, **kw):
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.ivf_topk(corpus, corpus, k=1, n_lists=4, n_probe=1, **kw).collect()
+    }
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(corpus, corpus, k=1).collect()
+    }
+    return sum(1 for q, n in brute.items() if ivf.get(q) == n) / len(brute)
+
+
+def test_ivf_kmeans_refinement_improves_skewed_recall(skewed):
+    base = _top1_recall(skewed)
+    refined = _top1_recall(skewed, refine_iters=2)
+    assert refined >= base
+    assert refined >= 0.9  # Lloyd moves centroids out of the dense region
+
+
+def test_ivf_refined_deterministic(skewed):
+    a = sorted(map(tuple, similarity.ivf_topk(skewed, skewed, k=1, refine_iters=2).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(skewed, skewed, k=1, refine_iters=2).collect()))
+    assert a == b
