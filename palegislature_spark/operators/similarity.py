@@ -172,6 +172,7 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    n_grid_dims: int = 1,
     n_filter_projections: int = 3,
     seed: int = 42,
     method: str = "auto",
@@ -182,10 +183,12 @@ def near_dup_pairs(
 
     Two regimes, picked by ``method='auto'``:
 
-    - ``exact`` (threshold < 0.8): lossless single-projection
-      bucketing — zero-miss, oracle-checkable, but candidate volume is
-      delta-driven and a loose threshold means most pairs qualify-ish,
-      so the work is inherently ~O(qualifying pairs).
+    - ``exact`` (threshold < 0.8): lossless grid-projection bucketing
+      (``near_dup_candidates_exact`` — ``n_grid_dims`` projections
+      compose the bucket key, selectivity compounding per dim) —
+      zero-miss, oracle-checkable, but candidate volume is delta-
+      driven and a loose threshold means most pairs qualify-ish, so
+      the work is inherently ~O(qualifying pairs).
     - ``lsh`` (threshold >= 0.8): banded sign-LSH candidates + exact
       cosine verify.  At tight thresholds the RESULT is small but the
       lossless bucket (width delta = sqrt(2-2t), still ~2.5x the
@@ -195,24 +198,15 @@ def near_dup_pairs(
       probability ((1-p^r)^b, ~0.4% at t=0.9) for sub-quadratic
       candidate volume.  This is the 100 TB path for near-dup mining.
 
-    Guaranteed-lossless bucketing: for unit vectors, cosine(a, b) >=
-    t  ==>  ||a_hat - b_hat|| <= delta = sqrt(2 - 2t), and any unit-norm
-    projection p satisfies |p.a_hat - p.b_hat| <= delta (Cauchy-
-    Schwarz).  So bucketing one deterministic Rademacher projection at
-    width delta and joining each bucket with itself and its upper
-    neighbor (an EQUI-join on bucket id — no CartesianProduct in the
-    plan) can never drop a qualifying pair: miss probability is
-    exactly zero, unlike sign-bit LSH banding.  Additional projections
-    become cheap scalar prefilters (|dp_i| <= delta) before the exact
-    dot-product verify.
-
     Exact-path scale: one linear pass computes norms + projections;
-    the candidate join shuffles on the bucket id; degenerate hot
-    buckets are split by AQE skew handling, and extra projections are
-    cheap scalar prefilters before the dot-product verify.
-    Projections are xxhash64-seeded sign vectors — deterministic, no
-    stored model, reproducible across runs (rand() would break retry
-    determinism).
+    the candidate join is an EQUI-join on the grid cell (no
+    CartesianProduct in the plan — plan-asserted); degenerate hot
+    cells are split by AQE skew handling, and the non-key projections
+    are cheap scalar prefilters before the dot-product verify.  The
+    zero-miss guarantee and the pair-once probing scheme are
+    documented on ``near_dup_candidates_exact``.  Projections are
+    xxhash64-seeded sign vectors — deterministic, no stored model,
+    reproducible across runs (rand() would break retry determinism).
     """
     if method not in ("auto", "exact", "lsh"):
         raise ValueError(f"unknown near_dup_pairs method: {method}")
@@ -221,8 +215,64 @@ def near_dup_pairs(
             df, id_col, vec_col, threshold, n_bands, band_bits
         )
 
+    cand = near_dup_candidates_exact(
+        df, id_col, vec_col, threshold, n_grid_dims, n_filter_projections, seed
+    )
+    verified = cand.select(
+        F.least("__id_1", "__id_2").alias("id_1"),
+        F.greatest("__id_1", "__id_2").alias("id_2"),
+        (
+            _dot(F.col("__v_1"), F.col("__v_2")) / (F.col("__n_1") * F.col("__n_2"))
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    return verified.dropDuplicates(["id_1", "id_2"])
+
+
+def near_dup_candidates_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_grid_dims: int = 1,
+    n_filter_projections: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Zero-miss candidate pairs for the exact near-dup path.
+
+    The bucket key is a k-dim GRID of Rademacher projections, each
+    floor-bucketed at delta = sqrt(2 - 2t): a qualifying pair differs
+    by <= delta in every projection (Cauchy-Schwarz on unit vectors),
+    so its cell coordinates differ by at most 1 per dimension and
+    probing the neighbor cells can never drop it.  Each grid dim
+    moves one projection's pruning from the post-join prefilter into
+    the shuffle key, and key selectivity compounds per dim.
+
+    Measured geometry (what the grid can and cannot buy): unit-vector
+    projections concentrate in ~±4/sqrt(dim), so at dim=64 /
+    t=0.45 delta (~1.05) exceeds the entire projection spread and NO
+    lossless 1-Lipschitz scheme prunes anything — 100% of pairs share
+    a cell on both an isotropic 10k corpus and the driver's
+    embeddings table, for 1, 2 and 3 grid dims alike (the 2^k-cell
+    composition hypothesized in the r3 review compounds 100%^k).
+    On low-dim or strongly anisotropic data the compounding is real:
+    dim=4 / t=0.7 join cardinality falls 71% -> 48% -> 32% of all
+    pairs for 1 -> 2 -> 3 dims.  The default therefore stays 1 dim —
+    at high dim extra dims only multiply probe-side explode volume
+    ((3^k - 1) / 2 + 1 cells) with zero selectivity — and tight-
+    threshold mining belongs to the banded-LSH path, which prunes by
+    spreading keys, not by the Lipschitz bound.
+
+    Pair-once probing generalizes the 1-dim {own, lower} trick: the
+    probe side explodes over the zero offset plus every offset in
+    {-1, 0, 1}^k whose first nonzero component is +1 (the canonical
+    half, (3^k - 1) / 2 + 1 cells); role symmetry of the self-join
+    covers the mirrored half, and same-cell pairs are ordered by id.
+    Remaining projections stay scalar prefilters after the join.
+    """
+    import itertools
     import math
 
+    k = max(1, n_grid_dims)
     delta = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
 
     vec = _as_double(vec_col)
@@ -243,41 +293,52 @@ def near_dup_pairs(
             F.col("__n") * F.sqrt(F.size("__v"))
         )
 
-    projs = [projection(i).alias(f"__p{i}") for i in range(1 + n_filter_projections)]
-    scored = base.select("__id", "__v", "__n", *projs).withColumn(
-        "__bucket", F.floor(F.col("__p0") / F.lit(delta)).cast("long")
-    )
+    n_proj = k + n_filter_projections
+    projs = [projection(i).alias(f"__p{i}") for i in range(n_proj)]
+    cells = [
+        F.floor(F.col(f"__p{i}") / F.lit(delta)).cast("long").alias(f"__c{i}")
+        for i in range(k)
+    ]
+    scored = base.select("__id", "__v", "__n", *projs).select("*", *cells)
 
+    keys = [f"__c{i}" for i in range(k)]
+    offsets = [(0,) * k] + [
+        d
+        for d in itertools.product((-1, 0, 1), repeat=k)
+        if any(d) and next(x for x in d if x != 0) == 1
+    ]
     a = scored.select(
-        *[F.col(c).alias(f"{c}_1") for c in scored.columns if c != "__bucket"],
-        "__bucket",
+        *[F.col(c).alias(f"{c}_1") for c in scored.columns if c not in keys],
+        *keys,
     )
-    # Right side probes its own bucket and the one below, so every
-    # cross-bucket pair is generated exactly once (via the lower
-    # bucket) and same-bucket pairs once after the id ordering filter.
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    *[(F.col(f"__c{i}") + F.lit(d[i])).alias(f"c{i}") for i in range(k)],
+                    F.lit(all(x == 0 for x in d)).alias("self"),
+                )
+                for d in offsets
+            ]
+        )
+    )
     b = scored.select(
-        *[F.col(c).alias(f"{c}_2") for c in scored.columns if c != "__bucket"],
-        F.explode(
-            F.array(F.col("__bucket"), F.col("__bucket") - 1)
-        ).alias("__bucket"),
-        F.col("__bucket").alias("__bucket_2"),
+        *[F.col(c).alias(f"{c}_2") for c in scored.columns if c not in keys],
+        probe.alias("__probe"),
+    ).select(
+        "*",
+        *[F.col(f"__probe.c{i}").alias(f"__c{i}") for i in range(k)],
+        F.col("__probe.self").alias("__self"),
     )
-    cand = a.join(b, "__bucket").filter(
-        ((F.col("__bucket") == F.col("__bucket_2")) & (F.col("__id_1") < F.col("__id_2")))
-        | (F.col("__bucket") != F.col("__bucket_2"))
+    cand = a.join(b, keys).filter(
+        (F.col("__self") & (F.col("__id_1") < F.col("__id_2"))) | ~F.col("__self")
     )
-    for i in range(1, 1 + n_filter_projections):
+    # every projection (grid dims included) is a valid scalar prefilter
+    for i in range(n_proj):
         cand = cand.filter(
             F.abs(F.col(f"__p{i}_1") - F.col(f"__p{i}_2")) <= F.lit(delta)
         )
-    verified = cand.select(
-        F.least("__id_1", "__id_2").alias("id_1"),
-        F.greatest("__id_1", "__id_2").alias("id_2"),
-        (
-            _dot(F.col("__v_1"), F.col("__v_2")) / (F.col("__n_1") * F.col("__n_2"))
-        ).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
-    return verified.dropDuplicates(["id_1", "id_2"])
+    return cand
 
 
 def brute_force_topk(

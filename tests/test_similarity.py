@@ -233,3 +233,72 @@ def test_near_dup_lsh_subquadratic_candidates_10k(spark):
     }
     found = sum(1 for p in planted if p in got)
     assert found >= int(0.95 * n_planted), f"planted recall {found}/{n_planted}"
+
+
+def test_grid_candidates_zero_miss_low_dim(spark):
+    # dim-4 corpus: projection spread ~ delta, so qualifying pairs DO
+    # straddle cell boundaries in several grid dims — exercises the
+    # canonical-half probe scheme, which must still lose nothing.
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(7)
+    n, t = 1500, 0.7
+    vecs = rng.standard_normal((n, 4))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, vecs[i].astype("float32").tolist()) for i in range(n)], schema
+    )
+    v32 = vecs.astype("float32").astype("float64")
+    normed = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    want = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if cos[i, j] >= t
+    }
+    assert len(want) > 100  # the fixture actually has straddling pairs
+    for k in (2, 3):
+        got = {
+            (r["id_1"], r["id_2"])
+            for r in similarity.near_dup_pairs(
+                df, threshold=t, method="exact", n_grid_dims=k,
+                n_filter_projections=4 - k,
+            ).collect()
+        }
+        assert want <= got or want == got, (
+            f"grid={k} dropped {len(want - got)} qualifying pairs"
+        )
+        assert got == want  # exact verify leaves no false positives
+
+
+def test_grid_key_selectivity_compounds_low_dim(spark):
+    # Pre-filter JOIN cardinality is what the grid moves: each added
+    # key dim must cut it materially on low-dim data (measured
+    # 71% -> 48% -> 32% of all pairs at dim=4 / t=0.7).
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    vecs = rng.standard_normal((n, 4))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, vecs[i].astype("float32").tolist()) for i in range(n)], schema
+    )
+    counts = {
+        k: similarity.near_dup_candidates_exact(
+            df, threshold=0.7, n_grid_dims=k, n_filter_projections=0
+        ).count()
+        for k in (1, 2, 3)
+    }
+    assert counts[2] <= 0.8 * counts[1], counts
+    assert counts[3] <= 0.8 * counts[2], counts
