@@ -111,3 +111,63 @@ def test_pil_codec_real_decode_and_resize():
     resized = codec.resize(payload, 2, 1)
     with Image.open(io.BytesIO(resized)) as out:
         assert out.size == (2, 1)
+
+
+def _wav_bytes(freq: float = 440.0, sr: int = 8000, n: int = 800) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        samples = [
+            int(12000 * math.sin(2 * math.pi * freq * i / sr)) for i in range(n)
+        ]
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def audio_media(spark):
+    meta = {"format": "wav", "width": None, "height": None,
+            "sample_rate": 8000, "n_frames": None, "frame_bytes": None}
+    fake_meta = {**meta, "format": "fake", "sample_rate": 4000}
+    rows_ = [
+        (10, "audio", _wav_bytes(), meta),            # real RIFF/WAVE
+        (11, "audio", payload(11, 500), fake_meta),   # synthetic -> fallback
+        (12, "image", payload(12, 64), fake_meta),    # filtered out
+    ]
+    return spark.createDataFrame(rows_, mm.MEDIA_SCHEMA)
+
+
+def test_audio_features_real_wave_decode(audio_media):
+    got = {r["media_id"]: r for r in mm.audio_features(audio_media).collect()}
+    assert set(got) == {10, 11}  # images filtered out
+    real = got[10]
+    assert real["parsed"] is True
+    assert real["sample_rate"] == 8000
+    assert real["n_channels"] == 1
+    assert real["n_samples"] == 800
+    assert abs(real["duration_s"] - 0.1) < 1e-9
+    # 12000-amplitude sine: RMS ~ 12000/sqrt(2), loose band for the
+    # integer quantization
+    assert 8000 < real["rms"] < 9000
+
+
+def test_audio_features_fake_fallback_deterministic(audio_media):
+    got = {r["media_id"]: r for r in mm.audio_features(audio_media).collect()}
+    fake = got[11]
+    assert fake["parsed"] is False
+    assert fake["sample_rate"] == 4000  # metadata-supplied
+    assert fake["n_samples"] == 500
+    assert abs(fake["duration_s"] - 500 / 4000) < 1e-9
+    p = payload(11, 500)
+    import math
+    assert abs(fake["rms"] - math.sqrt(sum(b * b for b in p) / 500)) < 1e-9
+    # stable across runs
+    again = {r["media_id"]: r for r in mm.audio_features(audio_media).collect()}
+    assert again[11]["rms"] == fake["rms"]
