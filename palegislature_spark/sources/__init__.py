@@ -5,6 +5,7 @@ from palegislature_spark.sources.merge import (
     merge_by_key,
     overwrite_updates,
     upsert_parquet,
+    upsert_parquet_rowlevel,
 )
 from palegislature_spark.sources.matrix_load import load_matrix_csv
 from palegislature_spark.sources.rules import (
@@ -24,6 +25,7 @@ __all__ = [
     "service_rules",
     "stale_items",
     "upsert_parquet",
+    "upsert_parquet_rowlevel",
     "vote_rename_rules",
     "work_queue",
 ]

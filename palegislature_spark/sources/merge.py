@@ -185,3 +185,107 @@ def overwrite_updates(
             for c in fact.columns
         ]
     )
+
+
+def upsert_parquet_rowlevel(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_col: str | None = None,
+) -> dict:
+    """Row-level copy-on-write MERGE over plain Parquet.
+
+    ``upsert_parquet`` rewrites whole partitions, which is the right
+    grain only when update keys align with the partition layout.  This
+    is the non-aligned path — the mechanics a table format (Delta /
+    Iceberg MERGE) provides, hand-rolled on the open file format:
+
+    1. probe which data FILES contain an updated key (left-semi join
+       against ``_metadata.file_path`` — file-level pruning, the
+       hidden-column analogue of Delta's min/max file skipping);
+    2. rewrite ONLY those files, merged with the updates (new keys
+       ride along into the rewritten output);
+    3. publish the replacement files into the live directory, then
+       delete the superseded originals.
+
+    Every untouched file stays byte-identical — at 100 TB an update
+    touching 0.1% of keys rewrites ~0.1% of files instead of every
+    partition the keys straddle.
+
+    Durability: replacements are fully written to a staging dir and
+    moved in BEFORE the superseded files are deleted, so no data is
+    ever lost; a crash inside the publish/delete window can leave
+    both versions visible (duplicate keys).  Re-running the same
+    merge heals that state — both copies land in the affected-file
+    set and merge-by-key keeps one — but readers needing isolation
+    in that window want a real table format; this sink documents the
+    convention until one is adopted (SURVEY §1.4).
+
+    Returns {"files_total", "files_rewritten", "rows_written"}.
+    """
+    keys = list(keys)
+    try:
+        tgt = spark.read.parquet(path)
+        exists = True
+    except Exception:  # noqa: BLE001 — first write: no dataset yet
+        exists = False
+    if not exists:
+        deduped = merge_by_key(None, updates, keys, version_col)
+        deduped.write.mode("overwrite").parquet(path)
+        return {
+            "files_total": 0,
+            "files_rewritten": 0,
+            "rows_written": deduped.count(),
+        }
+
+    # _metadata resolves only against the file-source relation itself,
+    # so bind it to a regular column before any join/projection
+    tgt_f = tgt.select("*", F.col("_metadata.file_path").alias("__file"))
+    all_files = {
+        r["__file"] for r in tgt_f.select("__file").distinct().collect()
+    }
+    affected = [
+        r["__file"]
+        for r in tgt_f.join(
+            F.broadcast(updates.select(*keys).distinct()), keys, "left_semi"
+        )
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+
+    # rows needing rewrite: only the affected files are even read —
+    # the _metadata predicate prunes at file granularity
+    touched = tgt_f.filter(F.col("__file").isin(affected)) if affected else None
+    merged = merge_by_key(
+        touched.select(updates.columns) if touched is not None else None,
+        updates,
+        keys,
+        version_col,
+    )
+
+    base = path.rstrip("/")
+    staging = base + ".__rowstage__"
+    fs, HPath = _hadoop_fs(spark, base)
+    fs.delete(HPath(staging), True)
+    merged.write.mode("overwrite").parquet(staging)
+    # count from staged footers, BEFORE the originals are retired —
+    # merged's lineage reads files this merge is about to delete
+    rows_written = spark.read.parquet(staging).count()
+
+    # publish new files (uuid part names cannot collide), then retire
+    # the superseded ones
+    for st in fs.listStatus(HPath(staging)):
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(st.getPath(), HPath(f"{base}/{name}"))
+    fs.delete(HPath(staging), True)
+    for f in affected:
+        fs.delete(HPath(f), False)
+
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(affected),
+        "rows_written": rows_written,
+    }

@@ -206,3 +206,53 @@ def test_real_corpus_matrix_roundtrip(spark, tmp_path):
     )
     assert [p.endswith("2019/House.csv") for p in paths] == [True]
     assert pathlib.Path(paths[0]).read_bytes() == REFERENCE_CSV.read_bytes()
+
+
+def test_upsert_parquet_rowlevel_rewrites_only_affected_files(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    # 4 files, ids range-clustered so update keys hit exactly one file
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1.0) for i in range(40)], "id long, v string, x double"
+    ).repartitionByRange(4, "id")
+    base.write.parquet(path)
+    before = {f for f in os.listdir(path) if f.startswith("part-")}
+    assert len(before) == 4
+
+    updates = spark.createDataFrame(
+        [(3, "V3", 2.0), (7, "V7", 2.0), (99, "new", 2.0)],
+        "id long, v string, x double",
+    )
+    stats = sources.upsert_parquet_rowlevel(spark, path, updates, ["id"])
+    assert stats["files_total"] == 4
+    assert stats["files_rewritten"] == 1  # ids 3 and 7 share a range file
+
+    after = {f for f in os.listdir(path) if f.startswith("part-")}
+    # untouched files still present under their original names
+    assert len(before & after) == 3
+
+    got = {r["id"]: (r["v"], r["x"]) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 41
+    assert got[3] == ("V3", 2.0) and got[7] == ("V7", 2.0)
+    assert got[99] == ("new", 2.0)
+    assert got[5] == ("v5", 1.0)  # same-file neighbor survived the rewrite
+    assert got[20] == ("v20", 1.0)  # untouched-file row intact
+
+
+def test_upsert_parquet_rowlevel_first_write_and_pure_insert(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t2")
+    u1 = spark.createDataFrame([(1, "a", 1.0)], "id long, v string, x double")
+    stats = sources.upsert_parquet_rowlevel(spark, path, u1, ["id"])
+    assert stats == {"files_total": 0, "files_rewritten": 0, "rows_written": 1}
+
+    before = {f for f in os.listdir(path) if f.startswith("part-")}
+    u2 = spark.createDataFrame([(2, "b", 1.0)], "id long, v string, x double")
+    stats = sources.upsert_parquet_rowlevel(spark, path, u2, ["id"])
+    assert stats["files_rewritten"] == 0  # no key overlap: nothing rewritten
+    after = {f for f in os.listdir(path) if f.startswith("part-")}
+    assert before <= after  # originals untouched, new file appended
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a", 1.0), (2, "b", 1.0)]
