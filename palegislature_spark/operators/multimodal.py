@@ -275,6 +275,106 @@ def audio_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+def video_stats(payload: bytes, meta: dict | None) -> dict:
+    """Per-payload video statistics — real RIFF/AVI main-header parse
+    (pure stdlib ``struct`` over the ``avih`` chunk) when the payload
+    is an AVI container, deterministic metadata-driven fake otherwise.
+    The third modality seam beside the Pillow image codec and the
+    ``wave`` audio decode: no video LIBRARY exists in the stdlib, but
+    the container header is a documented fixed layout, so frame
+    count / fps / geometry are a real decode here, while pixel-level
+    work stays behind the codec seam."""
+    import struct
+
+    if (
+        len(payload) >= 12
+        and payload[0:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    ):
+        idx = payload.find(b"avih")
+        if idx >= 0 and len(payload) >= idx + 8 + 40:
+            (
+                usec_per_frame,
+                _max_bps,
+                _padding,
+                _flags,
+                n_frames,
+                _initial,
+                n_streams,
+                _bufsize,
+                width,
+                height,
+            ) = struct.unpack_from("<10I", payload, idx + 8)
+            fps = (1_000_000 / usec_per_frame) if usec_per_frame else 0.0
+            return {
+                "width": int(width),
+                "height": int(height),
+                "n_frames": int(n_frames),
+                "n_streams": int(n_streams),
+                "fps": fps,
+                "duration_s": (n_frames / fps) if fps else 0.0,
+                "parsed": True,
+            }
+    m = meta or {}
+    n_frames = m.get("n_frames") or 0
+    return {
+        "width": int(m.get("width") or 0),
+        "height": int(m.get("height") or 0),
+        "n_frames": int(n_frames),
+        "n_streams": 1,
+        "fps": 0.0,
+        "duration_s": 0.0,
+        "parsed": False,
+    }
+
+
+def video_features(df: DataFrame) -> DataFrame:
+    """Per-payload container statistics via Arrow-batched mapInPandas.
+
+    Output: (media_id, width, height, n_frames, n_streams, fps,
+    duration_s, parsed) — ``parsed`` true when the RIFF/AVI header
+    parse ran, false for the metadata-driven fallback."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_streams", T.IntegerType()),
+            T.StructField("fps", T.DoubleType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("parsed", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [
+                video_stats(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        k: [s[k] for s in stats]
+                        for k in (
+                            "width", "height", "n_frames", "n_streams",
+                            "fps", "duration_s", "parsed",
+                        )
+                    },
+                }
+            )
+
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(gen, out_schema)
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling without Python: slice the payload binary.
 

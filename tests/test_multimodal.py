@@ -171,3 +171,48 @@ def test_audio_features_fake_fallback_deterministic(audio_media):
     # stable across runs
     again = {r["media_id"]: r for r in mm.audio_features(audio_media).collect()}
     assert again[11]["rms"] == fake["rms"]
+
+
+def _avi_bytes(w: int = 320, h: int = 240, n_frames: int = 30, fps: int = 25) -> bytes:
+    import struct
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0, n_frames, 0, 1, 0, w, h
+    ) + b"\x00" * 16  # reserved dwords
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    list_hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    body = b"AVI " + list_hdrl
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.fixture(scope="module")
+def video_media(spark):
+    meta = {"format": "avi", "width": None, "height": None,
+            "sample_rate": None, "n_frames": None, "frame_bytes": None}
+    fake_meta = {**meta, "format": "fake", "width": 2, "height": 2,
+                 "n_frames": 5, "frame_bytes": 8}
+    rows_ = [
+        (20, "video", _avi_bytes(), meta),           # real RIFF/AVI header
+        (21, "video", payload(21, 40), fake_meta),   # synthetic -> fallback
+        (22, "audio", payload(22, 40), fake_meta),   # filtered out
+    ]
+    return spark.createDataFrame(rows_, mm.MEDIA_SCHEMA)
+
+
+def test_video_features_real_avi_header(video_media):
+    got = {r["media_id"]: r for r in mm.video_features(video_media).collect()}
+    assert set(got) == {20, 21}
+    real = got[20]
+    assert real["parsed"] is True
+    assert (real["width"], real["height"]) == (320, 240)
+    assert real["n_frames"] == 30
+    assert real["n_streams"] == 1
+    assert abs(real["fps"] - 25.0) < 1e-6
+    assert abs(real["duration_s"] - 30 / 25.0) < 1e-6
+
+
+def test_video_features_fake_fallback(video_media):
+    got = {r["media_id"]: r for r in mm.video_features(video_media).collect()}
+    fake = got[21]
+    assert fake["parsed"] is False
+    assert (fake["width"], fake["height"], fake["n_frames"]) == (2, 2, 5)
