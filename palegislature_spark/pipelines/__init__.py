@@ -1,6 +1,8 @@
 """End-to-end pipeline jobs (SURVEY §3): crawl-status accounting,
-completeness gating, and the analytical matrix export."""
+completeness gating, the analytical matrix export, and the composed
+training-data curation funnel."""
 
+from palegislature_spark.pipelines.curate import curate_documents, quality_signals
 from palegislature_spark.pipelines.status import complete_keys, crawl_statuses
 from palegislature_spark.pipelines.dump import (
     export_matrices,
@@ -12,8 +14,10 @@ from palegislature_spark.pipelines.dump import (
 __all__ = [
     "complete_keys",
     "crawl_statuses",
+    "curate_documents",
     "export_matrices",
     "matrix_columns",
     "ordered_rolls",
+    "quality_signals",
     "vote_matrix",
 ]

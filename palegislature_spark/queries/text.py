@@ -304,3 +304,69 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     return dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+@register(
+    "text_curation_pipeline",
+    covers="composed training-data funnel: quality gate -> exact dedup -> "
+    "MinHash near-dup prune (pipelines/curate.py); violations-as-data",
+    oracle="""
+WITH q0 AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+q AS (
+  SELECT doc_id, text,
+         len(tk) AS n_words,
+         len(list_filter(tk, w -> w IN ('the', 'a', 'of', 'and'))) * 1.0 / len(tk) AS stop_ratio,
+         len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio
+  FROM q0
+),
+gated AS (
+  SELECT *, (n_words >= 12 AND stop_ratio <= 0.21 AND distinct_ratio >= 0.35) AS q_ok
+  FROM q
+),
+exdup AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM gated WHERE q_ok
+),
+surv AS (
+  SELECT g.doc_id, g.text FROM gated g JOIN exdup e USING (doc_id) WHERE e.rn = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM surv),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM pos
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT DISTINCT id_2 AS doc_id
+  FROM common
+  JOIN cnt c1 ON c1.doc_id = id_1
+  JOIN cnt c2 ON c2.doc_id = id_2
+  WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+)
+SELECT g.doc_id,
+       CASE WHEN NOT g.q_ok THEN 'low_quality'
+            WHEN e.rn > 1 THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CAST(g.n_words AS BIGINT) AS n_words
+FROM gated g
+LEFT JOIN exdup e USING (doc_id)
+LEFT JOIN nd USING (doc_id)
+""",
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel (pipelines/curate.py): every doc
+    comes back with why it survived or didn't. The oracle replays the
+    exact-Jaccard equivalent of the MinHash near-dup stage."""
+    from palegislature_spark.pipelines.curate import curate_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return curate_documents(docs)

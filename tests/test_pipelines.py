@@ -256,3 +256,29 @@ def test_upsert_parquet_rowlevel_first_write_and_pure_insert(spark, tmp_path):
     assert before <= after  # originals untouched, new file appended
     got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert got == [(1, "a", 1.0), (2, "b", 1.0)]
+
+
+def test_curate_documents_funnel(spark):
+    from palegislature_spark import pipelines as P
+
+    # 40 words, 4 stopwords (ratio 0.1), fully distinct
+    good = "the a of and " + " ".join(f"w{i}" for i in range(36))
+    near = good.replace(" w17 ", " x17 ", 1)                  # one word changed
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                                        # exact copy of 1
+            (3, near),                                        # near-dup of 1
+            (4, "too short"),                                 # fails min_words
+            (5, " ".join(["the"] * 30)),                      # stopword-heavy
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in P.curate_documents(docs).collect()}
+    assert got == {
+        1: "kept",
+        2: "exact_dup",
+        3: "near_dup",
+        4: "low_quality",
+        5: "low_quality",
+    }
