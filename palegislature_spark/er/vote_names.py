@@ -77,12 +77,17 @@ def match_vote_names(
     anti-join for the review report).
     """
     years = roll_years(roll_calls, session_days)
+    # localCheckpoint: the distinct-name set is dimension-sized but its
+    # lineage scans every vote; it feeds pass 1, the pass-2 residue AND
+    # the final union, so without the checkpoint the fact scan re-runs
+    # once per consumer (~3x at the 500k-vote bench scale).
     vote_names = (
         votes.join(years, "roll_id")
         .select("year", "chamber", "name")
         .distinct()
         .withColumn("vname", parse_vote_name(F.col("name")))
         .withColumn("blk", F.lower(F.col("vname")["last"]))
+        .localCheckpoint()
     )
     ros = roster(members, service)
 
@@ -98,6 +103,8 @@ def match_vote_names(
         # (match_names.py:33-34)
         .filter((F.col("block_n") == 1) | F.col("vname")["first"].isNotNull())
     )
+    # same reuse argument: pass1 feeds both residue sets and the final
+    # union — checkpoint the (dimension-sized) match set once
     pass1 = (
         cand.groupBy("year", "chamber", "name")
         .agg(
@@ -106,6 +113,7 @@ def match_vote_names(
         )
         .filter("n_matches = 1")
         .select("year", "chamber", "name", "member_id", F.lit("block").alias("method"))
+        .localCheckpoint()
     )
 
     # ---- pass 2: substring fixpoint on the residue -----------------
@@ -233,17 +241,23 @@ def backfill_member_ids(votes: DataFrame, matches: DataFrame, years: DataFrame) 
     """Write pass: fill NULL votes.member_id from resolved names
     (``match_names.py:168-188``). ``years`` is roll_years(...)."""
     v = votes.join(years, "roll_id", "left")
+    # rename the match-side keys: localCheckpoint preserves attribute
+    # ids, so an unrenamed matches.year is the SAME attribute as the
+    # vote-side year and the analyzer rejects the join as ambiguous
     m = F.broadcast(
         matches.select(
-            "year", "chamber", F.col("name").alias("m_name"), F.col("member_id").alias("m_id")
+            F.col("year").alias("m_year"),
+            F.col("chamber").alias("m_chamber"),
+            F.col("name").alias("m_name"),
+            F.col("member_id").alias("m_id"),
         )
     )
     return (
         v.join(
             m,
             (F.col("name") == F.col("m_name"))
-            & (v.year == m.year)
-            & (v.chamber == m.chamber),
+            & (F.col("year") == F.col("m_year"))
+            & (F.col("chamber") == F.col("m_chamber")),
             "left",
         )
         .select(
