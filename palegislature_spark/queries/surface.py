@@ -215,3 +215,35 @@ def name_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["last"].alias("last"),
         parsed["suffix"].alias("suffix"),
     )
+
+
+@register(
+    "stat_quantiles",
+    covers="A-family extension: quantile sketch (Greenwald-Khanna approx_percentile "
+    "pinned exact at accuracy >> n, cross-checked against DuckDB quantile_disc/cont)",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.25)  AS p25,
+       quantile_disc(o_totalprice, 0.5)   AS p50,
+       quantile_disc(o_totalprice, 0.9)   AS p90,
+       quantile_cont(o_totalprice, 0.5)   AS median_cont
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def stat_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution summary per priority via the GK quantile sketch.
+
+    approx_percentile IS the scale path (mergeable sketch, one pass,
+    no sort): at accuracy 1e6 >> group size the sketch answer is the
+    exact rank element, which is what makes the DuckDB oracle an
+    exact cross-check rather than a tolerance band.  percentile()
+    (continuous interpolation) doubles as the exact-agreement check
+    on the interpolating definition.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(o_totalprice, 0.25, 1000000)").alias("p25"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000000)").alias("p50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000000)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_cont"),
+    )
