@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes the
 full declared inventory (one entry per implemented operator family
 from SURVEY.md §2 plus the training-data-pipeline extensions);
-``oracle_sql()`` provides the DuckDB-equivalent SQL for every
-SQL-expressible query (approximate operators — knn_lsh — are
-rows-only by design).
+``oracle_sql()`` provides the DuckDB-equivalent SQL for every query —
+the approximate operators included (knn_lsh / knn_ivf embed their
+deterministic plane matrices / centroid picks / Lloyd iteration as
+replayable SQL).
 """
 
 from __future__ import annotations
