@@ -66,6 +66,12 @@ def ordered_rolls(
         "number",
         disp.alias("disp_stamp"),
         "day_date",
+        # day ENTITY is part of the reference's sort: days sorted by
+        # date keep equal-date day rows in insertion (id) order, and
+        # each day's rolls are emitted as their own block (dump.py:48)
+        # — the published corpus really contains repeated-date day
+        # groups (2010/House.csv), so date alone under-sorts
+        F.col("day_id").alias("day_ord"),
         F.when(F.col("__miss") == 0, F.col("stamp")).alias("ord_stamp"),
         F.when(F.col("__miss") == 1, F.col("id")).alias("ord_id"),
     )
@@ -131,17 +137,20 @@ def vote_matrix(
         group.join(cells, "roll_id", "left")
         .groupBy(
             "roll_id", "roll_name", "number", "disp_stamp",
-            "day_date", "ord_stamp", "ord_id",
+            "day_date", "day_ord", "ord_stamp", "ord_id",
         )
         .pivot("member_id", member_ids)
         .agg(F.first("letter"))
         .orderBy(
+            # day_ord second: equal-date day ENTITIES stay in
+            # insertion order as separate blocks (see ordered_rolls).
             # roll_id last: the reference's stable Python sort keeps
             # stamp ties in SQLite insertion (id) order (dump.py:59);
             # real files have duplicate stamps within a day (32 pairs
             # in 2019/House.csv), so without it tie order is
             # nondeterministic
-            "day_date", F.col("ord_stamp").asc_nulls_first(), F.col("ord_id"),
+            "day_date", F.col("day_ord"),
+            F.col("ord_stamp").asc_nulls_first(), F.col("ord_id"),
             F.col("roll_id"),
         )
     )

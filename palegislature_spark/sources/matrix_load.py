@@ -77,18 +77,36 @@ def load_matrix_csv(spark: SparkSession, path: str, year: int, chamber: int):
     ]
     sessions = [(1, chamber, year, 0, None, _CRAWLED)]
 
-    day_ids: dict[str, int] = {}
+    # One day ENTITY per emitted day block: the published corpus
+    # contains repeated-date day groups (the same calendar day crawled
+    # under two sessions — e.g. 2010/House.csv emits the 2010-05-03
+    # block twice, back to back), and the exporter keeps equal-date
+    # day entities as separate insertion-ordered blocks, so collapsing
+    # by date string would merge what the reference keeps apart.  The
+    # flat file does not encode the entity boundary; it is
+    # reconstructed from the two signals a block break leaves behind:
+    # the date changing, or the roll number not increasing (numbers
+    # are sequential within a day's emission, so a restart marks the
+    # second copy).  A false split inside a stamp-sorted day is
+    # harmless — concatenating two sorted sub-blocks that share the
+    # sort boundary reproduces the same row order — and the
+    # whole-corpus round-trip test pins that empirically.
     session_days = []
     roll_calls = []
     votes = []
+    prev_day: str | None = None
+    prev_number: int | None = None
+    day_id = 0
     for k, row in enumerate(roll_rows):
         name, number, stamp_s = row[0], int(row[1]), row[2]
         day_s = stamp_s[:10]
-        if day_s not in day_ids:
-            day_ids[day_s] = len(day_ids) + 1
+        if day_s != prev_day or (prev_number is not None and number <= prev_number):
+            prev_day = day_s
+            day_id += 1
             session_days.append(
-                (day_ids[day_s], 1, dt.date.fromisoformat(day_s), _CRAWLED)
+                (day_id, 1, dt.date.fromisoformat(day_s), _CRAWLED)
             )
+        prev_number = number
         # time omitted on the source page -> bare date in the file
         # (README.md:28); reload it as a NULL stamp
         stamp = (
@@ -96,7 +114,7 @@ def load_matrix_csv(spark: SparkSession, path: str, year: int, chamber: int):
         )
         roll_id = k + 1
         roll_calls.append(
-            (roll_id, day_ids[day_s], year, 0, chamber, number, name, stamp, _CRAWLED)
+            (roll_id, day_id, year, 0, chamber, number, name, stamp, _CRAWLED)
         )
         for j, letter in enumerate(row[3:]):
             if letter:

@@ -182,19 +182,30 @@ def test_work_queue_and_staleness(spark):
     assert stale == [(1,), (2,), (3,)]
 
 
-REFERENCE_CSV = pathlib.Path("/root/reference/vote_data/2019/House.csv")
+REFERENCE_ROOT = pathlib.Path("/root/reference/vote_data")
 
 
-@pytest.mark.skipif(not REFERENCE_CSV.exists(), reason="reference corpus absent")
-def test_real_corpus_matrix_roundtrip(spark, tmp_path):
-    """Fidelity gate against the real published corpus: parse one real
+@pytest.mark.skipif(not REFERENCE_ROOT.exists(), reason="reference corpus absent")
+@pytest.mark.parametrize(
+    ("year", "chamber", "fname"),
+    [
+        (2019, 1, "House.csv"),   # every roll stamped; 32 duplicate
+                                  # (day, stamp) pairs -> stable-sort ties
+        (2010, 1, "House.csv"),   # MIXED: 298 of 1173 rolls date-only ->
+                                  # per-day any-missing id-order fallback
+        (2008, 2, "Senate.csv"),  # all rolls date-only; Senate chamber name
+    ],
+)
+def test_real_corpus_matrix_roundtrip(spark, tmp_path, year, chamber, fname):
+    """Fidelity gate against the real published corpus: parse a real
     reference CSV back into snowflake rows, re-export it, and require
     byte identity.  Unlike the self-generated golden fixture, this
     catches a shared misunderstanding of the reference format (column
-    order, stamp-fallback row order, tie order of duplicate stamps —
-    2019/House.csv has 32 duplicate (day, stamp) pairs — blank-vs-X
-    cells, quoting, CRLF line endings)."""
-    snow = sources.load_matrix_csv(spark, str(REFERENCE_CSV), year=2019, chamber=1)
+    order, stamp-fallback row order, tie order of duplicate stamps,
+    blank-vs-X cells, quoting, CRLF line endings) — across all three
+    stamp regimes the published corpus contains."""
+    ref = REFERENCE_ROOT / str(year) / fname
+    snow = sources.load_matrix_csv(spark, str(ref), year=year, chamber=chamber)
     paths = pipelines.export_matrices(
         snow["votes"],
         snow["roll_calls"],
@@ -204,8 +215,8 @@ def test_real_corpus_matrix_roundtrip(spark, tmp_path):
         snow["service"],
         str(tmp_path),
     )
-    assert [p.endswith("2019/House.csv") for p in paths] == [True]
-    assert pathlib.Path(paths[0]).read_bytes() == REFERENCE_CSV.read_bytes()
+    assert [p.endswith(f"{year}/{fname}") for p in paths] == [True]
+    assert pathlib.Path(paths[0]).read_bytes() == ref.read_bytes()
 
 
 def test_upsert_parquet_rowlevel_rewrites_only_affected_files(spark, tmp_path):
@@ -282,3 +293,27 @@ def test_curate_documents_funnel(spark):
         4: "low_quality",
         5: "low_quality",
     }
+
+
+@pytest.mark.skipif(not REFERENCE_ROOT.exists(), reason="reference corpus absent")
+def test_whole_corpus_roundtrip(spark, tmp_path):
+    """Every published file (38 year x chamber matrices, 2007-2025)
+    loads and re-exports byte-identically — the strongest available
+    statement that the export pipeline implements the real contract,
+    including repeated-date day blocks and both stamp regimes."""
+    files = sorted(REFERENCE_ROOT.rglob("*.csv"))
+    assert len(files) >= 38
+    bad = []
+    for i, f in enumerate(files):
+        snow = sources.load_matrix_csv(
+            spark, str(f), year=int(f.parent.name),
+            chamber=1 if f.stem == "House" else 2,
+        )
+        out = tmp_path / str(i)
+        paths = pipelines.export_matrices(
+            snow["votes"], snow["roll_calls"], snow["session_days"],
+            snow["sessions"], snow["members"], snow["service"], str(out),
+        )
+        if pathlib.Path(paths[0]).read_bytes() != f.read_bytes():
+            bad.append(str(f))
+    assert bad == []
