@@ -270,11 +270,13 @@ def minhash_lsh_pairs(
     survivors, pruned by a semi-join on candidate ids.
 
     Reuse discipline (ADVICE r1 — the previous persist()s leaked
-    cached blocks across calls): everything is ONE lazy plan now, no
-    persist at all.  The candidate subtree appears twice (id prune +
-    final pair semi-join); the recompute is cheaper than it looks
-    because AQE collapses the small sides to broadcasts at runtime
-    (measured: 4.3s at sf0.1 vs 4.7s for the persisted r1 version).
+    cached blocks across calls): the candidate PAIR set — the only
+    subtree with multiple consumers (id prune + final pair semi-join)
+    — is localCheckpointed once; it is output-sized (pairs, not
+    shingles), so materializing it is cheap while recomputing it
+    costs a full signature+band pass per consumer (measured r4:
+    2.5s vs 3.5s warm at sf0.1; the r2 persist()-everything variant
+    was slower than both because it cached the 3M-row shingle set).
     The candidate-id prune carries no broadcast hint — AQE picks
     broadcast vs shuffle semi-join at runtime from the OBSERVED
     candidate-set size, which is exactly the high-dup-rate guard a
@@ -300,6 +302,7 @@ def minhash_lsh_pairs(
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
+        .localCheckpoint()
     )
     # Exact verification restricted to candidate ids (semi-join prune;
     # broadcast decision left to AQE — see docstring).
