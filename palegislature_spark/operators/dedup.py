@@ -302,7 +302,10 @@ def minhash_lsh_pairs(
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
-        .localCheckpoint()
+        # lazy: materializes inside the caller's first action (so the
+        # bench timer sees the real cost) while still collapsing the
+        # two consumers onto one computed RDD
+        .localCheckpoint(eager=False)
     )
     # Exact verification restricted to candidate ids (semi-join prune;
     # broadcast decision left to AQE — see docstring).
