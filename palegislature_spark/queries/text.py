@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from palegislature_spark.catalog import load
 from palegislature_spark.operators import dedup
@@ -370,3 +371,44 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return curate_documents(docs)
+
+
+@register(
+    "vocab_topk",
+    covers="text-analysis extension: corpus vocabulary build (token explode -> "
+    "count -> rank), the tokenizer-training precursor",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS freq FROM words WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS token_id
+  FROM counts
+)
+SELECT CAST(token_id AS BIGINT) AS token_id, token, CAST(freq AS BIGINT) AS freq
+FROM ranked WHERE token_id <= 100
+""",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with deterministic ids (freq desc,
+    token asc).  Scale shape: explode -> partial-aggregated count (one
+    shuffle on token), then a top-k; at 100 TB the count output is
+    vocabulary-sized, so the rank window runs on a dimension-sized
+    set (single partition is fine - it IS the reduced data)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= 100)
+        .select("token_id", "token", F.col("freq").cast("long").alias("freq"))
+    )
