@@ -137,3 +137,19 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert by_doc[1] & by_doc[2]  # shared fingerprint
     assert not (by_doc[1] & by_doc[3])
     assert 4 not in by_doc
+
+
+def test_winnow_impls_agree(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "völlig unrelated ünïcode text here to pin codepoint parity"),
+            (4, "shrt"),  # below k: no fingerprints from either impl
+        ],
+        "doc_id long, text string",
+    )
+    a = set(map(tuple, dedup.winnow_fingerprints(docs, "doc_id", "text", impl="expr").collect()))
+    b = set(map(tuple, dedup.winnow_fingerprints(docs, "doc_id", "text", impl="arrow").collect()))
+    assert a == b and len(a) > 0
+    assert not any(i == 4 for i, _ in a)
