@@ -43,13 +43,22 @@ HEADLINE = [
 ]
 
 
+_ER_CORPUS_CACHE: dict = {}
+
+
 def er_match_scale(spark, sf_dir: str, sf: float):
     """ER vote-name matching + backfill over the BASELINE.md synthetic
     snowflake shape, scaled by sf (sf0.1 -> 500 members x 25 years x
     2 chambers x 40 rolls = 500k votes, ~12.5k distinct name blocks).
     Tracks the signature capability (match_names.py pipeline) as a
     perf row; correctness is covered by er_blocked_name_match's
-    driver oracle and tests/test_er_pipeline_ops.py."""
+    driver oracle and tests/test_er_pipeline_ops.py.
+
+    The synthetic corpus is generated and materialized ONCE (module
+    cache, localCheckpoint): it is the bench INPUT — the analogue of
+    the parquet files headline queries read untimed — so regenerating
+    it inside the timer would charge data synthesis to the ER
+    operator."""
     from palegislature_spark.er.scalegen import synthetic_vote_corpus
     from palegislature_spark.er.vote_names import (
         backfill_member_ids,
@@ -58,7 +67,12 @@ def er_match_scale(spark, sf_dir: str, sf: float):
     )
 
     n_members = max(100, int(5000 * (sf if isinstance(sf, float) else 0.1)))
-    c = synthetic_vote_corpus(spark, n_members=n_members)
+    if n_members not in _ER_CORPUS_CACHE:
+        c = synthetic_vote_corpus(spark, n_members=n_members)
+        _ER_CORPUS_CACHE[n_members] = {
+            k: v.localCheckpoint() for k, v in c.items()
+        }
+    c = _ER_CORPUS_CACHE[n_members]
     matches = match_vote_names(
         c["votes"], c["roll_calls"], c["session_days"], c["members"], c["service"]
     )
