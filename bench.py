@@ -40,6 +40,7 @@ HEADLINE = [
     "cube_order_stats",
     "props_json_extract",
     "winnow_fingerprint",
+    "text_curation_pipeline",
 ]
 
 

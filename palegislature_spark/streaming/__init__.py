@@ -1,6 +1,7 @@
 """Structured Streaming surface (SURVEY §2.10 / M4)."""
 
 from palegislature_spark.streaming.jobs import (
+    curate_stream,
     dedup_within_watermark,
     read_stream,
     run_available_now,
@@ -13,6 +14,7 @@ from palegislature_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "curate_stream",
     "dedup_within_watermark",
     "read_stream",
     "run_available_now",

@@ -218,6 +218,49 @@ def dedup_within_watermark(
     )
 
 
+def curate_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    min_words: int = 12,
+    max_stop_ratio: float = 0.21,
+    min_distinct_ratio: float = 0.35,
+) -> DataFrame:
+    """Streaming front half of the curation funnel
+    (pipelines/curate.py): quality-gate each arriving document with
+    the same signal expressions, then drop exact-content duplicates
+    within the watermark (md5 content key through
+    ``dropDuplicatesWithinWatermark`` — bounded state, unlike a plain
+    streaming dropDuplicates which keeps every key forever).
+
+    Near-dup pruning stays batch: MinHash banding needs a corpus-wide
+    candidate join, which is the compaction job's half of the funnel
+    — this stream emits gated, exact-deduped documents for it.
+    """
+    from palegislature_spark.pipelines.curate import STOPWORDS
+
+    tk = F.split(F.col(text_col), " ")
+    stop = F.size(F.filter(tk, lambda w: w.isin(*STOPWORDS)))
+    gated = (
+        stream.withColumn("n_words", F.size(tk).cast("long"))
+        .withColumn("stop_ratio", stop / F.size(tk))
+        .withColumn("distinct_ratio", F.size(F.array_distinct(tk)) / F.size(tk))
+        .filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("stop_ratio") <= max_stop_ratio)
+            & (F.col("distinct_ratio") >= min_distinct_ratio)
+        )
+        .withColumn("content_key", F.md5(F.col(text_col)))
+    )
+    return (
+        gated.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+        .drop("content_key")
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

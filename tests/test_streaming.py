@@ -205,3 +205,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
         "r",
     )
     assert got == want
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_curate_stream_gates_and_dedups_across_batches(spark, tmp_path):
+    """Streaming funnel front half: quality gate + exact-content dedup
+    with bounded state, duplicates suppressed even ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces two)."""
+    good = "the a of and " + " ".join(f"w{i}" for i in range(36))
+    other = "the a of and " + " ".join(f"x{i}" for i in range(36))
+    d = tmp_path / "docs_stream"
+    b1 = [
+        (1, TS(2024, 1, 1, 10, 0), good),
+        (2, TS(2024, 1, 1, 10, 5), good),        # same content: dropped
+        (3, TS(2024, 1, 1, 10, 10), "too short"),  # gated out
+    ]
+    b2 = [
+        (4, TS(2024, 1, 1, 10, 20), good),        # dup across batches: dropped
+        (5, TS(2024, 1, 1, 10, 30), other),       # new content: kept
+    ]
+    spark.createDataFrame(b1, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(b2, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = streaming.read_stream(spark, str(d), DOC_SCHEMA, max_files_per_trigger=1)
+    out = streaming.curate_stream(stream)
+    q = streaming.run_available_now(out, str(tmp_path / "cp"), "curated_t")
+    drain(q)
+    got = rows(spark.table("curated_t"), "doc_id")
+    assert got == [(1,), (5,)]
