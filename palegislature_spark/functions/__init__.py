@@ -27,9 +27,11 @@ from palegislature_spark.functions.temporal import (
     year_range_expand,
 )
 from palegislature_spark.functions.text import (
+    LANG_PROFILES,
     clean_ws,
     extract_district,
     extract_party,
+    lang_id_profile,
     url_param,
 )
 
@@ -40,9 +42,11 @@ __all__ = [
     "advanced_decapitalization",
     "chamber_from_letter",
     "chamber_to_name",
+    "LANG_PROFILES",
     "clean_ws",
     "extract_district",
     "extract_party",
+    "lang_id_profile",
     "parse_dob",
     "parse_month_name",
     "parse_name",

@@ -36,3 +36,44 @@ def clean_ws(col: Column | str) -> Column:
 def url_param(col: Column | str, name: str) -> Column:
     """Query-string parameter value from a URL; NULL if absent."""
     return F.parse_url(_c(col), F.lit("QUERY"), F.lit(name))
+
+
+# Stopword profiles for the language-ID heuristic: the highest-
+# frequency function words per language (public-domain common-word
+# lists). Small on purpose — function words dominate running text, so
+# a dozen per language separates these languages reliably, and the
+# whole profile table compiles into one codegen'd when-chain.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "was", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den", "von", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "du", "que", "pas", "pour", "dans"),
+    "es": ("el", "la", "los", "las", "y", "es", "una", "que", "no", "por", "para", "con"),
+}
+
+
+def lang_id_profile(
+    col: Column | str, profiles: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """Stopword-profile language ID: fraction of tokens found in each
+    language's function-word set; the max-scoring language wins,
+    'und' (undetermined) when nothing scores.
+
+    Pure Column expressions — one lowercase+split pass, one
+    size(filter(...)) per language, a greatest() comparison — so the
+    classifier is whole-stage-codegen and linear in text length, the
+    scale path for corpus-wide language partitioning.  Ties break by
+    profile order (dict order above), pinned by tests/test_text.py.
+    """
+    profiles = profiles or LANG_PROFILES
+    toks = F.split(F.lower(_c(col)), r"[\s ]+")
+    n = F.size(toks)
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*stops))) / n
+        for lang, stops in profiles.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed: earlier profiles win ties because later whens wrap outer
+    for lang in reversed(list(profiles)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))

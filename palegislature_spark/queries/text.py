@@ -147,8 +147,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (The synthetic corpus shares one vocabulary, so the value of this
     query is the deterministic rule evaluation, not linguistic truth;
-    the real heuristic — stopword-profile scoring — is exercised in
-    tests/test_text.py over multilingual fixture strings.)
+    the real heuristic — ``functions.text.lang_id_profile``, stopword-
+    profile scoring as pure codegen expressions — is exercised in
+    tests/test_text.py over real multilingual strings.)
     """
     docs = load(spark, sf_dir, "documents")
     the_hits = (

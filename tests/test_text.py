@@ -1,0 +1,51 @@
+"""Language-ID heuristic over real multilingual strings.
+
+The registry `lang_id` query runs deterministic marker rules on the
+shared-vocabulary synthetic corpus (so its DuckDB oracle replays
+exactly); THIS file exercises the real stopword-profile scorer on
+actual language samples."""
+
+from __future__ import annotations
+
+import pytest
+
+from palegislature_spark.functions.text import LANG_PROFILES, lang_id_profile
+from pyspark.sql import functions as F
+
+SAMPLES = [
+    ("en", "the cat sat on the mat and it was pleased with the warm sun of the morning"),
+    ("en", "this is a test of the language detector that should be easy for it to get"),
+    ("de", "der hund und die katze sind nicht in dem haus denn das wetter ist zu kalt"),
+    ("de", "das ist ein einfacher satz mit den typischen wörtern von einer sprache"),
+    ("fr", "le chat est dans la maison et les oiseaux ne sont pas dans le jardin pour le moment"),
+    ("fr", "c'est une phrase simple avec des mots que la langue utilise pour les tests"),
+    ("es", "el perro y el gato no son los animales que viven en la casa por una semana"),
+    ("es", "es una frase sencilla con las palabras que el idioma usa para las pruebas"),
+]
+
+
+def test_lang_id_profile_classifies_samples(spark):
+    df = spark.createDataFrame(SAMPLES, "want string, text string").withColumn(
+        "got", lang_id_profile("text")
+    )
+    wrong = [(r["want"], r["got"], r["text"][:40]) for r in df.collect() if r["want"] != r["got"]]
+    assert wrong == []
+
+
+def test_lang_id_profile_undetermined_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "zzz qqq xxx www"), (2, "")], "i long, text string"
+    ).withColumn("got", lang_id_profile("text"))
+    got = {r["i"]: r["got"] for r in df.collect()}
+    assert got[1] == "und"
+    assert got[2] == "und"
+    # tie break: 'la' is in both fr and es profiles; profile order wins
+    tie = spark.createDataFrame([("la",)], "text string").withColumn(
+        "got", lang_id_profile("text")
+    )
+    assert tie.collect()[0]["got"] == "fr"
+
+
+def test_profiles_shape():
+    assert set(LANG_PROFILES) == {"en", "de", "fr", "es"}
+    assert all(len(v) >= 10 for v in LANG_PROFILES.values())
