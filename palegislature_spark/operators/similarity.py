@@ -447,26 +447,49 @@ def ivf_assignments(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 8,
+    n_lists: int | None = 8,
     refine_iters: int = 0,
+    exact_replay: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index: (centroids, assignments).
 
     Starting centroids are ``n_lists`` corpus vectors picked
     deterministically (smallest shared multiplicative hash of the id —
-    the IVF-flat sampled-point construction).  ``refine_iters`` Lloyd
-    iterations then move each centroid to the mean of its assigned
-    vectors and re-assign — the k-means refinement real IVF users
-    expect on skewed corpora, where sampled points cluster in the
-    dense region.  The mean is a SEQUENTIAL fold in id order (array
-    sort + left fold), not a parallel sum, so it is bit-reproducible
-    and the DuckDB oracle replays the identical iteration with
-    ``list(v ORDER BY id)`` + ``list_reduce``.  Every assignment pass
-    broadcasts the tiny centroid set — linear passes, no shuffle
-    beyond the final grouping; the per-iteration mean shuffles only
-    (list_id, vector)-sized data.  Lists emptied by a re-assignment
-    drop out, matching the SQL replay's GROUP BY.
+    the IVF-flat sampled-point construction).  ``n_lists=None`` scales
+    the list count with the corpus: ``max(8, isqrt(n))`` — the √n
+    guidance that keeps both the broadcast centroid set and each
+    inverted list ~√n-sized as the corpus grows (one count() action to
+    size it).  ``refine_iters`` Lloyd iterations then move each
+    centroid to the mean of its assigned vectors and re-assign — the
+    k-means refinement real IVF users expect on skewed corpora, where
+    sampled points cluster in the dense region.
+
+    Two mean implementations:
+
+    * default (``exact_replay=False``) — the SCALE path: the per-list
+      mean is a fully parallel per-dimension aggregate
+      (``posexplode(vec)`` → ``groupBy(list_id, dim).avg`` →
+      dimension-sized reassembly).  Map-side partial aggregation
+      combines the component sums before the shuffle, every task holds
+      scalars, and nothing ever materializes a whole inverted list in
+      one row — at 100 TB a list is corpus/n_lists vectors, far past
+      single-row limits.
+    * ``exact_replay=True`` — the ORACLE twin: a sequential fold in id
+      order (``array_sort(collect_list)`` + left fold), bit-reproducible
+      so the DuckDB oracle replays the identical iteration with
+      ``list(v ORDER BY id)`` + ``list_reduce``.  Collects each full
+      list into one row — correct and deliberately used ONLY by the
+      sf0.01-scale ``knn_ivf`` oracle query, never the operator default.
+
+    Every assignment pass broadcasts the tiny centroid set — linear
+    passes, no shuffle beyond the grouping.  Lists emptied by a
+    re-assignment drop out of both paths, matching the SQL replay's
+    GROUP BY.
     """
+    if n_lists is None:
+        import math
+
+        n_lists = max(8, math.isqrt(embeddings.count()))
     ranked = embeddings.select(
         F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
     ).withColumn("__rk", _mix31_col(F.col("__cid")))
@@ -502,8 +525,9 @@ def ivf_assignments(
             .select("__id", "list_id", "__v")
         )
 
-    assigned = assign(centroids)
-    for _ in range(refine_iters):
+    def list_means_exact(assigned: DataFrame) -> DataFrame:
+        # Oracle twin: sequential id-ordered fold, bit-reproducible in
+        # SQL — but one row per WHOLE inverted list (small-SF only).
         lists = assigned.groupBy("list_id").agg(
             F.array_sort(F.collect_list(F.struct("__id", "__v"))).alias("__svs"),
             F.count(F.lit(1)).cast("double").alias("__cnt"),
@@ -513,12 +537,36 @@ def ivf_assignments(
         summed = F.aggregate(
             vs, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
         )
-        centroids = (
-            lists.select(
+        return lists.select(
+            "list_id",
+            F.transform(summed, lambda x: x / F.col("__cnt")).alias("centroid"),
+        )
+
+    def list_means_scale(assigned: DataFrame) -> DataFrame:
+        # Scale path: per-dimension parallel mean. posexplode fans each
+        # vector into (list_id, dim, component) scalars; the avg is
+        # map-side combined before its shuffle; the reassembly
+        # collect_list is DIMENSION-sized (dim rows per list), never
+        # list-sized.
+        dims = assigned.select(
+            "list_id", F.posexplode("__v").alias("__pos", "__x")
+        )
+        means = dims.groupBy("list_id", "__pos").agg(F.avg("__x").alias("__m"))
+        return (
+            means.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"))
+            .select(
                 "list_id",
-                F.transform(summed, lambda x: x / F.col("__cnt")).alias("centroid"),
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias("centroid"),
             )
-            .withColumn("__cn", _norm(F.col("centroid")))
+        )
+
+    list_means = list_means_exact if exact_replay else list_means_scale
+
+    assigned = assign(centroids)
+    for _ in range(refine_iters):
+        centroids = list_means(assigned).withColumn(
+            "__cn", _norm(F.col("centroid"))
         )
         assigned = assign(centroids)
 
@@ -534,9 +582,10 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 8,
+    n_lists: int | None = 8,
     n_probe: int = 2,
     refine_iters: int = 0,
+    exact_replay: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: search only the ``n_probe``
     inverted lists whose centroids are closest to each query.
@@ -544,10 +593,13 @@ def ivf_topk(
     Output schema matches brute_force_topk. Scale: assignment and
     probing are linear passes against a broadcast centroid set; the
     candidate join shuffles on list_id, so per-query work is
-    ~ corpus * n_probe / n_lists.
+    ~ corpus * n_probe / n_lists; ``n_lists=None`` sizes the index by
+    √n.  ``exact_replay`` selects the bit-reproducible sequential-fold
+    refinement used only by the ``knn_ivf`` oracle query (see
+    :func:`ivf_assignments`).
     """
     centroids, assignments = ivf_assignments(
-        embeddings, id_col, vec_col, n_lists, refine_iters
+        embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")

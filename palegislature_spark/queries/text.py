@@ -397,9 +397,13 @@ FROM ranked WHERE token_id <= 100
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary with deterministic ids (freq desc,
     token asc).  Scale shape: explode -> partial-aggregated count (one
-    shuffle on token), then a top-k; at 100 TB the count output is
-    vocabulary-sized, so the rank window runs on a dimension-sized
-    set (single partition is fine - it IS the reduced data)."""
+    shuffle on token), then a DISTRIBUTED top-k — ``orderBy().limit()``
+    compiles to TakeOrderedAndProject (per-partition heaps + driver
+    merge of 100-row samples), never a global sort: a 100 TB web corpus
+    has 1e8-1e9 distinct tokens, and ranking them through one
+    unpartitioned window would funnel the whole vocabulary into a
+    single task.  Only the 100 survivors are numbered by the window
+    (plan-asserted in tests/test_plans.py)."""
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -407,9 +411,9 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(100)
     w = Window.orderBy(F.col("freq").desc(), "token")
     return (
-        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
-        .filter(F.col("token_id") <= 100)
+        top.withColumn("token_id", F.row_number().over(w).cast("long"))
         .select("token_id", "token", F.col("freq").cast("long").alias("freq"))
     )

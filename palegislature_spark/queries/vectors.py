@@ -242,11 +242,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroid pick, assignment, probing, and ranking are all
     deterministic integer/double arithmetic, so the DuckDB oracle
-    replays the identical index — exact-checkable approximation."""
+    replays the identical index — exact-checkable approximation.
+    ``exact_replay=True`` selects the bit-reproducible sequential-fold
+    Lloyd mean the SQL twin reproduces; the operator DEFAULT is the
+    parallel per-dimension mean that scales (ivf_assignments
+    docstring), exercised by tests/test_ivf.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     topk = similarity.ivf_topk(
-        emb, queries, k=5, n_lists=8, n_probe=2, refine_iters=1
+        emb, queries, k=5, n_lists=8, n_probe=2, refine_iters=1,
+        exact_replay=True,
     )
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")

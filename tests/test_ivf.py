@@ -91,3 +91,65 @@ def test_ivf_refined_deterministic(skewed):
     a = sorted(map(tuple, similarity.ivf_topk(skewed, skewed, k=1, refine_iters=2).collect()))
     b = sorted(map(tuple, similarity.ivf_topk(skewed, skewed, k=1, refine_iters=2).collect()))
     assert a == b
+
+
+def test_refinement_scale_path_never_collects_full_lists(skewed):
+    """The DEFAULT Lloyd mean must be the parallel per-dimension
+    aggregate: no task may hold a whole inverted list in one row (at
+    100 TB a list is corpus/n_lists vectors). The exact_replay twin
+    (used only by the knn_ivf oracle) is the one allowed to fold."""
+    centroids, _ = similarity.ivf_assignments(skewed, n_lists=4, refine_iters=1)
+    plan = centroids._jdf.queryExecution().optimizedPlan().toString()
+    assert "__svs" not in plan  # the full-list collect_list alias
+    assert "posexplode" in plan or "PosExplode" in plan
+    exact_c, _ = similarity.ivf_assignments(
+        skewed, n_lists=4, refine_iters=1, exact_replay=True
+    )
+    assert "__svs" in exact_c._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def skewed_10k(spark):
+    """10k-vector dim-8 corpus, 90% packed into one dense region —
+    the shape where sampled-point centroids collapse and Lloyd
+    refinement must still behave identically on both mean paths."""
+    from pyspark.sql import functions as F
+
+    idx = F.sequence(F.lit(0), F.lit(7))
+    dense_a = (F.col("id") % 500) * 0.0005
+    sparse_a = 1.0 + (F.col("id") % 1000) * 0.004
+    angle = F.when(F.col("id") < 9000, dense_a).otherwise(sparse_a)
+    return spark.range(10000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            idx, lambda i: F.cos(angle * (i.cast("double") + 1.0)).cast("float")
+        ).alias("embedding"),
+    )
+
+
+def test_scale_and_exact_refinement_recall_match_10k(skewed_10k):
+    """The parallel per-dimension mean and the sequential fold differ
+    only by float associativity: on a 10k skewed corpus their
+    brute-force-relative recall must agree."""
+    from pyspark.sql import functions as F
+
+    queries = skewed_10k.filter(F.col("vec_id") % 200 == 0)  # 50 queries
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(skewed_10k, queries, k=1).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.ivf_topk(
+                skewed_10k, queries, k=1, n_lists=None, n_probe=2,
+                refine_iters=1, **kw
+            ).collect()
+        }
+        return sum(1 for q, n in brute.items() if got.get(q) == n) / len(brute)
+
+    r_scale = recall()
+    r_exact = recall(exact_replay=True)
+    assert abs(r_scale - r_exact) <= 0.02
+    assert r_scale >= 0.5  # probed-list recall floor on the skewed corpus

@@ -74,3 +74,11 @@ def test_embedding_near_dup_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embedding_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_is_distributed_topk(spark, sf_dir):
+    # the vocabulary rank must be TakeOrderedAndProject (distributed
+    # per-partition heaps), never a single-partition Sort of the whole
+    # token-count table — 1e8+ distinct tokens at corpus scale
+    plan = plan_of(spark, sf_dir, "corpus_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
