@@ -30,7 +30,7 @@ HEADLINE = [
     "islands_user_days",
     "asof_click_purchase",
     "session_windows",
-    "tumbling_hourly",
+    "events_tumbling_hourly",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_bruteforce",
@@ -39,8 +39,8 @@ HEADLINE = [
     "analytic_rank_funcs",
     "cube_order_stats",
     "props_json_extract",
-    "winnow_fingerprint",
-    "text_curation_pipeline",
+    "fp_winnow",
+    "curation_funnel",
 ]
 
 

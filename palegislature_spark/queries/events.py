@@ -98,7 +98,7 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tumbling_hourly",
+    "events_tumbling_hourly",
     covers="streaming §2.10 (tumbling window agg, batch-checked)",
     oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -128,7 +128,7 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sliding_windows",
+    "events_sliding_windows",
     covers="streaming §2.10 (sliding window agg, batch-checked)",
     oracle="""
 WITH slid AS (

@@ -274,7 +274,7 @@ def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "topk_customers",
+    "customer_topk_spend",
     covers="A6,W2 (crawl.py:676 ORDER BY..LIMIT max; top-k export)",
     oracle="""
 SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
@@ -546,7 +546,7 @@ def interval_join_fast_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_first_order",
+    "first_order_window",
     covers="W5 (crawl.py:676 first-after-order; match_names.py:45-47 unique-candidate)",
     oracle="""
 SELECT o_custkey, o_orderkey AS first_orderkey,
@@ -600,7 +600,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_lag_gap",
+    "lag_gap_window",
     covers="W1 + lag extension (apply_edits.py:36-49 year±1 neighbor as lag/lead)",
     oracle="""
 SELECT o_custkey, o_orderkey,
@@ -661,7 +661,7 @@ def setops_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "string_funcs",
+    "cleanup_string_funcs",
     covers="F3,F8 (crawl.py:369-375 regex extract; crawl.py:106-107 cleanup)",
     oracle="""
 SELECT p_partkey,
@@ -724,7 +724,7 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "year_expand",
+    "expand_year_ranges",
     covers="F6 (crawl.py:333-342 parse_year_range -> sequence+explode)",
     oracle="""
 SELECT o_custkey AS custkey, CAST(unnest(generate_series(y0, y1)) AS BIGINT) AS year

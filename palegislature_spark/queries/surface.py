@@ -218,7 +218,7 @@ def name_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stat_quantiles",
+    "agg_stat_quantiles",
     covers="A-family extension: quantile sketch (Greenwald-Khanna approx_percentile "
     "pinned exact at accuracy >> n, cross-checked against DuckDB quantile_disc/cont)",
     oracle="""

@@ -177,7 +177,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_quality",
+    "doc_quality_signals",
     covers="text-analysis extension: quality scoring (length/stopword/diversity ratios)",
     oracle="""
 WITH t AS (
@@ -211,7 +211,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "token_count",
+    "doc_token_count",
     covers="text-analysis extension: token counting (whitespace + regex tokenizers)",
     oracle="""
 SELECT doc_id,
@@ -279,7 +279,7 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "winnow_fingerprint",
+    "fp_winnow",
     covers="text-analysis extension: winnowing rolling-hash fingerprints "
     "(local-similarity sketch; shared substrings of length >= k+w-1 "
     "guarantee a shared fingerprint)",
@@ -309,7 +309,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_curation_pipeline",
+    "curation_funnel",
     covers="composed training-data funnel: quality gate -> exact dedup -> "
     "MinHash near-dup prune (pipelines/curate.py); violations-as-data",
     oracle="""
@@ -375,7 +375,7 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "vocab_topk",
+    "corpus_vocab_topk",
     covers="text-analysis extension: corpus vocabulary build (token explode -> "
     "count -> rank), the tokenizer-training precursor",
     oracle="""

@@ -57,7 +57,7 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 
 
 def test_topk_plans_as_take_ordered(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "topk_customers")
+    plan = plan_of(spark, sf_dir, "customer_topk_spend")
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
 
 
