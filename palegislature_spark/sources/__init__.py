@@ -4,8 +4,10 @@ YAML config, incremental work queues."""
 from palegislature_spark.sources.merge import (
     merge_by_key,
     overwrite_updates,
+    read_snapshot,
     upsert_parquet,
     upsert_parquet_rowlevel,
+    vacuum,
 )
 from palegislature_spark.sources.matrix_load import load_matrix_csv
 from palegislature_spark.sources.rules import (
@@ -22,10 +24,12 @@ __all__ = [
     "member_rename_rules",
     "merge_by_key",
     "overwrite_updates",
+    "read_snapshot",
     "service_rules",
     "stale_items",
     "upsert_parquet",
     "upsert_parquet_rowlevel",
+    "vacuum",
     "vote_rename_rules",
     "work_queue",
 ]

@@ -14,6 +14,7 @@ is the join-and-coalesce pattern: see ``overwrite_updates``.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -213,31 +214,81 @@ def upsert_parquet_rowlevel(
     touching 0.1% of keys rewrites ~0.1% of files instead of every
     partition the keys straddle.
 
-    Durability: replacements are fully written to a staging dir and
-    moved in BEFORE the superseded files are deleted, so no data is
-    ever lost; a crash inside the publish/delete window can leave
-    both versions visible (duplicate keys).  Re-running the same
-    merge heals that state — both copies land in the affected-file
-    set and merge-by-key keeps one — but readers needing isolation
-    in that window want a real table format; this sink documents the
-    convention until one is adopted (SURVEY §1.4).
+    Durability + snapshot isolation: replacements are fully written to
+    a staging dir and moved in BEFORE anything else changes, then the
+    new file set is COMMITTED by a single atomic rename of the
+    ``_MANIFEST`` pointer file (the SQLite-transaction analogue the
+    reference got for free — ``pa_legislature.py:44-49``; the same
+    commit protocol as Delta/Iceberg's log tip, minimal form).
+    Readers that resolve the manifest (:func:`read_snapshot`) see
+    either the complete old generation or the complete new one, never
+    a half-published mix or duplicate keys.  Superseded originals are
+    deleted only AFTER the commit; a snapshot reader that pinned the
+    previous generation keeps reading it untouched: superseded files
+    are NOT deleted at commit — they are recorded in the new
+    manifest's ``retire`` list and physically removed one merge
+    LATER (or by an explicit :func:`vacuum`).  That one-generation
+    retention window is what lets a reader mid-scan on generation N
+    survive the commit of N+1 (the same reason Delta/Iceberg separate
+    commit from VACUUM); ``read_snapshot`` additionally re-resolves
+    and retries if it ever does lose the race across two commits.
+    Plain ``spark.read.parquet(path)`` on a dataset with
+    pending-retire files sees duplicates — run :func:`vacuum` after
+    the last merge before handing the directory to manifest-unaware
+    readers.  Single-writer convention (as with any file-format table
+    without a locking catalog).
 
-    Returns {"files_total", "files_rewritten", "rows_written"}.
+    Raises ValueError on a hive-partitioned target (partition values
+    live in directory names there — rewriting those rows into root
+    files would corrupt the layout; use ``upsert_parquet``, whose
+    partition-swap grain matches) and on a target/updates column-set
+    mismatch (a silent ``select(updates.columns)`` would drop
+    target-only columns).
+
+    Returns {"files_total", "files_rewritten", "rows_written",
+    "generation"}.
     """
     keys = list(keys)
-    try:
-        tgt = spark.read.parquet(path)
+    base = path.rstrip("/")
+    manifest = _read_manifest(spark, base)
+    if manifest is not None:
+        # snapshot-resolved target: pending-retire files on disk are
+        # NOT part of the dataset
+        tgt = spark.read.parquet(*[f"{base}/{f}" for f in manifest["files"]])
         exists = True
-    except Exception:  # noqa: BLE001 — first write: no dataset yet
-        exists = False
+    else:
+        try:
+            tgt = spark.read.parquet(path)
+            exists = True
+        except Exception:  # noqa: BLE001 — first write: no dataset yet
+            exists = False
     if not exists:
         deduped = merge_by_key(None, updates, keys, version_col)
         deduped.write.mode("overwrite").parquet(path)
+        _commit_manifest(spark, path, generation=0)
         return {
             "files_total": 0,
             "files_rewritten": 0,
             "rows_written": deduped.count(),
+            "generation": 0,
         }
+
+    fs0, HPath0 = _hadoop_fs(spark, path.rstrip("/"))
+    for st in fs0.listStatus(HPath0(path.rstrip("/"))):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"{path} is hive-partitioned ({st.getPath().getName()}/): "
+                "row-level rewrite would publish partition columns as data "
+                "columns in root files. Use upsert_parquet(partition_cols=...)."
+            )
+    if set(tgt.columns) != set(updates.columns):
+        raise ValueError(
+            "target/updates column mismatch: "
+            f"target-only={sorted(set(tgt.columns) - set(updates.columns))}, "
+            f"updates-only={sorted(set(updates.columns) - set(tgt.columns))}. "
+            "Align the schemas explicitly; a silent projection would drop "
+            "target-only columns from rewritten files."
+        )
 
     # _metadata resolves only against the file-source relation itself,
     # so bind it to a regular column before any join/projection
@@ -265,27 +316,184 @@ def upsert_parquet_rowlevel(
         version_col,
     )
 
-    base = path.rstrip("/")
     staging = base + ".__rowstage__"
     fs, HPath = _hadoop_fs(spark, base)
     fs.delete(HPath(staging), True)
     merged.write.mode("overwrite").parquet(staging)
-    # count from staged footers, BEFORE the originals are retired —
-    # merged's lineage reads files this merge is about to delete
+    # count from staged footers, BEFORE anything is retired — merged's
+    # lineage reads files this merge supersedes
     rows_written = spark.read.parquet(staging).count()
 
-    # publish new files (uuid part names cannot collide), then retire
-    # the superseded ones
+    # 1. the PREVIOUS merge's retire list has aged one full
+    #    generation: physically remove it now
+    if manifest is not None:
+        for name in manifest.get("retire", []):
+            fs.delete(HPath(f"{base}/{name}"), False)
+    # 2. publish new files (uuid part names cannot collide) — invisible
+    #    to manifest readers until the commit below
     for st in fs.listStatus(HPath(staging)):
         name = st.getPath().getName()
         if name.startswith("part-"):
             fs.rename(st.getPath(), HPath(f"{base}/{name}"))
     fs.delete(HPath(staging), True)
-    for f in affected:
-        fs.delete(HPath(f), False)
+    # 3. COMMIT: atomically publish the new complete file set (old
+    #    minus affected plus published). The affected originals stay
+    #    on disk as this manifest's retire list — excluded from
+    #    "files" so no reader mixes them with their replacements, kept
+    #    so a reader mid-scan on the previous generation finishes.
+    affected_names = {f.rsplit("/", 1)[-1] for f in affected}
+    generation = _commit_manifest(
+        spark, base, exclude=affected_names, retire=affected_names
+    )
 
     return {
         "files_total": len(all_files),
         "files_rewritten": len(affected),
         "rows_written": rows_written,
+        "generation": generation,
     }
+
+
+MANIFEST_PREFIX = "_MANIFEST-"
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    path: str,
+    generation: int | None = None,
+    exclude: set[str] | None = None,
+    retire: set[str] | None = None,
+) -> int:
+    """Atomically publish the current live ``part-`` files — minus
+    ``exclude`` (superseded originals awaiting retirement) — as the
+    next snapshot generation.
+
+    Protocol: write ``_MANIFEST.tmp`` fully, then ``rename`` it to the
+    fresh name ``_MANIFEST-<gen>`` — a rename to a non-existent
+    destination is atomic on HDFS/local (and never leaves a
+    no-manifest window, unlike renaming OVER a live pointer file,
+    which requires a delete first).  Readers resolve the highest
+    generation present.  The previous generation's manifest is kept
+    (a reader may be mid-resolve on it); older ones are pruned.
+    Underscore-prefixed names are invisible to Spark's file listing,
+    so plain directory reads are unaffected.
+    """
+    base = path.rstrip("/")
+    fs, HPath = _hadoop_fs(spark, base)
+    prev = _read_manifest(spark, base)
+    if generation is None:
+        generation = (prev["generation"] + 1) if prev else 1
+    skip = exclude or set()
+    files = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(HPath(base))
+        if st.getPath().getName().startswith("part-")
+        and st.getPath().getName() not in skip
+    )
+    payload = json.dumps(
+        {
+            "generation": generation,
+            "files": files,
+            "retire": sorted(retire or ()),
+        }
+    ).encode()
+    tmp = HPath(f"{base}/{MANIFEST_PREFIX[:-1]}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(payload))
+    out.close()
+    fs.rename(tmp, HPath(f"{base}/{MANIFEST_PREFIX}{generation:012d}"))
+    # prune manifests older than the previous generation
+    for st in fs.listStatus(HPath(base)):
+        name = st.getPath().getName()
+        if name.startswith(MANIFEST_PREFIX):
+            try:
+                g = int(name[len(MANIFEST_PREFIX):])
+            except ValueError:
+                continue
+            if g < generation - 1:
+                fs.delete(st.getPath(), False)
+    return generation
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    base = path.rstrip("/")
+    fs, HPath = _hadoop_fs(spark, base)
+    if not fs.exists(HPath(base)):
+        return None
+    gens = []
+    for st in fs.listStatus(HPath(base)):
+        name = st.getPath().getName()
+        if name.startswith(MANIFEST_PREFIX):
+            try:
+                gens.append(int(name[len(MANIFEST_PREFIX):]))
+            except ValueError:
+                continue
+    if not gens:
+        return None
+    mpath = HPath(f"{base}/{MANIFEST_PREFIX}{max(gens):012d}")
+    stream = fs.open(mpath)
+    try:
+        # py4j passes arrays by value — a Java-side readFully cannot
+        # mutate a Python bytearray; toByteArray RETURNS the bytes
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return json.loads(bytes(raw).decode())
+    finally:
+        stream.close()
+
+
+def read_snapshot(spark: SparkSession, path: str, retries: int = 5) -> DataFrame:
+    """Snapshot-isolated read of a row-level-merged dataset.
+
+    Resolves ``_MANIFEST`` and reads EXACTLY its committed file list —
+    a concurrent merge's already-published-but-uncommitted files are
+    invisible, and a half-retired old generation is never mixed with a
+    new one.  If the resolved generation's files vanish mid-read (the
+    reader pinned a manifest in the instant before a commit retired
+    them), re-resolve and retry — optimistic reader concurrency, the
+    same contract as a table format's snapshot re-resolution.  Datasets
+    without a manifest (written by plain Spark) fall back to a normal
+    directory read.
+    """
+    import time
+
+    base = path.rstrip("/")
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        try:
+            m = _read_manifest(spark, base)
+            if m is None:
+                return spark.read.parquet(base)
+            files = [f"{base}/{f}" for f in m["files"]]
+            if not files:
+                return spark.read.parquet(base).limit(0)
+            df = spark.read.parquet(*files)
+            df.count()  # force file resolution against THIS snapshot
+            return df
+        except Exception as e:  # noqa: BLE001 — retired under us: re-resolve
+            last_err = e
+            # drop Spark's shared FileStatusCache entries for the
+            # dataset — a stale listing would re-fail every retry
+            try:
+                spark.catalog.refreshByPath(base)
+            except Exception:  # noqa: BLE001
+                pass
+            time.sleep(0.05 * (attempt + 1))
+    raise last_err if last_err else RuntimeError("unreachable")
+
+
+def vacuum(spark: SparkSession, path: str) -> int:
+    """Physically remove the current snapshot's pending-retire files
+    and commit a clean generation.  Run after the last merge before
+    handing the directory to manifest-unaware readers (plain
+    ``spark.read.parquet``), exactly like a table format's VACUUM.
+    Returns the number of files removed.
+    """
+    base = path.rstrip("/")
+    m = _read_manifest(spark, base)
+    if m is None or not m.get("retire"):
+        return 0
+    fs, HPath = _hadoop_fs(spark, base)
+    for name in m["retire"]:
+        fs.delete(HPath(f"{base}/{name}"), False)
+    _commit_manifest(spark, base)
+    return len(m["retire"])

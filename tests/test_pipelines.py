@@ -239,6 +239,15 @@ def test_upsert_parquet_rowlevel_rewrites_only_affected_files(spark, tmp_path):
     assert stats["files_total"] == 4
     assert stats["files_rewritten"] == 1  # ids 3 and 7 share a range file
 
+    # snapshot read is correct immediately; the superseded original is
+    # retained one generation for in-flight readers
+    got_snap = {
+        r["id"]: r["v"] for r in sources.read_snapshot(spark, path).collect()
+    }
+    assert len(got_snap) == 41 and got_snap[3] == "V3"
+
+    # vacuum retires it physically; plain directory reads then agree
+    assert sources.vacuum(spark, path) == 1
     after = {f for f in os.listdir(path) if f.startswith("part-")}
     # untouched files still present under their original names
     assert len(before & after) == 3
@@ -257,7 +266,12 @@ def test_upsert_parquet_rowlevel_first_write_and_pure_insert(spark, tmp_path):
     path = str(tmp_path / "t2")
     u1 = spark.createDataFrame([(1, "a", 1.0)], "id long, v string, x double")
     stats = sources.upsert_parquet_rowlevel(spark, path, u1, ["id"])
-    assert stats == {"files_total": 0, "files_rewritten": 0, "rows_written": 1}
+    assert stats == {
+        "files_total": 0,
+        "files_rewritten": 0,
+        "rows_written": 1,
+        "generation": 0,
+    }
 
     before = {f for f in os.listdir(path) if f.startswith("part-")}
     u2 = spark.createDataFrame([(2, "b", 1.0)], "id long, v string, x double")
@@ -267,6 +281,81 @@ def test_upsert_parquet_rowlevel_first_write_and_pure_insert(spark, tmp_path):
     assert before <= after  # originals untouched, new file appended
     got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert got == [(1, "a", 1.0), (2, "b", 1.0)]
+
+
+def test_upsert_rowlevel_snapshot_isolation_concurrent_reader(spark, tmp_path):
+    """A reader resolving the manifest must only ever observe COMPLETE
+    committed generations while merges run — never a half-published
+    file set, duplicate keys, or a dipped row count (the SQLite
+    transaction guarantee the reference relied on)."""
+    import threading
+
+    path = str(tmp_path / "iso")
+    base = spark.createDataFrame(
+        [(i, "v0") for i in range(40)], "id long, v string"
+    ).repartitionByRange(4, "id")
+    # plain-Spark bootstrap (no manifest yet): the first merge must
+    # adopt the legacy dataset and commit generation 1
+    base.write.parquet(path)
+
+    valid_counts = {40, 45, 50, 55, 60}
+    observed, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = sources.read_snapshot(spark, path).count()
+                observed.append(n)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for g in range(4):
+            # each merge UPDATES 10 existing keys (forcing file
+            # rewrites) and INSERTS 5 new ones (count moves 40->45...)
+            lo = 40 + g * 5
+            upd = spark.createDataFrame(
+                [(i, f"g{g}") for i in range(0, 10)]
+                + [(i, f"g{g}") for i in range(lo, lo + 5)],
+                "id long, v string",
+            )
+            stats = sources.upsert_parquet_rowlevel(spark, path, upd, ["id"])
+            assert stats["files_rewritten"] >= 1
+    finally:
+        stop.set()
+        t.join()
+
+    assert not errors, errors[:3]
+    assert observed, "reader never completed a single read"
+    bad = [n for n in observed if n not in valid_counts]
+    assert not bad, f"inconsistent snapshots observed: {sorted(set(bad))}"
+    assert sources.read_snapshot(spark, path).count() == 60
+    # after vacuum, a plain directory read agrees too
+    sources.vacuum(spark, path)
+    assert spark.read.parquet(path).count() == 60
+
+
+def test_upsert_rowlevel_rejects_partitioned_target(spark, tmp_path):
+    path = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(1, 2020, "a")], "id long, year int, v string"
+    ).write.partitionBy("year").parquet(path)
+    upd = spark.createDataFrame([(1, 2020, "b")], "id long, year int, v string")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        sources.upsert_parquet_rowlevel(spark, path, upd, ["id"])
+
+
+def test_upsert_rowlevel_rejects_schema_mismatch(spark, tmp_path):
+    path = str(tmp_path / "mismatch")
+    spark.createDataFrame(
+        [(1, "a", 9.0)], "id long, v string, extra double"
+    ).write.parquet(path)
+    upd = spark.createDataFrame([(1, "b")], "id long, v string")
+    with pytest.raises(ValueError, match="column mismatch"):
+        sources.upsert_parquet_rowlevel(spark, path, upd, ["id"])
 
 
 def test_curate_documents_funnel(spark):
