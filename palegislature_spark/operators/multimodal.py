@@ -275,15 +275,44 @@ def audio_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    payload[start:end] — the documented 4-byte-size + 4-byte-type
+    layout (size==1 → 64-bit largesize follows)."""
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", payload, off)[0]
+        btype = payload[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = struct.unpack_from(">Q", payload, off + 8)[0]
+            body = off + 16
+        if size < 8 or off + size > end:
+            return
+        yield btype, body, off + size
+        off += size
+
+
 def video_stats(payload: bytes, meta: dict | None) -> dict:
-    """Per-payload video statistics — real RIFF/AVI main-header parse
-    (pure stdlib ``struct`` over the ``avih`` chunk) when the payload
-    is an AVI container, deterministic metadata-driven fake otherwise.
-    The third modality seam beside the Pillow image codec and the
-    ``wave`` audio decode: no video LIBRARY exists in the stdlib, but
-    the container header is a documented fixed layout, so frame
-    count / fps / geometry are a real decode here, while pixel-level
-    work stays behind the codec seam."""
+    """Per-payload video statistics — real container-header parses
+    (pure stdlib ``struct``) for the two dominant layouts, and a
+    deterministic metadata-driven fake otherwise.  The third modality
+    seam beside the Pillow image codec and the ``wave`` audio decode:
+    no video LIBRARY exists in the stdlib, but both container headers
+    are documented fixed layouts, so geometry / duration / frame
+    count are a real decode here, while pixel-level work stays behind
+    the codec seam.
+
+    * RIFF/AVI: ``avih`` main header (usec-per-frame, frame count,
+      streams, width, height).
+    * MP4/ISO-BMFF: box walk ``moov`` → ``mvhd`` (timescale,
+      duration) + first video ``tkhd`` (16.16 fixed-point width and
+      height); frame count is not in the movie header, so 0.
+    """
     import struct
 
     if (
@@ -313,6 +342,42 @@ def video_stats(payload: bytes, meta: dict | None) -> dict:
                 "n_streams": int(n_streams),
                 "fps": fps,
                 "duration_s": (n_frames / fps) if fps else 0.0,
+                "parsed": True,
+            }
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        duration_s, width, height, n_streams = 0.0, 0, 0, 0
+        found = False
+        for btype, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+            if btype != b"moov":
+                continue
+            for ctype, c0, c1 in _mp4_boxes(payload, b0, b1):
+                if ctype == b"mvhd" and c1 - c0 >= 20:
+                    version = payload[c0]
+                    if version == 1 and c1 - c0 >= 28:
+                        timescale = struct.unpack_from(">I", payload, c0 + 20)[0]
+                        duration = struct.unpack_from(">Q", payload, c0 + 24)[0]
+                    else:
+                        timescale = struct.unpack_from(">I", payload, c0 + 12)[0]
+                        duration = struct.unpack_from(">I", payload, c0 + 16)[0]
+                    if timescale:
+                        duration_s = duration / timescale
+                    found = True
+                elif ctype == b"trak":
+                    n_streams += 1
+                    for ttype, t0, t1 in _mp4_boxes(payload, c0, c1):
+                        # width/height are the last 8 bytes of tkhd,
+                        # 16.16 fixed point; nonzero only for video
+                        if ttype == b"tkhd" and t1 - t0 >= 8 and not width:
+                            w16, h16 = struct.unpack_from(">II", payload, t1 - 8)
+                            width, height = w16 >> 16, h16 >> 16
+        if found:
+            return {
+                "width": int(width),
+                "height": int(height),
+                "n_frames": 0,  # not recorded in the movie header
+                "n_streams": int(n_streams),
+                "fps": 0.0,
+                "duration_s": duration_s,
                 "parsed": True,
             }
     m = meta or {}

@@ -216,3 +216,44 @@ def test_video_features_fake_fallback(video_media):
     fake = got[21]
     assert fake["parsed"] is False
     assert (fake["width"], fake["height"], fake["n_frames"]) == (2, 2, 5)
+
+
+def _mp4_bytes(w: int = 640, h: int = 360, duration: int = 3000,
+               timescale: int = 600) -> bytes:
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3                      # version 0, flags
+        + struct.pack(">II", 0, 0)                  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,                             # rate..next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00" + b"\x00\x00\x07"                   # version 0, flags
+        + struct.pack(">IIII", 0, 0, 1, 0)          # times, track id, rsvd
+        + struct.pack(">I", duration)
+        + b"\x00" * 52                              # reserved, matrix
+        + struct.pack(">II", w << 16, h << 16),     # 16.16 fixed w/h
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov + box(b"mdat", b"\x00" * 16)
+
+
+def test_video_features_real_mp4_boxes(spark):
+    meta = {"format": "mp4", "width": None, "height": None,
+            "sample_rate": None, "n_frames": None, "frame_bytes": None}
+    df = spark.createDataFrame(
+        [(30, "video", _mp4_bytes(), meta)], mm.MEDIA_SCHEMA
+    )
+    got = mm.video_features(df).collect()[0]
+    assert got["parsed"] is True
+    assert (got["width"], got["height"]) == (640, 360)
+    assert got["n_streams"] == 1
+    assert abs(got["duration_s"] - 5.0) < 1e-9  # 3000 / 600
+    assert got["n_frames"] == 0  # not recorded in the movie header
