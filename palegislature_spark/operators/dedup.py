@@ -263,12 +263,14 @@ def _winnow_fingerprints_arrow(
         for pdf in batches:
             ids, fps = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL/short text: drop the row, matching the expr
+                # impl's length(text) >= k filter semantics
+                if not isinstance(text, str) or len(text) < k:
+                    continue
                 # utf-32-le decode = exact codepoints, matching F.ascii
                 codes = np.frombuffer(
                     text.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
-                if codes.size < k:
-                    continue
                 grams = sliding_window_view(codes, k) @ pow_row
                 if grams.size < w:
                     continue

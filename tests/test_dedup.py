@@ -7,6 +7,8 @@ is pinned independently of the DuckDB oracle harness.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from palegislature_spark.operators import dedup
 from tests.conftest import rows
@@ -153,3 +155,50 @@ def test_winnow_impls_agree(spark):
     b = set(map(tuple, dedup.winnow_fingerprints(docs, "doc_id", "text", impl="arrow").collect()))
     assert a == b and len(a) > 0
     assert not any(i == 4 for i, _ in a)
+
+
+def test_winnow_arrow_null_text_dropped(spark):
+    # NULL text must be DROPPED (the expr impl's length-filter
+    # semantics), not crash the Arrow loop (ADVICE r4)
+    docs = spark.createDataFrame(
+        [(1, "a normal document body here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    a = set(map(tuple, dedup.winnow_fingerprints(docs, "doc_id", "text", impl="expr").collect()))
+    b = set(map(tuple, dedup.winnow_fingerprints(docs, "doc_id", "text", impl="arrow").collect()))
+    assert a == b
+    assert {i for i, _ in b} == {1}
+
+
+# mixed scripts + surrogate-adjacent codepoints + astral plane; real
+# surrogates are unencodable in any UTF and cannot appear in data read
+# from Parquet, so they are out of domain
+_WINNOW_ALPHABET = (
+    "ab e\t\n.-ü√Ω世界ж"  # latin/space/punct/greek/CJK/cyrillic
+    "퟿"          # the codepoints bracketing the surrogate gap
+    "\U0001f600\U0010ffff"  # astral plane incl. the max codepoint
+)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=_WINNOW_ALPHABET, min_size=0, max_size=5 + 4 + 4),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=12, deadline=None, derandomize=True)
+def test_winnow_impls_bit_identical_property(spark, texts):
+    """Hypothesis corpus over the adversarial alphabet, lengths
+    0..k+w+4 straddling both drop thresholds: the Arrow impl (driver
+    default) must produce BIT-IDENTICAL fingerprints to the
+    expression twin on every document."""
+    k, w = 5, 4
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.winnow_fingerprints(df, "doc_id", "text", k=k, w=w, impl="expr").collect()))
+    b = sorted(map(tuple, dedup.winnow_fingerprints(df, "doc_id", "text", k=k, w=w, impl="arrow").collect()))
+    assert a == b
+    # drop semantics: every doc shorter than k contributes nothing
+    short = {i for i, t in docs if len(t) < k}
+    assert not ({i for i, _ in b} & short)
