@@ -117,24 +117,39 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
 
-    def timed(build, prebuilt=None):
+    colds: dict[str, float] = {}
+
+    def timed(build):
+        # The plan is built INSIDE the timed region on every rep: a
+        # prebuilt plan would let any localCheckpoint inside the
+        # builder (e.g. the MinHash candidate-pair set) materialize on
+        # rep 1 and be reused by reps 2-3, so min() would exclude that
+        # real cost. Rebuilding per rep charges it every time; the
+        # first-rep time is additionally recorded as `cold` so the
+        # fully-uncached cost stays visible even where later reps
+        # benefit from OS page cache or shuffle reuse.
         samples = []
         for _ in range(reps):
             t0 = time.time()
-            df = prebuilt if prebuilt is not None else build()
-            df.write.format("noop").mode("overwrite").save()
+            build().write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        return round(min(samples), 3), round(max(samples) - min(samples), 3)
+        return (
+            round(min(samples), 3),
+            round(max(samples) - min(samples), 3),
+            round(samples[0], 3),
+        )
 
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # plan built once outside the timer (write-only timing, as in
-        # every prior BENCH artifact, so numbers stay comparable)
-        timings[name], spreads[name] = timed(None, prebuilt=fn(spark, sf_dir))
+        timings[name], spreads[name], colds[name] = timed(
+            lambda fn=fn: fn(spark, sf_dir)
+        )
     for name, fn in EXTRA.items():
         # timer wraps the builder too: match_vote_names materializes
         # its fixpoint via localCheckpoint during plan construction
-        timings[name], spreads[name] = timed(lambda: fn(spark, sf_dir, sf))
+        timings[name], spreads[name], colds[name] = timed(
+            lambda fn=fn: fn(spark, sf_dir, sf)
+        )
 
     total = round(sum(timings.values()), 3)
     # loadavg at finish: round-over-round deltas are only attributable
@@ -149,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "cold": colds,
                 "reps": reps,
                 "sf": sf,
                 "loadavg": [la1, la5, la15],

@@ -73,9 +73,17 @@ def curate_documents(
     sig = quality_signals(docs, id_col, text_col)
     gated = sig.withColumn(
         "q_ok",
-        (F.col("n_words") >= min_words)
-        & (F.col("stop_ratio") <= max_stop_ratio)
-        & (F.col("distinct_ratio") >= min_distinct_ratio),
+        # NULL text yields NULL signals, so the raw conjunction is
+        # NULL — which every downstream when() branch treats as false,
+        # silently landing the row in 'kept'. Coalesce to false so a
+        # NULL-text document is gated as low_quality like any other
+        # failing row.
+        F.coalesce(
+            (F.col("n_words") >= min_words)
+            & (F.col("stop_ratio") <= max_stop_ratio)
+            & (F.col("distinct_ratio") >= min_distinct_ratio),
+            F.lit(False),
+        ),
     )
     w = Window.partitionBy(text_col).orderBy(id_col)
     exdup = (

@@ -322,7 +322,7 @@ q AS (
   FROM q0
 ),
 gated AS (
-  SELECT *, (n_words >= 12 AND stop_ratio <= 0.21 AND distinct_ratio >= 0.35) AS q_ok
+  SELECT *, COALESCE(n_words >= 12 AND stop_ratio <= 0.21 AND distinct_ratio >= 0.35, FALSE) AS q_ok
   FROM q
 ),
 exdup AS (

@@ -384,6 +384,22 @@ def test_curate_documents_funnel(spark):
     }
 
 
+def test_curate_documents_null_and_empty_text(spark):
+    """NULL text makes every quality signal NULL; without the coalesce
+    the NULL q_ok slid past all when() branches and the row surfaced
+    as a 'kept' survivor with NULL n_words. Both NULL and empty text
+    must gate as low_quality."""
+    from palegislature_spark import pipelines as P
+
+    good = "the a of and " + " ".join(f"w{i}" for i in range(36))
+    docs = spark.createDataFrame(
+        [(1, good), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in P.curate_documents(docs).collect()}
+    assert got == {1: "kept", 2: "low_quality", 3: "low_quality"}
+
+
 @pytest.mark.skipif(not REFERENCE_ROOT.exists(), reason="reference corpus absent")
 def test_whole_corpus_roundtrip(spark, tmp_path):
     """Every published file (38 year x chamber matrices, 2007-2025)
