@@ -2,7 +2,11 @@
 completeness gating, the analytical matrix export, and the composed
 training-data curation funnel."""
 
-from palegislature_spark.pipelines.curate import curate_documents, quality_signals
+from palegislature_spark.pipelines.curate import (
+    compact_curated,
+    curate_documents,
+    quality_signals,
+)
 from palegislature_spark.pipelines.status import complete_keys, crawl_statuses
 from palegislature_spark.pipelines.dump import (
     export_matrices,
@@ -12,6 +16,7 @@ from palegislature_spark.pipelines.dump import (
 )
 
 __all__ = [
+    "compact_curated",
     "complete_keys",
     "crawl_statuses",
     "curate_documents",

@@ -110,3 +110,41 @@ def curate_documents(
             "n_words",
         )
     )
+
+
+def compact_curated(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Batch back half of the streaming curation funnel.
+
+    ``streaming.curate_stream`` emits quality-gated documents with
+    exact duplicates suppressed only WITHIN the watermark (bounded
+    state); corpus-wide work is deliberately left to this periodic
+    compaction over the merged sink:
+
+    * exact duplicates that straddled the watermark (same text, state
+      already evicted when the straggler arrived);
+    * near-duplicates (MinHash-LSH banding needs a corpus-wide
+      candidate join no stream can run with bounded state).
+
+    Smaller-id-wins on both stages — the same deterministic pruning
+    as :func:`curate_documents`, so stream-then-compact lands on the
+    identical kept set as running the pure-batch funnel over the full
+    corpus (asserted end-to-end in tests/test_streaming.py).
+
+    Returns the kept rows ``(id, text)``.
+    """
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(id_col, text_col)
+    )
+    nd_pairs = dedup.minhash_lsh_pairs(
+        survivors, id_col, text_col, n=3, threshold=jaccard_threshold
+    )
+    nd_dropped = nd_pairs.select(F.col("id_2").alias(id_col)).distinct()
+    return survivors.join(nd_dropped, id_col, "left_anti")

@@ -241,3 +241,71 @@ def test_curate_stream_gates_and_dedups_across_batches(spark, tmp_path):
     drain(q)
     got = rows(spark.table("curated_t"), "doc_id")
     assert got == [(1,), (5,)]
+
+
+def test_stream_then_compact_equals_batch_funnel(spark, tmp_path):
+    """End-to-end composed contract (streaming front half -> merge
+    sink -> batch compaction): the kept set equals running the pure
+    batch funnel over the full corpus.
+
+    The straggler (doc 7) repeats doc 5's text AFTER the watermark
+    evicted its dedup state, so it passes the stream and must be
+    caught by the compaction's corpus-wide exact-dedup; doc 3 is a
+    near-dup only the compaction's MinHash stage can see. Same-text
+    rows never share a micro-batch, so the stream's first-seen
+    tie-break agrees with the batch funnel's smaller-id-wins."""
+    from palegislature_spark import pipelines as P
+
+    A = "the a of and " + " ".join(f"w{i}" for i in range(36))
+    nearA = A.replace(" w17 ", " x17 ", 1)
+    B = "the a of and " + " ".join(f"x{i}" for i in range(36))
+    C = "the a of and " + " ".join(f"y{i}" for i in range(36))
+    D = "the a of and " + " ".join(f"z{i}" for i in range(36))
+    E = "the a of and " + " ".join(f"v{i}" for i in range(36))
+    batches = [
+        [(1, TS(2024, 1, 1, 10, 0), A),
+         (3, TS(2024, 1, 1, 10, 10), nearA),
+         (4, TS(2024, 1, 1, 10, 15), "too short")],
+        [(2, TS(2024, 1, 1, 10, 20), A),      # in-watermark dup: stream drops
+         (5, TS(2024, 1, 1, 10, 30), B),
+         (8, TS(2024, 1, 1, 10, 40), C)],
+        [(9, TS(2024, 1, 1, 13, 0), D)],      # advances watermark past B's state
+        # the watermark for batch N derives from data through N-1 and
+        # state cleanup runs at batch end, so B's entry is evicted only
+        # at the END of this batch — one more batch before the straggler
+        [(10, TS(2024, 1, 1, 13, 5), E)],
+        [(7, TS(2024, 1, 1, 13, 10), B)],     # straggler dup: stream emits
+    ]
+    src = tmp_path / "docs_src"
+    for b in batches:
+        spark.createDataFrame(b, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = streaming.read_stream(spark, str(src), DOC_SCHEMA, max_files_per_trigger=1)
+    out = streaming.curate_stream(stream, watermark="1 hour")
+    sink_path = str(tmp_path / "curated_sink")
+    q = streaming.stream_upsert_parquet(
+        out, sink_path, ["doc_id"], str(tmp_path / "cp")
+    )
+    drain(q)
+
+    streamed = spark.read.parquet(sink_path)
+    # the stream let the straggler through (bounded state is the point)
+    assert sorted(r["doc_id"] for r in streamed.collect()) == [1, 3, 5, 7, 8, 9, 10]
+
+    composed_kept = rows(
+        P.compact_curated(streamed.select("doc_id", "text")), "doc_id"
+    )
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], DOC_SCHEMA
+    ).select("doc_id", "text")
+    batch_kept = rows(
+        P.curate_documents(all_docs).filter("status = 'kept'").select("doc_id"),
+        "doc_id",
+    )
+    assert (
+        composed_kept
+        == [(r[0],) for r in batch_kept]
+        == [(1,), (5,), (8,), (9,), (10,)]
+    )
