@@ -703,3 +703,67 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = 8,
+    threshold: float = 0.95,
+    refine_iters: int = 0,
+    exact_replay: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding corpus, then prune
+    within-cluster pairs whose cosine similarity reaches ``threshold``
+    — the published recipe for dropping *semantic* duplicates (same
+    content, different surface form) that no text-hash dedup can see.
+
+    Clustering reuses the IVF index (:func:`ivf_assignments` — the
+    deterministic sampled-centroid pick plus optional Lloyd
+    refinement), so the quadratic pair scan is confined to single
+    clusters: with ``n_lists=None`` (√n lists) expected pair work is
+    n^1.5 instead of n^2, and each cluster's pairs co-locate under one
+    shuffle key. Smaller-id-wins pruning, same convention as every
+    dedup operator here; violations-as-data — every input id comes
+    back with a status instead of silently vanishing.
+
+    Output: ``(id, list_id, status)`` with status in
+    {'kept', 'semantic_dup'}.
+    """
+    _, assignments = ivf_assignments(
+        embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay
+    )
+    withn = assignments.withColumn("__n", _norm(F.col("__vec")))
+    l = withn.select(
+        F.col(id_col).alias("__id1"), "list_id",
+        F.col("__vec").alias("__v1"), F.col("__n").alias("__n1"),
+    )
+    r = withn.select(
+        F.col(id_col).alias("__id2"), "list_id",
+        F.col("__vec").alias("__v2"), F.col("__n").alias("__n2"),
+    )
+    dup_ids = (
+        l.join(r, "list_id")
+        .filter(F.col("__id1") < F.col("__id2"))
+        .filter(
+            _dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("__id2").alias(id_col))
+        .distinct()
+    )
+    return (
+        assignments.join(
+            dup_ids.withColumn("__dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "list_id",
+            F.when(F.col("__dup"), "semantic_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )

@@ -256,3 +256,61 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+@register(
+    "semantic_dedup",
+    covers="dedup extension: SemDeDup-style semantic near-dup pruning — "
+    "k-means clusters (IVF index) confine the quadratic cosine scan to "
+    "single clusters; smaller-id-wins, violations-as-data",
+    oracle="""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+-- deterministic centroid pick: smallest mix31(vec_id), replayed as in knn_ivf
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM emb
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked WHERE pick <= 8
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN centroids c
+),
+assignments AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assignments a
+  JOIN assignments b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+)
+SELECT a.vec_id,
+       CAST(a.list_id AS BIGINT) AS list_id,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'semantic_dup' ELSE 'kept' END AS status
+FROM assignments a LEFT JOIN dups d USING (vec_id)
+""",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus (threshold 0.4 — the sf
+    corpus is spread; real semantic-dup corpora run 0.95+). The
+    centroid pick and assignment are deterministic integer/double
+    arithmetic, so DuckDB replays the identical clustering and the
+    within-cluster pair scan — an exact-checkable approximation, like
+    knn_ivf."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.4, n_lists=8)
+    return out.select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id"), "status"
+    )

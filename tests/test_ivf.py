@@ -153,3 +153,38 @@ def test_scale_and_exact_refinement_recall_match_10k(skewed_10k):
     r_exact = recall(exact_replay=True)
     assert abs(r_scale - r_exact) <= 0.02
     assert r_scale >= 0.5  # probed-list recall floor on the skewed corpus
+
+
+def test_semantic_dedup_flags_planted_duplicates(spark):
+    """Planted near-identical pairs inside well-separated clusters are
+    flagged with smaller-id-wins; spread vectors stay kept; statuses
+    partition the corpus (violations-as-data)."""
+    pts = []
+    for i in range(24):
+        angle = (i % 4) * 1.5 + (i * 0.01)
+        pts.append((i, [math.cos(angle), math.sin(angle)]))
+    # planted semantic dups: ~identical to vectors 0 and 1
+    pts.append((100, [math.cos(0.0 * 1.5 + 0.0001), math.sin(0.0001)]))
+    pts.append((101, [math.cos(1.5 + 0.0101 + 0.0001), math.sin(1.5 + 0.0102)]))
+    df = spark.createDataFrame(pts, SCHEMA)
+
+    out = similarity.semantic_dedup(df, n_lists=4, threshold=0.999999)
+    by_status = {r["vec_id"]: r["status"] for r in out.collect()}
+    assert len(by_status) == 26
+    assert by_status[100] == "semantic_dup"      # 0 < 100 keeps 0
+    assert by_status[101] == "semantic_dup"
+    assert by_status[0] == "kept"
+    assert by_status[1] == "kept"
+    assert sum(s == "semantic_dup" for s in by_status.values()) == 2
+
+
+def test_semantic_dedup_sqrt_n_lists_matches_fixed(spark):
+    """n_lists=None (sqrt-n sizing) still flags the planted dups — the
+    scale default is usable as a drop-in."""
+    pts = [(i, [math.cos(i * 2.0), math.sin(i * 2.0)]) for i in range(100)]
+    pts.append((500, [math.cos(6.0 + 1e-6), math.sin(6.0 + 1e-6)]))  # dup of id 3
+    df = spark.createDataFrame(pts, SCHEMA)
+    out = similarity.semantic_dedup(df, n_lists=None, threshold=0.9999999)
+    statuses = {r["vec_id"]: r["status"] for r in out.collect()}
+    assert statuses[500] == "semantic_dup"
+    assert statuses[3] == "kept"

@@ -45,6 +45,9 @@ ALLOW_NESTED_LOOP = {
     # cartesian.  The candidate join that dominates at scale is the
     # list_id equi-join.
     "knn_ivf",
+    # Same IVF centroid attach (vectors x broadcast 8-row centroid
+    # set); the within-cluster pair scan itself is a list_id equi-join.
+    "semantic_dedup",
     # The only NLJ left after the keyed-branch rewrite of the member
     # match (er/member_ingest.py) is the new-member id allocator's
     # crossJoin(broadcast(max(id))) — a 1-row scalar attach, the
