@@ -2,6 +2,7 @@
 YAML config, incremental work queues."""
 
 from palegislature_spark.sources.merge import (
+    compact_files,
     merge_by_key,
     overwrite_updates,
     read_snapshot,
@@ -19,6 +20,7 @@ from palegislature_spark.sources.rules import (
 from palegislature_spark.sources.queue import stale_items, work_queue
 
 __all__ = [
+    "compact_files",
     "load_edits",
     "load_matrix_csv",
     "member_rename_rules",

@@ -415,7 +415,9 @@ def _commit_manifest(
     return generation
 
 
-def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+def _read_manifest(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> dict | None:
     base = path.rstrip("/")
     fs, HPath = _hadoop_fs(spark, base)
     if not fs.exists(HPath(base)):
@@ -430,7 +432,18 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
                 continue
     if not gens:
         return None
-    mpath = HPath(f"{base}/{MANIFEST_PREFIX}{max(gens):012d}")
+    if generation is not None:
+        if generation not in gens:
+            raise ValueError(
+                f"generation {generation} not available at {base}; "
+                f"present: {sorted(gens)} (commits prune manifests older "
+                "than the previous generation — the time-travel window is "
+                "the last two commits)"
+            )
+        pick = generation
+    else:
+        pick = max(gens)
+    mpath = HPath(f"{base}/{MANIFEST_PREFIX}{pick:012d}")
     stream = fs.open(mpath)
     try:
         # py4j passes arrays by value — a Java-side readFully cannot
@@ -441,8 +454,19 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
         stream.close()
 
 
-def read_snapshot(spark: SparkSession, path: str, retries: int = 5) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    retries: int = 5,
+    generation: int | None = None,
+) -> DataFrame:
     """Snapshot-isolated read of a row-level-merged dataset.
+
+    ``generation`` pins a specific commit (time travel) instead of the
+    latest; the window is the last TWO generations — commits prune
+    older manifests, and a retired generation's files are physically
+    removed one commit after they leave the live set, the same
+    retention that lets a mid-scan reader survive a concurrent commit.
 
     Resolves ``_MANIFEST`` and reads EXACTLY its committed file list —
     a concurrent merge's already-published-but-uncommitted files are
@@ -460,8 +484,10 @@ def read_snapshot(spark: SparkSession, path: str, retries: int = 5) -> DataFrame
     last_err: Exception | None = None
     for attempt in range(retries):
         try:
-            m = _read_manifest(spark, base)
+            m = _read_manifest(spark, base, generation)
             if m is None:
+                if generation is not None:
+                    raise ValueError(f"no manifest at {base} to time-travel")
                 return spark.read.parquet(base)
             files = [f"{base}/{f}" for f in m["files"]]
             if not files:
@@ -497,3 +523,82 @@ def vacuum(spark: SparkSession, path: str) -> int:
         fs.delete(HPath(f"{base}/{name}"), False)
     _commit_manifest(spark, base)
     return len(m["retire"])
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Bin-pack small data files into ~``target_file_bytes`` outputs
+    and commit the result as a new snapshot generation.
+
+    Incremental sinks (stream_upsert_parquet micro-batches, frequent
+    row-level merges) accrete many small files; at cluster scale each
+    file costs a task plus footer/open overhead, so scan cost drifts
+    away from data cost — the standard table-format answer is a
+    periodic OPTIMIZE/rewrite, which this implements on the manifest
+    protocol: rewrite only the undersized files, publish replacements,
+    then one atomic manifest commit.  Readers on the current
+    generation keep their file set (compacted originals move to the
+    retire list and are physically removed one generation later, as
+    with the row-level merge); ``read_snapshot`` concurrency holds
+    unchanged.
+
+    Returns {"files_compacted", "files_written", "generation"}
+    (all zero / current generation when fewer than two small files
+    exist — nothing to gain).
+    """
+    base = path.rstrip("/")
+    fs, HPath = _hadoop_fs(spark, base)
+    manifest = _read_manifest(spark, base)
+    if manifest is not None:
+        live = set(manifest["files"])
+    else:
+        live = {
+            st.getPath().getName()
+            for st in fs.listStatus(HPath(base))
+            if st.getPath().getName().startswith("part-")
+        }
+    small = [
+        st.getPath().getName()
+        for st in fs.listStatus(HPath(base))
+        if st.getPath().getName() in live and st.getLen() < target_file_bytes
+    ]
+    if len(small) < 2:
+        gen = manifest["generation"] if manifest else 0
+        return {"files_compacted": 0, "files_written": 0, "generation": gen}
+    total = sum(
+        st.getLen()
+        for st in fs.listStatus(HPath(base))
+        if st.getPath().getName() in set(small)
+    )
+    n_out = max(1, -(-total // target_file_bytes))  # ceil division
+
+    staging = base + ".__compact__"
+    fs.delete(HPath(staging), True)
+    spark.read.parquet(*[f"{base}/{f}" for f in small]).repartition(
+        int(n_out)
+    ).write.mode("overwrite").parquet(staging)
+
+    # age out the previous generation's retire list before relisting —
+    # same order as the row-level merge, so the fresh manifest never
+    # resurrects superseded files
+    if manifest is not None:
+        for name in manifest.get("retire", []):
+            fs.delete(HPath(f"{base}/{name}"), False)
+    written = 0
+    for st in fs.listStatus(HPath(staging)):
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(st.getPath(), HPath(f"{base}/{name}"))
+            written += 1
+    fs.delete(HPath(staging), True)
+    generation = _commit_manifest(
+        spark, base, exclude=set(small), retire=set(small)
+    )
+    return {
+        "files_compacted": len(small),
+        "files_written": written,
+        "generation": generation,
+    }

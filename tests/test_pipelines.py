@@ -422,3 +422,65 @@ def test_whole_corpus_roundtrip(spark, tmp_path):
         if pathlib.Path(paths[0]).read_bytes() != f.read_bytes():
             bad.append(str(f))
     assert bad == []
+
+
+def test_compact_files_binpacks_small_files(spark, tmp_path):
+    """Micro-batch accretion -> many small files; compact_files must
+    bin-pack them into few outputs, preserve the exact row set through
+    read_snapshot, and no-op when nothing is gained."""
+    import os
+
+    path = str(tmp_path / "accrete")
+    for i in range(6):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"v{i}_{j}") for j in range(10)], "id long, v string"
+        )
+        sources.upsert_parquet_rowlevel(spark, path, batch, ["id"])
+    n_small = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    before_rows = sorted(tuple(r) for r in sources.read_snapshot(spark, path).collect())
+    assert len(before_rows) == 60
+
+    stats = sources.compact_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_compacted"] >= 2
+    assert stats["files_written"] < stats["files_compacted"]
+    after_rows = sorted(tuple(r) for r in sources.read_snapshot(spark, path).collect())
+    assert after_rows == before_rows
+
+    # compacted originals are retired one generation later, not leaked
+    sources.vacuum(spark, path)
+    live = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(live) == stats["files_written"]
+    assert len(live) < n_small
+    plain = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert plain == before_rows
+
+    # 60 tiny rows pack into one file; a lone small file is never
+    # "compacted" further — the second call must be a clean no-op
+    assert stats["files_written"] == 1
+    again = sources.compact_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert again["files_compacted"] == 0 and again["files_written"] == 0
+
+
+def test_read_snapshot_time_travel(spark, tmp_path):
+    """generation= pins a prior commit (window: last two generations);
+    older pins raise with the retention explanation."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tt")
+    for gen, rows_ in enumerate(
+        ([(1, "a")], [(2, "b")], [(3, "c")]),
+    ):
+        sources.upsert_parquet_rowlevel(
+            spark, path, spark.createDataFrame(rows_, "id long, v string"), ["id"]
+        )
+    latest = sorted(r["id"] for r in sources.read_snapshot(spark, path).collect())
+    assert latest == [1, 2, 3]
+    prev = sorted(
+        r["id"]
+        for r in sources.read_snapshot(spark, path, generation=1).collect()
+    )
+    assert prev == [1, 2]
+    with _pytest.raises(ValueError, match="time-travel window"):
+        sources.read_snapshot(spark, path, generation=0)
