@@ -417,3 +417,75 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("token_id", F.row_number().over(w).cast("long"))
         .select("token_id", "token", F.col("freq").cast("long").alias("freq"))
     )
+
+
+@register(
+    "near_dup_clusters",
+    covers="dedup extension: cluster formation — connected components over "
+    "the MinHash near-dup pair graph + representative pick (the corpus-level "
+    "detect+merge composition, Q2 machinery reused on documents)",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM pos
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2
+  FROM common
+  JOIN cnt c1 ON c1.doc_id = id_1
+  JOIN cnt c2 ON c2.doc_id = id_2
+  WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION
+  SELECT id_2 AS a, id_1 AS b FROM pairs
+),
+-- transitive closure by recursion: min(front) per node = the smallest
+-- id in the node's connected component (edges are symmetric)
+walk(node, front) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.front
+),
+cc AS (SELECT node AS doc_id, min(front) AS comp FROM walk GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(cc.comp, d.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(cc.comp, d.doc_id) = d.doc_id AS is_rep
+FROM documents d LEFT JOIN cc USING (doc_id)
+""",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH pairs (exact-verified, so
+    the pair set equals the exact word-3gram Jaccard graph the oracle
+    computes) -> min-label connected components (er/components.py,
+    O(diameter) shuffle-bounded rounds) -> smallest id as the cluster
+    representative; docs in no pair are singleton clusters of
+    themselves. The DuckDB twin replays components as a recursive
+    transitive closure — exact-checkable graph clustering."""
+    from palegislature_spark.er.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_1", "id_2").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster_id"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_rep"
+        ),
+    )
