@@ -1,0 +1,174 @@
+"""Distributed BPE merge training — the tokenizer-training precursor.
+
+Byte-pair-encoding merges (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") learned over the corpus
+vocabulary: repeatedly count adjacent symbol pairs (weighted by word
+frequency) and merge the most frequent one, left-to-right
+non-overlapping.
+
+Spark-first shape: the state is the VOCABULARY (distinct words with
+counts, dimension-sized no matter how many documents), so each
+iteration is a small groupBy over exploded adjacent pairs plus a
+one-row argmax collect — the same driver-loop discipline as the Lloyd
+refinement and the ER fixpoint (a scalar decision per round, never a
+data-sized collect). The merge itself is applied as a JVM-side
+``aggregate`` fold over each word's symbol array (no UDF), and the
+evolving vocabulary is localCheckpoint()ed per round to keep lineage
+flat. At 100 TB only the initial vocabulary build touches the corpus
+(one explode + one shuffle on token); every round after that runs on
+the vocab table.
+
+The merge application is left-to-right non-overlapping (a fold), the
+published BPE semantics: [l,l,l] under (l,l) becomes [ll,l], and
+[a,b,a,b] under (a,b) becomes [ab,ab].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERGE_SCHEMA = T.StructType(
+    [
+        T.StructField("step", T.LongType()),
+        T.StructField("left_sym", T.StringType()),
+        T.StructField("right_sym", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ]
+)
+
+def _pairs():
+    # adjacent (symbol, next-symbol) pairs; sequence() reverses when
+    # start > stop, so single-symbol words need the explicit empty guard
+    return F.when(
+        F.size("syms") >= 2,
+        F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+
+
+def _apply_merge(a: str, b: str):
+    """Fold: merge every left-to-right non-overlapping (a, b) in syms."""
+    merged = a + b
+
+    def step(acc, s):
+        last = F.when(F.size(acc) > 0, F.element_at(acc, -1))
+        return F.when(
+            (last == F.lit(a)) & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(
+        F.col("syms"), F.expr("array()").cast("array<string>"), step
+    )
+
+
+def vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt): distinct whitespace tokens with corpus frequencies.
+
+    Words containing \\x01/\\x02 are excluded — the DuckDB oracle twin
+    wraps symbols in those control chars to make its string-replace
+    merge boundary-exact, and the Spark side must filter identically.
+    """
+    return (
+        docs.select(F.explode(F.split(text_col, " ")).alias("w"))
+        .filter(
+            (F.col("w") != "")
+            & ~F.col("w").contains("\x01")
+            & ~F.col("w").contains("\x02")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_merge_table(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 12
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (step, left_sym, right_sym, merged, pair_count) — the model
+    artifact a tokenizer trainer exports. Ties break on
+    (count desc, left, right) so the result is deterministic and
+    SQL-replayable."""
+    spark = docs.sparkSession
+    words = (
+        vocabulary(docs, text_col)
+        .withColumn("syms", F.split("w", ""))
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            words.select("cnt", F.explode(_pairs()).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((step, a, b, a + b, n))
+        words = words.withColumn("syms", _apply_merge(a, b)).localCheckpoint()
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: per document,
+    (id, tokens array) after replaying every merge in step order.
+
+    The merge table is model-sized — collected once and applied as a
+    chain of folds inside one projection (a linear JVM pass per
+    document, no shuffle)."""
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in merge_table.orderBy("step").collect()
+    ]
+    out = docs.select(
+        F.col(id_col),
+        F.filter(F.split(text_col, " "), lambda w: w != "").alias("words"),
+    ).select(
+        id_col,
+        F.transform(F.col("words"), lambda w: F.split(w, "")).alias("syms_l"),
+    )
+    col = F.col("syms_l")
+    for a, b in rules:
+        # PySpark's higher-order-function bridge inspects lambda
+        # signatures (default args would read as extra lambda params),
+        # so each rule's fold is built by a closure factory
+        col = _fold_words(col, _make_step(a, b))
+    return out.select(id_col, F.flatten(col).alias("tokens"))
+
+
+def _make_step(a: str, b: str):
+    merged = a + b
+
+    def step(acc, s):
+        last = F.when(F.size(acc) > 0, F.element_at(acc, -1))
+        return F.when(
+            (last == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return step
+
+
+def _fold_words(col, step):
+    def per_word(syms):
+        return F.aggregate(
+            syms, F.expr("array()").cast("array<string>"), step
+        )
+
+    return F.transform(col, per_word)

@@ -489,3 +489,89 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_rep"
         ),
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replay of ``bpe_merge_table``: each iteration is
+    pair-count -> argmax -> string-replace merge. Symbols are wrapped
+    as chr(1)||sym||chr(2) so plain replace() is boundary-exact AND
+    left-to-right non-overlapping — provably equal to the Spark fold
+    ([l,l,l] -> [ll,l]; [a,b,a,b] -> [ab,ab]); '(?s).' keeps any
+    newline chars that survive whitespace tokenization."""
+    ctes = [
+        """words AS (
+  SELECT token AS w, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> '' AND instr(token, chr(1)) = 0 AND instr(token, chr(2)) = 0
+  GROUP BY token
+)""",
+        """syms1 AS (
+  SELECT w, cnt,
+         array_to_string(list_transform(regexp_extract_all(w, '(?s).'),
+                                        c -> chr(1) || c || chr(2)), '') AS s
+  FROM words
+)""",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""tk{k} AS (
+  SELECT cnt,
+         regexp_extract_all(s, chr(1) || '([^' || chr(1) || ']*)' || chr(2), 1) AS tk
+  FROM syms{k}
+)"""
+        )
+        ctes.append(
+            f"""pairs{k} AS (
+  SELECT p.a AS a, p.b AS b, sum(cnt) AS n
+  FROM (SELECT cnt, unnest(list_transform(range(2, len(tk) + 1),
+                           i -> struct_pack(a := tk[i-1], b := tk[i]))) AS p
+        FROM tk{k})
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""top{k} AS (
+  SELECT a, b, a || b AS m, n FROM pairs{k} ORDER BY n DESC, a, b LIMIT 1
+)"""
+        )
+        if k < n_merges:
+            ctes.append(
+                f"""syms{k + 1} AS (
+  SELECT w, cnt,
+         replace(s, chr(1) || t.a || chr(2) || chr(1) || t.b || chr(2),
+                    chr(1) || t.m || chr(2)) AS s
+  FROM syms{k} CROSS JOIN top{k} t
+)"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, a AS left_sym, b AS right_sym, m AS merged,"
+        f" CAST(n AS BIGINT) AS pair_count FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(step AS BIGINT) AS step, left_sym, right_sym, merged,"
+        " pair_count FROM (\n"
+        + unions
+        + "\n) ORDER BY step"
+    )
+
+
+@register(
+    "tokenizer_bpe_merges",
+    covers="text-analysis extension: distributed BPE merge training "
+    "(tokenizer-training precursor; vocab-sized iterative state, "
+    "Sennrich et al. 2016 semantics)",
+    oracle=_bpe_oracle(8),
+)
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges over the documents corpus. The iteration is
+    a driver loop with a one-row argmax per round (model-sized
+    decisions, like the Lloyd refinement); the oracle unrolls the same
+    8 rounds as SQL, replaying the fold as boundary-wrapped
+    string-replace."""
+    from palegislature_spark.operators.bpe import bpe_merge_table
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_merge_table(docs, "text", n_merges=8)

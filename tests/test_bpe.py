@@ -1,0 +1,95 @@
+"""BPE trainer tests: parity with an independent pure-Python reference
+implementation, fold semantics edge cases, tokenizer application."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from palegislature_spark.operators.bpe import apply_bpe, bpe_merge_table
+
+
+def _reference_bpe(texts: list[str], n_merges: int):
+    """Independent reference: classic dict-based BPE (Sennrich et al.
+    2016 pseudocode shape), tie-broken (count desc, left, right)."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, n))
+        new_vocab: Counter = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
+TEXTS = [
+    "low low lower lowest",
+    "new newer newest low",
+    "widest wide wider new",
+    "lll llll ll",  # overlapping-pair fold semantics
+]
+
+
+def test_bpe_matches_reference(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe_merge_table(docs, n_merges=10).orderBy("step").collect()
+    ]
+    assert got == _reference_bpe(TEXTS, 10)
+
+
+def test_bpe_overlap_fold_semantics(spark):
+    """[l,l,l] under merge (l,l) -> [ll,l]: the second pair shares the
+    middle symbol and must NOT merge (left-to-right non-overlapping)."""
+    docs = spark.createDataFrame([(1, "lll lll")], "doc_id long, text string")
+    mt = bpe_merge_table(docs, n_merges=2)
+    rows = {r["step"]: (r["left_sym"], r["right_sym"], r["pair_count"]) for r in mt.collect()}
+    assert rows[1] == ("l", "l", 4)  # 2 non-overlapping pairs per word
+    assert rows[2] == ("ll", "l", 2)
+
+
+def test_apply_bpe_tokenizes_with_learned_merges(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    mt = bpe_merge_table(docs, n_merges=10)
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe(docs, mt).collect()
+    }
+    # every token decomposes back to the original text
+    for i, t in enumerate(TEXTS):
+        assert "".join(toks[i]) == t.replace(" ", "")
+    # the hot merges actually fused: 'low' appears as ONE token
+    assert "low" in toks[0]
+
+
+def test_bpe_exhausted_corpus_stops_early(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    mt = bpe_merge_table(docs, n_merges=50).collect()
+    assert len(mt) == 1  # only (a,b) exists; loop must break, not spin
+    assert (mt[0]["left_sym"], mt[0]["right_sym"]) == ("a", "b")
