@@ -1,0 +1,113 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Train/validation/test splits and per-stratum downsampling must be (a)
+reproducible across runs and engines, (b) stable under repartitioning,
+and (c) assignable in a single linear pass — which rules out
+``df.randomSplit`` (seed- and partitioning-dependent) and
+``df.sample`` (ditto). The standard production answer is hash-based
+assignment: a keyed cryptographic hash maps each row to a uniform
+point in [0, 1), and split boundaries carve that interval.
+
+Engine-exactness trick: instead of parsing the hash to a float (whose
+rounding would have to match across engines), the uniform draw STAYS a
+hex string — ``md5(salt || id)``'s 15-hex-digit prefix — and split
+boundaries are precomputed 15-digit hex literals compared
+lexicographically (lowercase hex orders identically to its numeric
+value). The DuckDB oracle replays the identical comparison, so the
+assignment is exact-checkable with no float anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 15  # 60 bits of the md5 — plenty below float precision loss
+
+
+def _hex_boundary(p: float) -> str:
+    """15-hex-digit lexicographic boundary for cumulative weight p."""
+    return format(int(p * (16**_HEX_DIGITS)), "015x")
+
+
+def _draw(id_col: str, salt: str) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1,
+        _HEX_DIGITS,
+    )
+
+
+def split_column(
+    id_col: str, weights: dict[str, float], salt: str = "split"
+) -> F.Column:
+    """Column assigning each row to a named split by hash interval.
+
+    ``weights`` maps split name -> fraction (must sum to ~1; the last
+    split absorbs rounding). Deterministic in (salt, id) only —
+    repartition-, run- and engine-stable.
+    """
+    names = list(weights)
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, expected 1")
+    cum = 0.0
+    expr = None
+    draw = _draw(id_col, salt)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = draw < F.lit(_hex_boundary(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    ).alias("split")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Attach a deterministic ``split`` column (see split_column)."""
+    return df.withColumn("split", split_column(id_col, weights, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    draw falls below its stratum's fraction boundary. The per-stratum
+    keep rate converges to ``fractions[stratum]`` (exact in
+    expectation, hash-uniform), rows kept are identical across runs,
+    engines and partitionings — the property rebalancing a training
+    corpus by language/source requires (df.sample can't give it).
+
+    One linear codegen pass; no shuffle.
+    """
+    draw = _draw(id_col, salt)
+
+    def keep(frac: float) -> F.Column:
+        # frac >= 1 would need a 16-digit boundary that no 15-digit
+        # draw compares below lexicographically — clamp to keep-all
+        # (and frac <= 0 to drop-all) instead of comparing
+        if frac >= 1.0:
+            return F.lit(True)
+        if frac <= 0.0:
+            return F.lit(False)
+        return draw < F.lit(_hex_boundary(frac))
+
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = (F.col(strata_col) == F.lit(stratum)) & keep(frac)
+        expr = cond if expr is None else expr | cond
+    if default_fraction > 0:
+        others = ~F.col(strata_col).isin(*[s for s in fractions])
+        cond = others & keep(default_fraction)
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr if expr is not None else F.lit(False))

@@ -575,3 +575,36 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_merge_table(docs, "text", n_merges=8)
+
+
+def _split_oracle() -> str:
+    from palegislature_spark.operators.sampling import _hex_boundary
+
+    b_train, b_val = _hex_boundary(0.9), _hex_boundary(0.95)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) < '{b_train}' THEN 'train'
+            WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) < '{b_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register(
+    "sample_splits",
+    covers="training-pipeline extension: deterministic hash-based "
+    "train/val/test assignment (repartition- and engine-stable, unlike "
+    "randomSplit); hex-prefix comparison keeps it float-free",
+    oracle=_split_oracle(),
+)
+def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split of the documents corpus keyed on md5('split'||id):
+    the draw stays a 15-hex-digit string compared against precomputed
+    hex boundaries, so DuckDB replays the assignment exactly — no
+    float parse whose rounding could diverge across engines."""
+    from palegislature_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "lang", "split")

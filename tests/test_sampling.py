@@ -1,0 +1,75 @@
+"""Deterministic split/sampling tests: stability, proportions, strata."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from palegislature_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(2000)]
+    return spark.createDataFrame(rows, "id long, lang string")
+
+
+def test_hash_split_partitions_and_proportions(corpus):
+    out = hash_split(corpus, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 2000
+    assert 1500 < counts["train"] < 1700  # ~1600 ± hash noise
+    assert 300 < counts["val"] + counts["test"] < 500  # ~400 (= 2 x 10%)
+
+
+def test_hash_split_stable_under_repartition(corpus):
+    a = {r["id"]: r["split"] for r in hash_split(corpus, "id", {"train": 0.5, "test": 0.5}).collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in hash_split(
+            corpus.repartition(17, "lang"), "id", {"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hash_split_salt_changes_assignment(corpus):
+    a = {r["id"]: r["split"] for r in hash_split(corpus, "id", {"x": 0.5, "y": 0.5}, salt="s1").collect()}
+    b = {r["id"]: r["split"] for r in hash_split(corpus, "id", {"x": 0.5, "y": 0.5}, salt="s2").collect()}
+    assert a != b  # different salt, different (but each internally stable) draw
+
+
+def test_hash_split_rejects_bad_weights(corpus):
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(corpus, "id", {"a": 0.5, "b": 0.2}).collect()
+
+
+def test_stratified_sample_rates_and_determinism(corpus):
+    out = stratified_sample(corpus, "id", "lang", {"en": 0.25, "de": 1.0})
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    # de (667 rows) kept fully; en (~1333) downsampled to ~333
+    assert counts["de"] == 667
+    assert 260 < counts["en"] < 410
+    again = stratified_sample(corpus, "id", "lang", {"en": 0.25, "de": 1.0})
+    assert sorted(r["id"] for r in again.collect()) == sorted(
+        r["id"] for r in out.collect()
+    )
+
+
+def test_stratified_sample_default_fraction(corpus):
+    # unknown strata dropped by default, kept at default_fraction if set
+    none = stratified_sample(corpus, "id", "lang", {"de": 1.0})
+    assert none.filter("lang = 'en'").count() == 0
+    some = stratified_sample(
+        corpus, "id", "lang", {"de": 1.0}, default_fraction=0.1
+    )
+    en = some.filter("lang = 'en'").count()
+    assert 80 < en < 190
