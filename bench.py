@@ -41,6 +41,9 @@ HEADLINE = [
     "props_json_extract",
     "fp_winnow",
     "curation_funnel",
+    "near_dup_clusters",
+    "tokenizer_bpe_merges",
+    "sample_splits",
 ]
 
 
@@ -82,10 +85,24 @@ def er_match_scale(spark, sf_dir: str, sf: float):
     )
 
 
-# Bench-only entries (not registry queries: inputs are generated, so
-# there is no parquet-backed DuckDB oracle; correctness of the same
-# operators is driver-checked via their registry siblings).
-EXTRA = {"er_match_scale": er_match_scale}
+def semantic_dedup_scale(spark, sf_dir: str, sf: float):
+    """SemDeDup at the SCALE settings (sqrt-n list count) rather than
+    the oracle-pinned n_lists=8 of the registry query — tracks the
+    configuration a 100 TB run would use; correctness of the operator
+    is driver-checked via the registry sibling."""
+    from palegislature_spark.catalog import load
+    from palegislature_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_lists=None, threshold=0.4)
+
+
+# Bench-only entries (not registry queries: inputs are generated or
+# settings differ from the oracle-pinned registry siblings).
+EXTRA = {
+    "er_match_scale": er_match_scale,
+    "semantic_dedup_scale": semantic_dedup_scale,
+}
 
 
 def main() -> None:

@@ -601,6 +601,22 @@ def ivf_topk(
     centroids, assignments = ivf_assignments(
         embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay
     )
+    return ivf_probe(centroids, assignments, queries, k, id_col, vec_col, n_probe)
+
+
+def ivf_probe(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe a (pre)built IVF index — the serving half of ivf_topk,
+    usable against an index loaded from disk (:func:`load_ivf_index`):
+    the index is built ONCE per corpus generation and probed by every
+    query batch after, instead of re-clustering per call."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
@@ -766,4 +782,37 @@ def semantic_dedup(
             .otherwise("kept")
             .alias("status"),
         )
+    )
+
+
+def save_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    refine_iters: int = 1,
+) -> None:
+    """Build the IVF index and persist it as two Parquet datasets:
+    ``centroids/`` (n_lists rows) and ``assignments/`` (one row per
+    vector, repartitioned on list_id so each inverted list is
+    physically co-located — a probe's candidate join then shuffles
+    only the query side). Defaults are the SCALE settings (sqrt-n
+    lists, one Lloyd refinement, parallel per-dimension means)."""
+    centroids, assignments = ivf_assignments(
+        embeddings, id_col, vec_col, n_lists, refine_iters
+    )
+    base = path.rstrip("/")
+    centroids.write.mode("overwrite").parquet(f"{base}/centroids")
+    assignments.repartition("list_id").write.mode("overwrite").parquet(
+        f"{base}/assignments"
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) for :func:`ivf_probe`."""
+    base = path.rstrip("/")
+    return (
+        spark.read.parquet(f"{base}/centroids"),
+        spark.read.parquet(f"{base}/assignments"),
     )

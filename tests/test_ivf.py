@@ -188,3 +188,21 @@ def test_semantic_dedup_sqrt_n_lists_matches_fixed(spark):
     statuses = {r["vec_id"]: r["status"] for r in out.collect()}
     assert statuses[500] == "semantic_dup"
     assert statuses[3] == "kept"
+
+
+def test_ivf_index_persist_probe_matches_fresh(spark, tmp_path, skewed):
+    """save -> load -> probe returns exactly what a fresh build+search
+    does with the same settings (index reuse must not change results)."""
+    queries = skewed.filter("vec_id < 5")
+    fresh = similarity.ivf_topk(
+        skewed, queries, k=3, n_lists=4, n_probe=2, refine_iters=1
+    )
+    similarity.save_ivf_index(
+        skewed, str(tmp_path / "idx"), n_lists=4, refine_iters=1
+    )
+    cents, assigns = similarity.load_ivf_index(spark, str(tmp_path / "idx"))
+    probed = similarity.ivf_probe(cents, assigns, queries, k=3, n_probe=2)
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+    )
+    assert key(probed) == key(fresh)
