@@ -608,3 +608,82 @@ def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select("doc_id", "lang", "split")
+
+
+@register(
+    "ngram_bigram_quality",
+    covers="text-analysis extension: corpus-LM-lite quality signals — "
+    "per-document character-bigram statistics against the corpus bigram "
+    "table (rare-bigram gibberish detection, the rational-arithmetic "
+    "stand-in for LM-perplexity filtering)",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs FROM documents
+),
+bigrams AS (
+  SELECT doc_id, cs[i] || cs[i + 1] AS bg
+  FROM (SELECT doc_id, cs, unnest(range(1, len(cs))) AS i FROM chars)
+),
+corpus AS (SELECT bg, count(*) AS freq FROM bigrams GROUP BY bg),
+topset AS (
+  SELECT bg FROM (
+    SELECT bg, row_number() OVER (ORDER BY freq DESC, bg) AS r FROM corpus
+  ) WHERE r <= 200
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT)                        AS n_bigrams,
+       sum(c.freq) * 1.0 / count(*)                    AS avg_bigram_freq,
+       sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+                                                       AS top_coverage
+FROM bigrams b
+JOIN corpus c USING (bg)
+LEFT JOIN topset t ON b.bg = t.bg
+GROUP BY b.doc_id
+""",
+)
+def ngram_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram quality signals: each document's bigrams are
+    scored against the corpus-wide bigram frequency table — documents
+    full of rare bigrams (mojibake, binary spill, gibberish) surface
+    with a low avg_bigram_freq / top_coverage, the cheap rational
+    analogue of LM-perplexity filtering (CCNet-style) with no float
+    log whose libm rounding could diverge across engines.
+
+    Scale shape: one explode pass (linear), one groupBy on the bigram
+    (charset^2-sized table, broadcast back), one per-doc aggregate.
+    The top-200 set is TakeOrderedAndProject (distributed top-k), then
+    both dimension tables broadcast into the per-doc join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select("doc_id", F.split("text", "").alias("cs"))
+    bigrams = chars.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("cs") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1),"
+                    " i -> concat(cs[i-1], cs[i]))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
+        ).alias("bg"),
+    )
+    corpus = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    topset = (
+        corpus.orderBy(F.desc("freq"), "bg")
+        .limit(200)
+        .select("bg", F.lit(True).alias("__top"))
+    )
+    return (
+        bigrams.join(F.broadcast(corpus), "bg")
+        .join(F.broadcast(topset), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.sum("freq") / F.count(F.lit(1))).alias("avg_bigram_freq"),
+            (
+                F.sum(F.when(F.col("__top"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("top_coverage"),
+        )
+    )

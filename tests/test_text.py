@@ -49,3 +49,23 @@ def test_lang_id_profile_undetermined_and_ties(spark):
 def test_profiles_shape():
     assert set(LANG_PROFILES) == {"en", "de", "fr", "es"}
     assert all(len(v) >= 10 for v in LANG_PROFILES.values())
+
+
+def test_bigram_quality_flags_gibberish(spark, tmp_path):
+    """Documents of rare bigrams (mojibake/gibberish) must score far
+    below natural-text documents on both signals."""
+    import pyspark.sql.functions as F
+    from palegislature_spark.queries.text import ngram_bigram_quality
+
+    natural = "the cat sat on the mat and the dog ran to the man " * 4
+    docs = spark.createDataFrame(
+        [(i, natural) for i in range(9)] + [(9, "zq xj vk wz qz jx kq zv " * 8)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in ngram_bigram_quality(spark, sf).collect()}
+    assert out[9]["avg_bigram_freq"] < out[0]["avg_bigram_freq"] / 3
+    # coverage saturates on a tiny corpus (< 200 distinct bigrams total);
+    # it discriminates only on real-sized corpora — just sanity-bound it
+    assert 0.0 <= out[9]["top_coverage"] <= out[0]["top_coverage"] <= 1.0
