@@ -314,3 +314,54 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("list_id").cast("long").alias("list_id"), "status"
     )
+
+
+@register(
+    "vector_quantize_int8",
+    covers="similarity/storage extension: symmetric int8 embedding "
+    "quantization (FAISS-SQ8-style) with bit-exact reconstruction error — "
+    "floor(x/scale + 0.5) instead of round() so both engines agree on ties",
+    oracle="""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+  FROM emb
+),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+         END AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT)                          AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       list_reduce(
+         list_transform(range(1, len(v) + 1),
+                        i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)),
+         (a, b) -> a + b) / len(v)                            AS mse
+FROM q
+""",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize every embedding to int8 and report per-vector scale,
+    integer checksums of the quantized vector (exact — arrays are kept
+    out of the hash compare) and the reconstruction MSE via an ordered
+    IEEE fold (bit-identical across engines; no libm)."""
+    from palegislature_spark.operators import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = quantize.with_quantized(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, q: a + q).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, q: a + F.abs(q)
+        ).alias("q_l1"),
+        quantize.reconstruction_mse("embedding", "qvec", "scale").alias("mse"),
+    )
