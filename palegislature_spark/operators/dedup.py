@@ -477,3 +477,94 @@ def simhash_pairs(
         "id_2",
         F.expr("bit_count(h1 ^ h2)").cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash-LSH (index the corpus once, dedup arriving batches)
+# --------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, band_key) rows — the persistable LSH index of a
+    corpus. Build once per corpus generation (write to Parquet,
+    partition/bucket by (band, band_key) at scale) and dedup every
+    arriving batch against it WITHOUT touching historical text: the
+    full-corpus signature pass is the expensive stage, and an
+    incremental pipeline must not repeat it per batch."""
+    rows = num_hashes // bands
+    sh = hashed_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch: new-vs-corpus and
+    new-vs-new, exactly verified — equal to the pairs of
+    ``minhash_lsh_pairs(corpus ∪ new)`` that touch a new id (asserted
+    in tests/test_dedup_incremental.py). Ids must be unique across
+    corpus and batch.
+
+    Cost shape, which is the point: shingles + signatures are computed
+    for the BATCH only; the corpus side contributes its prebuilt
+    ``index`` rows to the candidate join, and only the candidate
+    corpus documents (id-pruned semi-join, typically a vanishing
+    fraction) are re-shingled for the exact verify. Per-batch work is
+    O(batch + candidates), not O(corpus).
+    """
+    new_keys = minhash_index(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    k1 = new_keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    k2 = new_keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    old = index.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        k1.join(k2.unionByName(old), ["band", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_1"),
+            F.greatest("id_a", "id_b").alias("id_2"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        cand.select(F.col("id_1").alias(id_col))
+        .union(cand.select("id_2"))
+        .distinct()
+    )
+    # shingle ONLY batch docs + candidate corpus docs
+    touched = new_docs.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+    )
+    sh = hashed_shingles(
+        touched.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    )
+    verified = _pair_jaccard(sh, id_col).join(
+        cand, ["id_1", "id_2"], "left_semi"
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
