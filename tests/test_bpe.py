@@ -5,6 +5,9 @@ from __future__ import annotations
 
 from collections import Counter
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from palegislature_spark.operators.bpe import apply_bpe, bpe_merge_table
 
 
@@ -93,3 +96,23 @@ def test_bpe_exhausted_corpus_stops_early(spark):
     mt = bpe_merge_table(docs, n_merges=50).collect()
     assert len(mt) == 1  # only (a,b) exists; loop must break, not spin
     assert (mt[0]["left_sym"], mt[0]["right_sym"]) == ("a", "b")
+
+
+_WORD = st.text(alphabet="abcde", min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(st.lists(_WORD, min_size=1, max_size=8), min_size=1, max_size=4))
+def test_bpe_property_matches_reference(spark, word_lists):
+    """Random small corpora over a 5-letter alphabet: the distributed
+    trainer must equal the dict-based reference on every draw (the
+    alphabet forces heavy pair collisions and tie-breaks)."""
+    texts = [" ".join(ws) for ws in word_lists]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe_merge_table(docs, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == _reference_bpe(texts, 5)
