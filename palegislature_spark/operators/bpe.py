@@ -21,6 +21,16 @@ the vocab table.
 The merge application is left-to-right non-overlapping (a fold), the
 published BPE semantics: [l,l,l] under (l,l) becomes [ll,l], and
 [a,b,a,b] under (a,b) becomes [ab,ab].
+
+Production note: a real tokenizer wants 30k-50k merges, and one Spark
+round per merge would mean 50k tiny jobs. ``merge_batch`` implements
+the batched form: each round applies the maximal rank-order prefix of
+mutually symbol-disjoint top pairs, with a count bound that makes the
+result PROVABLY identical to one-at-a-time training (see
+_batch_prefix) — rounds shrink ~merge_batch-fold while each stays the
+same two jobs. The registry oracle query keeps merge_batch=1 so the
+SQL replay stays one merge per unrolled round; tests assert batched ==
+sequential, including tie-heavy Hypothesis draws.
 """
 
 from __future__ import annotations
@@ -51,24 +61,6 @@ def _pairs():
     ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
 
 
-def _apply_merge(a: str, b: str):
-    """Fold: merge every left-to-right non-overlapping (a, b) in syms."""
-    merged = a + b
-
-    def step(acc, s):
-        last = F.when(F.size(acc) > 0, F.element_at(acc, -1))
-        return F.when(
-            (last == F.lit(a)) & (s == F.lit(b)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-            ),
-        ).otherwise(F.concat(acc, F.array(s)))
-
-    return F.aggregate(
-        F.col("syms"), F.expr("array()").cast("array<string>"), step
-    )
-
-
 def vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, cnt): distinct whitespace tokens with corpus frequencies.
 
@@ -88,14 +80,62 @@ def vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _batch_prefix(ranked: list, batch: int) -> list[tuple]:
+    """Maximal rank-order prefix of mutually symbol-disjoint pairs that
+    is PROVABLY the sequence strict one-at-a-time BPE would pick.
+
+    Disjointness makes the merges commute and keeps every later prefix
+    pair's count exact (a merge only perturbs counts of pairs sharing
+    one of its symbols). A merge (a,b)→ab can create new pairs
+    (x,ab)/(ab,y), but their counts are bounded by the old (x,a)/(b,y)
+    counts — pairs that INTERACT with (a,b), which by disjointness are
+    never in the prefix, so they rank at or below the first non-chosen
+    pair. Truncating the prefix to counts STRICTLY ABOVE that first
+    non-chosen pair's count (the tie guard — at equal counts the
+    lexicographic tie-break could prefer a freshly created symbol
+    name, and the interacting pair bounding it may sit below the fetch
+    horizon) leaves each prefix element the global argmax at its turn.
+    Falls back to the top-1 pair when the guard empties the prefix
+    (top-1 is the argmax by rank order regardless).
+    """
+    chosen: list[tuple] = []
+    used: set[str] = set()
+    for r in ranked:
+        a, b, n = r["a"], r["b"], r["n"]
+        if a in used or b in used:
+            break
+        chosen.append((a, b, n))
+        used.update((a, b))
+        if len(chosen) >= batch:
+            break
+    if len(chosen) < len(ranked):
+        # first non-chosen ranked pair bounds every pair outside the
+        # prefix — including ones a prefix merge could newly create
+        bound = ranked[len(chosen)]["n"]
+        strict = [c for c in chosen if c[2] > bound]
+        chosen = strict or chosen[:1]
+    return chosen
+
+
 def bpe_merge_table(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 12
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    merge_batch: int = 1,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (step, left_sym, right_sym, merged, pair_count) — the model
     artifact a tokenizer trainer exports. Ties break on
     (count desc, left, right) so the result is deterministic and
-    SQL-replayable."""
+    SQL-replayable.
+
+    ``merge_batch`` > 1 is the production-scale path (a 50k-merge vocab
+    cannot afford one Spark round per merge): each round applies up to
+    ``merge_batch`` mutually symbol-disjoint top pairs, chosen so the
+    result is IDENTICAL to merge_batch=1 (see _batch_prefix; equality
+    asserted in tests, including the Hypothesis tie cases). Rounds
+    shrink ~merge_batch-fold while each stays two jobs.
+    """
     spark = docs.sparkSession
     words = (
         vocabulary(docs, text_col)
@@ -103,20 +143,27 @@ def bpe_merge_table(
         .localCheckpoint()
     )
     merges: list[tuple] = []
-    for step in range(1, n_merges + 1):
-        top = (
+    while len(merges) < n_merges:
+        want = n_merges - len(merges)
+        batch = min(merge_batch, want)
+        ranked = (
             words.select("cnt", F.explode(_pairs()).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
+            # margin: conflicting pairs consumed while scanning for the
+            # disjoint prefix + one row to detect the stop condition
+            .limit(4 * batch + 1)
             .collect()
         )
-        if not top:
+        if not ranked:
             break
-        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
-        merges.append((step, a, b, a + b, n))
-        words = words.withColumn("syms", _apply_merge(a, b)).localCheckpoint()
+        chosen = _batch_prefix(ranked, batch)
+        col = F.col("syms")
+        for a, b, n in chosen:
+            merges.append((len(merges) + 1, a, b, a + b, n))
+            col = _fold_syms(col, _make_step(a, b))
+        words = words.withColumn("syms", col).localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
@@ -165,10 +212,13 @@ def _make_step(a: str, b: str):
     return step
 
 
+def _fold_syms(col, step):
+    """Fold one symbol-array column through a merge step."""
+    return F.aggregate(col, F.expr("array()").cast("array<string>"), step)
+
+
 def _fold_words(col, step):
     def per_word(syms):
-        return F.aggregate(
-            syms, F.expr("array()").cast("array<string>"), step
-        )
+        return _fold_syms(syms, step)
 
     return F.transform(col, per_word)

@@ -38,6 +38,12 @@ def get_spark(app_name: str = "palegislature_spark", **extra: str) -> SparkSessi
     builder = SparkSession.builder.master(
         os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     ).appName(app_name)
+    # local-mode driver heap bound (default 1g) is the first thing to
+    # fall over when verification collects 10x-scale results; honored
+    # only if set BEFORE the JVM launches, so thread it through here
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     for key, value in {**DEFAULT_CONFS, **extra}.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -116,3 +116,45 @@ def test_bpe_property_matches_reference(spark, word_lists):
         for r in bpe_merge_table(docs, n_merges=5).orderBy("step").collect()
     ]
     assert got == _reference_bpe(texts, 5)
+
+
+def test_batched_rounds_equal_sequential(spark):
+    """merge_batch > 1 must be a pure round-count optimization: the
+    merge table is identical to one-at-a-time training."""
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    seq = [
+        tuple(r)
+        for r in bpe_merge_table(docs, n_merges=10).orderBy("step").collect()
+    ]
+    for k in (2, 4, 16):
+        batched = [
+            tuple(r)
+            for r in bpe_merge_table(docs, n_merges=10, merge_batch=k)
+            .orderBy("step")
+            .collect()
+        ]
+        assert batched == seq, f"merge_batch={k} diverged"
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(st.lists(st.lists(_WORD, min_size=1, max_size=8), min_size=1, max_size=4))
+def test_batched_property_equals_sequential(spark, word_lists):
+    """Tie-heavy random corpora: the disjoint-prefix batching with its
+    count bound must never diverge from sequential training."""
+    texts = [" ".join(ws) for ws in word_lists]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    seq = [
+        tuple(r)
+        for r in bpe_merge_table(docs, n_merges=6).orderBy("step").collect()
+    ]
+    batched = [
+        tuple(r)
+        for r in bpe_merge_table(docs, n_merges=6, merge_batch=3)
+        .orderBy("step")
+        .collect()
+    ]
+    assert batched == seq

@@ -84,10 +84,15 @@ def main() -> int:
 
     spark = get_spark("verify_local")
     con = duckdb.connect()
+    import os.path
+
     for t in STAR_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # Spark-written datasets are DIRECTORIES of part files
+            # (e.g. the scalegen_star 10x replica) — glob them
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = queries(), oracle_sql()
     failures = []
