@@ -687,3 +687,42 @@ def ngram_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_coverage"),
         )
     )
+
+
+@register(
+    "minhash_incremental_pairs",
+    covers="dedup extension: incremental MinHash — batch-vs-corpus near-dup "
+    "pairs against a prebuilt band-key index (O(batch + candidates) per "
+    "batch, never O(corpus))",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       c * 1.0 / (c1.n + c2.n - c) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = id_1
+JOIN cnt c2 ON c2.doc_id = id_2
+WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+  AND (id_1 % 5 = 0 OR id_2 % 5 = 0)
+""",
+)
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat doc_id % 5 = 0 as the arriving batch and the rest as the
+    indexed corpus: the incremental path must return exactly the
+    batch-touching subset of the full exact-Jaccard pair set (which is
+    what the oracle computes). Signatures are computed for the batch
+    only; the corpus contributes prebuilt (id, band, band_key) index
+    rows, and only candidate corpus docs are re-shingled for the
+    verify."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    index = dedup.minhash_index(corpus, "doc_id", "text", n=3)
+    pairs = dedup.minhash_lsh_pairs_incremental(
+        batch, corpus, index, "doc_id", "text", n=3, threshold=0.8
+    )
+    return pairs.select("id_1", "id_2", "jaccard")
