@@ -726,3 +726,43 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, index, "doc_id", "text", n=3, threshold=0.8
     )
     return pairs.select("id_1", "id_2", "jaccard")
+
+
+@register(
+    "redact_pii",
+    covers="training-pipeline extension: PII scrub — email/phone/IP "
+    "detection counts + tagged redaction (RE2-portable patterns, fixed "
+    "apply order, one codegen pass)",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+       ) AS redacted_md5
+FROM documents
+""",
+)
+def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts and the md5 of the redacted text (the
+    hash pins the full redacted content without shipping it). The
+    synthetic corpus is PII-free, so counts here are typically zero —
+    the behavioral coverage on planted PII lives in tests/test_text.py;
+    this row proves both engines agree on pattern semantics and the
+    redaction chain over real table data."""
+    from palegislature_spark.functions import pii
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        pii.pii_count("text", "email").cast("long").alias("n_emails"),
+        pii.pii_count("text", "phone").cast("long").alias("n_phones"),
+        pii.pii_count("text", "ip").cast("long").alias("n_ips"),
+        F.md5(pii.redact_pii("text")).alias("redacted_md5"),
+    )

@@ -69,3 +69,34 @@ def test_bigram_quality_flags_gibberish(spark, tmp_path):
     # coverage saturates on a tiny corpus (< 200 distinct bigrams total);
     # it discriminates only on real-sized corpora — just sanity-bound it
     assert 0.0 <= out[9]["top_coverage"] <= out[0]["top_coverage"] <= 1.0
+
+
+def test_pii_redaction_planted(spark):
+    """Planted PII of every kind is counted and redacted; clean text
+    passes through byte-identical."""
+    from palegislature_spark.functions import pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.org or 555-123-4567"),
+            (2, "server at 192.168.1.100 and backup 10.0.0.1"),
+            (3, "totally clean prose with no identifiers"),
+            (4, "two mails a@b.io c@d.co and phone 123 456 7890"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii.pii_count("text", "email").alias("e"),
+            pii.pii_count("text", "phone").alias("p"),
+            pii.pii_count("text", "ip").alias("i"),
+            pii.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"]) == (1, 1)
+    assert out[1]["red"] == "contact <EMAIL> or <PHONE>"
+    assert out[2]["i"] == 2 and out[2]["red"] == "server at <IP> and backup <IP>"
+    assert out[3]["red"] == "totally clean prose with no identifiers"
+    assert (out[4]["e"], out[4]["p"]) == (2, 1)
