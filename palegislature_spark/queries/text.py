@@ -766,3 +766,81 @@ def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii.pii_count("text", "ip").cast("long").alias("n_ips"),
         F.md5(pii.redact_pii("text")).alias("redacted_md5"),
     )
+
+
+def _cms_oracle() -> str:
+    nib = lambda pos, expr: (
+        f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+    )
+
+    def bucket(row):
+        h = f"md5('{row}|' || token)"
+        return (
+            f"({nib(30, h)} * 256 + {nib(31, h)} * 16 + {nib(32, h)}) % 1024"
+        )
+
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {bucket(r)} AS bucket, cnt FROM counts"
+        for r in range(4)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT token, {r} AS row, {bucket(r)} AS bucket FROM top50"
+        for r in range(4)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS cnt FROM words WHERE token <> '' GROUP BY token
+),
+sketch AS (
+  SELECT row, bucket, sum(cnt) AS scnt FROM ({sketch_rows}) GROUP BY row, bucket
+),
+top50 AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 50
+),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.token, min(s.scnt) AS est
+  FROM probes p JOIN sketch s USING (row, bucket)
+  GROUP BY p.token
+)
+SELECT t.token, CAST(t.cnt AS BIGINT) AS true_cnt, CAST(e.est AS BIGINT) AS est_cnt
+FROM top50 t JOIN est e USING (token)
+"""
+
+
+@register(
+    "sketch_heavy_hitters",
+    covers="OLAP-sketch extension: count-min frequency estimation "
+    "(fixed depth x width state at any corpus size, mergeable across "
+    "partitions/batches); md5-bucket construction replayed exactly",
+    oracle=_cms_oracle(),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus tokens with their exact counts AND their count-min
+    estimates (always >= truth; the test asserts the bound). The true
+    counts exist here to VERIFY the sketch — the operator's production
+    role is the cases where the exact map cannot be held (streaming
+    heavy hitters, pre-aggregation over 1e9-token vocabularies)."""
+    from palegislature_spark.operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cms = sketch.cms_sketch(counts, "token", weight_col="cnt")
+    top50 = counts.orderBy(F.desc("cnt"), "token").limit(50)
+    est = sketch.cms_estimate(cms, top50, "token")
+    return (
+        top50.join(est, "token")
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("true_cnt"),
+            F.col("est").cast("long").alias("est_cnt"),
+        )
+    )

@@ -100,3 +100,32 @@ def test_pii_redaction_planted(spark):
     assert out[2]["i"] == 2 and out[2]["red"] == "server at <IP> and backup <IP>"
     assert out[3]["red"] == "totally clean prose with no identifiers"
     assert (out[4]["e"], out[4]["p"]) == (2, 1)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-min invariants: estimate >= truth for every token, and the
+    sum of two partition sketches equals the sketch of the union (the
+    mergeability that makes it a distributed/streaming aggregate)."""
+    import pyspark.sql.functions as F
+    from palegislature_spark.operators import sketch
+
+    words = [w for i in range(200) for w in (f"w{i % 37}", f"rare{i}")]
+    df = spark.createDataFrame([(w,) for w in words], "token string")
+    cms = sketch.cms_sketch(df)
+    truth = df.groupBy("token").agg(F.count("*").alias("cnt"))
+    est = sketch.cms_estimate(cms, truth.select("token"))
+    joined = truth.join(est, "token").collect()
+    assert len(joined) == truth.count()
+    assert all(r["est"] >= r["cnt"] for r in joined)
+
+    half_a = spark.createDataFrame([(w,) for w in words[:200]], "token string")
+    half_b = spark.createDataFrame([(w,) for w in words[200:]], "token string")
+    merged = (
+        sketch.cms_sketch(half_a)
+        .unionByName(sketch.cms_sketch(half_b))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
