@@ -484,3 +484,52 @@ def test_read_snapshot_time_travel(spark, tmp_path):
     assert prev == [1, 2]
     with _pytest.raises(ValueError, match="time-travel window"):
         sources.read_snapshot(spark, path, generation=0)
+
+
+def test_compact_files_concurrent_reader(spark, tmp_path):
+    """Compaction commits through the same manifest protocol as the
+    merge: a snapshot reader looping while merges AND compactions
+    interleave must never see a dipped or inflated row count."""
+    import threading
+
+    path = str(tmp_path / "compact_iso")
+    for i in range(4):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, "v") for j in range(10)], "id long, v string"
+        )
+        sources.upsert_parquet_rowlevel(spark, path, batch, ["id"])
+
+    valid = {40, 50, 60}
+    observed, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                observed.append(sources.read_snapshot(spark, path).count())
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for g in range(2):
+            stats = sources.compact_files(
+                spark, path, target_file_bytes=64 * 1024 * 1024
+            )
+            assert stats["files_compacted"] >= 2 or g > 0
+            ins = spark.createDataFrame(
+                [(100 + g * 10 + j, "n") for j in range(10)],
+                "id long, v string",
+            )
+            sources.upsert_parquet_rowlevel(spark, path, ins, ["id"])
+    finally:
+        stop.set()
+        t.join()
+
+    assert not errors, errors[:3]
+    assert observed
+    bad = [n for n in observed if n not in valid]
+    assert not bad, f"inconsistent snapshots observed: {sorted(set(bad))}"
+    sources.vacuum(spark, path)
+    assert spark.read.parquet(path).count() == 60
