@@ -111,3 +111,29 @@ def stratified_sample(
         cond = others & keep(default_fraction)
         expr = cond if expr is None else expr | cond
     return df.filter(expr if expr is not None else F.lit(False))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "groupk",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by hash order —
+    the deterministic 'k examples per language/source' pick an eval-set
+    builder needs (same rows every run, engine and partitioning
+    independent, no RNG state).
+
+    One shuffle on the group column; rows rank by the md5 draw with the
+    id as tiebreak, so the selection is a uniform-without-replacement
+    sample per group under the usual hash-uniformity assumption.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(_draw(id_col, salt), id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -844,3 +844,39 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est").cast("long").alias("est_cnt"),
         )
     )
+
+
+@register(
+    "sampled_k_per_group",
+    covers="training-pipeline extension: deterministic k-per-group pick "
+    "(eval-set construction: same rows every run, engine-independent "
+    "hash order, one shuffle on the group key)",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('groupk' || CAST(doc_id AS VARCHAR)), 1, 15),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+""",
+)
+def sampled_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five documents per language, hash-ordered: the per-stratum eval
+    pick. Output keeps the rank so the oracle pins the exact order,
+    not just membership."""
+    from pyspark.sql.window import Window
+
+    from palegislature_spark.operators.sampling import _draw
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_draw("doc_id", "groupk"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter("rk <= 5")
+        .select("doc_id", "lang", "rk")
+    )

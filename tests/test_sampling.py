@@ -73,3 +73,21 @@ def test_stratified_sample_default_fraction(corpus):
     )
     en = some.filter("lang = 'en'").count()
     assert 80 < en < 190
+
+
+def test_sample_k_per_group_exact_and_stable(corpus):
+    from palegislature_spark.operators.sampling import sample_k_per_group
+
+    out = sample_k_per_group(corpus, "id", "lang", 7)
+    counts = {
+        r["lang"]: r["count"]
+        for r in out.groupBy("lang").count().collect()
+    }
+    assert counts == {"en": 7, "de": 7}
+    again = sample_k_per_group(corpus.repartition(13), "id", "lang", 7)
+    assert sorted(r["id"] for r in again.collect()) == sorted(
+        r["id"] for r in out.collect()
+    )
+    # k larger than the group: whole group comes back
+    small = corpus.filter("id < 3")
+    assert sample_k_per_group(small, "id", "lang", 100).count() == 3
