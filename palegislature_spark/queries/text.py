@@ -880,3 +880,40 @@ def sampled_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rk <= 5")
         .select("doc_id", "lang", "rk")
     )
+
+
+@register(
+    "sequence_packing",
+    covers="training-pipeline extension: concat-and-chunk sequence packing "
+    "(distributed two-phase prefix sum — never a single-partition global "
+    "window; integer DIV chunk math exact past 2^53 tokens)",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CASE WHEN n_tokens > 0 THEN start_offset // 512 END AS first_chunk,
+       CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512 END AS last_chunk
+FROM c
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the documents corpus into 512-token training sequences in
+    doc_id order: each document's stream offset and the chunk span it
+    feeds (documents may span boundaries — the GPT-style
+    concat-and-chunk layout). The oracle replays the prefix sum as one
+    global SQL window; the Spark side computes the identical offsets
+    with the parallel two-phase prefix sum (range buckets -> broadcast
+    bucket bases -> partitioned windows)."""
+    from palegislature_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512)
