@@ -44,6 +44,10 @@ HEADLINE = [
     "near_dup_clusters",
     "tokenizer_bpe_merges",
     "sample_splits",
+    "minhash_incremental_pairs",
+    "redact_pii",
+    "sketch_heavy_hitters",
+    "sequence_packing",
 ]
 
 

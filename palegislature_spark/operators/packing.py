@@ -35,7 +35,9 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign each document its place in the packed token stream.
 
-    Documents are ordered by ``id_col`` (deterministic, resumable);
+    Documents are ordered by ``id_col`` — which must be NUMERIC (the
+    range buckets divide it; hash non-numeric ids to a dense long
+    first) — deterministically, so packing is resumable;
     ``tokens_col`` supplies per-document token counts (defaults to
     whitespace token count of ``text_col``). Returns
     ``(id, n_tokens, start_offset, first_chunk, last_chunk)`` where
