@@ -917,3 +917,97 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=512)
+
+
+@register(
+    "repetition_stats",
+    covers="text-analysis extension: Gopher-style repetition filters — "
+    "duplicate 2-/3-gram ratios and most-frequent-token share, the "
+    "published repetition gates (Rae et al. 2021), exact int arithmetic",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+base AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+g2 AS (
+  SELECT doc_id,
+         count(*) AS n2,
+         count(DISTINCT tk[i] || chr(31) || tk[i+1]) AS d2
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM base)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id,
+         count(*) AS n3,
+         count(DISTINCT tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]) AS d3
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM base)
+  GROUP BY doc_id
+),
+toptok AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS w FROM base)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT)                               AS n_tokens,
+       COALESCE(1.0 - d2 * 1.0 / n2, 0.0)                AS dup_2gram_ratio,
+       COALESCE(1.0 - d3 * 1.0 / n3, 0.0)                AS dup_3gram_ratio,
+       topc * 1.0 / b.n                                  AS top_token_ratio
+FROM base b
+LEFT JOIN g2 USING (doc_id)
+LEFT JOIN g3 USING (doc_id)
+JOIN toptok USING (doc_id)
+""",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals, the Gopher quality-filter family
+    (Rae et al. 2021 "Scaling Language Models: ... Gopher", app. A):
+    documents dominated by repeated n-grams or one token are boilerplate
+    or spam. dup-k-gram ratio = 1 - distinct/total adjacent k-grams;
+    top_token_ratio = most frequent token's share. All ratios are exact
+    int/int divisions — one linear pass of array expressions, no UDF,
+    no shuffle beyond the final join shapes."""
+    docs = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != "")
+    base = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+
+    def grams(k):
+        return F.when(
+            F.size("tk") >= k,
+            F.expr(
+                f"transform(sequence(1, size(tk) - {k - 1}), i -> "
+                + " || chr(31) || ".join(
+                    f"tk[i - 1 + {j}]" for j in range(k)
+                )
+                + ")"
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+
+    g = base.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(grams(2)).alias("n2"),
+        F.size(F.array_distinct(grams(2))).alias("d2"),
+        F.size(grams(3)).alias("n3"),
+        F.size(F.array_distinct(grams(3))).alias("d3"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("tk"),
+                lambda w: F.size(F.filter("tk", lambda x: x == w)),
+            )
+        ).alias("topc"),
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(
+            F.lit(1.0) - F.col("d2") / F.col("n2"), F.lit(0.0)
+        ).alias("dup_2gram_ratio"),
+        F.coalesce(
+            F.lit(1.0) - F.col("d3") / F.col("n3"), F.lit(0.0)
+        ).alias("dup_3gram_ratio"),
+        (F.col("topc") / F.col("n_tokens")).alias("top_token_ratio"),
+    )

@@ -129,3 +129,23 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_repetition_stats_flags_repeats(spark, tmp_path):
+    from palegislature_spark.queries.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),         # one token
+            (2, "buy now buy now buy now buy now"),       # repeated bigram
+            (3, "each word here appears just once today"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in repetition_stats(spark, str(tmp_path)).collect()}
+    assert out[1]["top_token_ratio"] == 1.0
+    assert out[1]["dup_2gram_ratio"] == 1.0 - 1 / 5
+    assert out[2]["dup_2gram_ratio"] > 0.5
+    assert out[3]["dup_2gram_ratio"] == 0.0
+    assert out[3]["top_token_ratio"] == 1 / 7
