@@ -78,3 +78,77 @@ def cms_estimate(
         probes = p if probes is None else probes.unionByName(p)
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"])
     return joined.groupBy(token_col).agg(F.min("cnt").alias("est"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (join-pruning set membership, same md5-replay discipline)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 4096  # 3 md5 nibbles address [0, 4096) exactly
+BLOOM_K = 3
+_WORD_BITS = 60  # bits 0..59 only: DuckDB errors on BIGINT << 63
+
+
+def _bit_pos(value_col, probe: int) -> F.Column:
+    h = F.md5(F.concat(F.lit(f"b{probe}|"), value_col.cast("string")))
+    return F.conv(F.substring(h, 30, 3), 16, 10).cast("long")
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """(word, bits) bitmap rows — ~BLOOM_BITS/60 rows regardless of
+    input size. Mergeable: union two filters and re-bit_or by word to
+    get the filter of the combined key set. The classic use at scale:
+    build on a join key's build side, broadcast, and prune the probe
+    side BEFORE the shuffle (what Spark's runtime bloom pushdown does
+    internally — here it is an explicit, persistable operator)."""
+    probes = None
+    for p in range(BLOOM_K):
+        one = df.select(_bit_pos(F.col(value_col), p).alias("pos"))
+        probes = one if probes is None else probes.unionByName(one)
+    # shiftleft's bit count must be a column here, which the Python
+    # helper only takes as an int literal — drop to the SQL form
+    return (
+        probes.select(
+            F.expr(f"pos DIV {_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame, items: DataFrame, value_col: str
+) -> DataFrame:
+    """items + a ``might_contain`` flag: false is DEFINITE absence (no
+    false negatives — the property that makes pre-shuffle pruning
+    safe); true may be a false positive at the filter's design rate.
+    The bitmap is sketch-sized and broadcasts; probing is a linear
+    pass."""
+    probes = None
+    for p in range(BLOOM_K):
+        one = items.select(
+            F.col(value_col), _bit_pos(F.col(value_col), p).alias("pos")
+        ).select(
+            F.col(value_col),
+            F.expr(f"pos DIV {_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
+            ).alias("m"),
+        )
+        probes = one if probes is None else probes.unionByName(one)
+    hit = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            value_col,
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m"))
+                != 0
+            ).alias("h"),
+        )
+        .groupBy(value_col)
+        .agg(F.min("h").alias("might_contain"))
+    )
+    return hit

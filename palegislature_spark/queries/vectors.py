@@ -365,3 +365,72 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         quantize.reconstruction_mse("embedding", "qvec", "scale").alias("mse"),
     )
+
+
+def _bloom_oracle() -> str:
+    def pos(probe, col):
+        h = f"md5('b{probe}|' || CAST({col} AS VARCHAR))"
+        nib = lambda i: f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+        return f"({nib(30)} * 256 + {nib(31)} * 16 + {nib(32)})"
+
+    build = "\nUNION ALL\n".join(
+        f"SELECT {pos(p, 'o_custkey')} AS pos FROM okeys" for p in range(3)
+    )
+    probe = "\nUNION ALL\n".join(
+        f"SELECT c_custkey, {pos(p, 'c_custkey')} AS pos FROM customer"
+        for p in range(3)
+    )
+    return f"""
+WITH okeys AS (SELECT DISTINCT o_custkey FROM orders),
+bpos AS ({build}),
+bloom AS (
+  SELECT pos // 60 AS word, bit_or(1::BIGINT << (pos % 60)) AS bits
+  FROM bpos GROUP BY 1
+),
+cpos AS ({probe}),
+hits AS (
+  SELECT c.c_custkey,
+         min((COALESCE(b.bits, 0) & (1::BIGINT << (c.pos % 60))) <> 0) AS might_contain
+  FROM cpos c LEFT JOIN bloom b ON b.word = c.pos // 60
+  GROUP BY c.c_custkey
+)
+SELECT h.c_custkey,
+       EXISTS (SELECT 1 FROM okeys o WHERE o.o_custkey = h.c_custkey) AS in_orders,
+       h.might_contain
+FROM hits h
+"""
+
+
+@register(
+    "sketch_bloom_prune",
+    covers="OLAP-sketch extension: Bloom-filter set membership — the "
+    "explicit, persistable form of pre-shuffle join pruning (bitmap is "
+    "sketch-sized and mergeable; false is definite absence)",
+    oracle=_bloom_oracle(),
+)
+def sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over the distinct order custkeys and probe
+    every customer: (c_custkey, in_orders truth, might_contain). The
+    no-false-negative invariant (in_orders => might_contain) is what
+    makes pruning a probe side before the shuffle safe; the oracle
+    replays bitmap construction and probing bit for bit, so even the
+    false-positive set matches exactly."""
+    from palegislature_spark.operators import sketch
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    okeys = orders.select(F.col("o_custkey")).distinct()
+    bloom = sketch.bloom_build(okeys, "o_custkey")
+    hits = sketch.bloom_might_contain(
+        bloom, customer.select(F.col("c_custkey")), "c_custkey"
+    )
+    truth = customer.select("c_custkey").join(
+        okeys.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "in_orders", F.lit(True)
+        ),
+        "c_custkey",
+        "left",
+    ).select("c_custkey", F.coalesce("in_orders", F.lit(False)).alias("in_orders"))
+    return truth.join(hits, "c_custkey").select(
+        "c_custkey", "in_orders", "might_contain"
+    )

@@ -149,3 +149,29 @@ def test_repetition_stats_flags_repeats(spark, tmp_path):
     assert out[2]["dup_2gram_ratio"] > 0.5
     assert out[3]["dup_2gram_ratio"] == 0.0
     assert out[3]["top_token_ratio"] == 1 / 7
+
+
+def test_bloom_no_false_negatives_and_merges(spark):
+    import pyspark.sql.functions as F
+    from palegislature_spark.operators import sketch
+
+    present = spark.createDataFrame([(i,) for i in range(0, 800, 2)], "k long")
+    absent = spark.createDataFrame([(i,) for i in range(1, 800, 2)], "k long")
+    bloom = sketch.bloom_build(present, "k")
+    hits_p = sketch.bloom_might_contain(bloom, present, "k").collect()
+    assert all(r["might_contain"] for r in hits_p)  # never a false negative
+    hits_a = sketch.bloom_might_contain(bloom, absent, "k").collect()
+    fp = sum(r["might_contain"] for r in hits_a) / len(hits_a)
+    assert fp < 0.5  # 400 keys / 4096 bits, k=3: well under coin-flip
+
+    # mergeability: bit_or of two half filters == filter of the union
+    h1 = spark.createDataFrame([(i,) for i in range(0, 400, 2)], "k long")
+    h2 = spark.createDataFrame([(i,) for i in range(400, 800, 2)], "k long")
+    merged = (
+        sketch.bloom_build(h1, "k")
+        .unionByName(sketch.bloom_build(h2, "k"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = {(r["word"], r["bits"]) for r in bloom.collect()}
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == whole
