@@ -11,6 +11,7 @@ from palegislature_spark.streaming.jobs import (
     stream_upsert_parquet,
     tumbling_counts,
     value_transitions,
+    value_transitions_tws,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "stream_upsert_parquet",
     "tumbling_counts",
     "value_transitions",
+    "value_transitions_tws",
 ]

@@ -309,3 +309,51 @@ def test_stream_then_compact_equals_batch_funnel(spark, tmp_path):
         == [(r[0],) for r in batch_kept]
         == [(1,), (5,), (8,), (9,), (10,)]
     )
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs protobuf on "
+    "the workers; absent in this container (standard on real deployments)",
+)
+def test_value_transitions_tws_matches_legacy(spark, tmp_path):
+    """The transformWithStateInPandas twin must emit exactly what the
+    applyInPandasWithState implementation does over the same
+    multi-batch stream (state carried across batches, reverts
+    re-emitted)."""
+    d = tmp_path / "status_stream_tws"
+    b1 = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "status", 1.0),
+        (2, TS(2024, 1, 1, 10, 10), 1, "status", 1.0),
+        (3, TS(2024, 1, 1, 10, 20), 1, "status", 2.0),
+        (4, TS(2024, 1, 1, 10, 0), 2, "status", 5.0),
+    ]
+    b2 = [
+        (5, TS(2024, 1, 1, 11, 0), 1, "status", 2.0),
+        (6, TS(2024, 1, 1, 11, 10), 1, "status", 1.0),
+        (7, TS(2024, 1, 1, 11, 0), 2, "status", 5.0),
+    ]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = streaming.read_stream(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    out = streaming.value_transitions_tws(stream, "user_id", "ts", "value")
+    q = streaming.run_available_now(out, str(tmp_path / "cp_tws"), "transitions_tws_t")
+    drain(q)
+    got = rows(
+        spark.table("transitions_tws_t"), "user_id", "ts", "value", "prev_value"
+    )
+    assert got == [
+        (1, TS(2024, 1, 1, 10, 0), 1.0, None),
+        (1, TS(2024, 1, 1, 10, 20), 2.0, 1.0),
+        (1, TS(2024, 1, 1, 11, 10), 1.0, 2.0),
+        (2, TS(2024, 1, 1, 10, 0), 5.0, None),
+    ]
