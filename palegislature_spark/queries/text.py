@@ -1011,3 +1011,51 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_3gram_ratio"),
         (F.col("topc") / F.col("n_tokens")).alias("top_token_ratio"),
     )
+
+
+@register(
+    "text_chunks",
+    covers="training/RAG-pipeline extension: per-document overlapping "
+    "token-window chunking (embedding/RAG prep; one explode, no UDF)",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(1, greatest(len(tk), 1), 96)) AS start
+  FROM t WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) / 96 AS BIGINT)                        AS chunk_idx,
+       CAST(start - 1 AS BIGINT)                               AS start_token,
+       CAST(least(n - start + 1, 128) AS BIGINT)               AS n_chunk_tokens,
+       array_to_string(tk[start : least(start + 127, n)], ' ') AS chunk_text
+FROM idx
+""",
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 128-token windows with stride 96 (32-token overlap) per
+    document — the RAG/embedding chunking layout, as one JVM explode:
+    chunk starts come from sequence(); slices via slice(); no UDF and
+    no shuffle (per-document work only). Empty documents yield no
+    chunks; the final partial window is kept (standard chunkers do)."""
+    docs = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda w: w != "")
+    base = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    starts = F.expr("sequence(1, greatest(size(tk), 1), 96)")
+    return (
+        base.select("doc_id", "tk", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.expr("CAST((start - 1) DIV 96 AS BIGINT)").alias("chunk_idx"),
+            F.expr("CAST(start - 1 AS BIGINT)").alias("start_token"),
+            F.expr("CAST(least(size(tk) - start + 1, 128) AS BIGINT)").alias(
+                "n_chunk_tokens"
+            ),
+            F.expr("array_join(slice(tk, start, 128), ' ')").alias(
+                "chunk_text"
+            ),
+        )
+    )

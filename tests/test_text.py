@@ -175,3 +175,32 @@ def test_bloom_no_false_negatives_and_merges(spark):
     )
     whole = {(r["word"], r["bits"]) for r in bloom.collect()}
     assert {(r["word"], r["bits"]) for r in merged.collect()} == whole
+
+
+def test_text_chunks_cover_and_overlap(spark, tmp_path):
+    from palegislature_spark.queries.text import text_chunks
+
+    long = " ".join(f"t{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, long), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = text_chunks(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 300 tokens, stride 96: starts 0,96,192,288 -> 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_token"] for r in c1] == [0, 96, 192, 288]
+    assert [r["n_chunk_tokens"] for r in c1] == [128, 128, 108, 12]
+    # 32-token overlap: chunk 1 starts inside chunk 0's window
+    assert c1[0]["chunk_text"].split()[96:] == c1[1]["chunk_text"].split()[:32]
+    # reconstruction: stride-sized prefixes + final tail = original
+    toks = []
+    for r in c1[:-1]:
+        toks.extend(r["chunk_text"].split()[:96])
+    toks.extend(c1[-1]["chunk_text"].split())
+    assert toks == long.split()
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc  # empty text yields no chunks
