@@ -1,0 +1,195 @@
+"""Benchmark decontamination and duplicate-span coverage.
+
+Two span-level corpus hygiene operators every LLM training-data
+pipeline runs before the tokenizer sees a byte:
+
+- :func:`decontaminate` — flag training documents sharing word
+  n-grams with a held-out evaluation set (the GPT-3 appendix-C /
+  PaLM / Llama decontamination rule: any overlap of a long-enough
+  n-gram marks the training document as contaminated).
+- :func:`duplicate_span_coverage` — per-document fraction of tokens
+  covered by spans of >= k tokens that also occur in at least one
+  OTHER document (the span-level view of Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better" — their
+  suffix-array substring dedup, re-expressed as shingle-hash grouping
+  plus interval union, both linear and shuffle-friendly).
+
+Scale shape (the 100 TB story):
+
+- Decontamination: the eval side is a BENCHMARK — fixed size
+  (thousands of documents) no matter how big the training corpus is.
+  Its distinct n-gram set is therefore dimension-sized and broadcast;
+  the corpus-side pass is one linear projection + a broadcast-hash
+  semi-join per n-gram, no corpus shuffle at all. Per-doc counts
+  aggregate on the doc id (one shuffle of (id, hit) pairs only).
+- Span coverage: span-hash occurrence counting is one shuffle with
+  map-side combine on an 8-byte xxhash64 key; only spans that occur
+  in >= 2 documents flow into the interval-union window (partitioned
+  by doc — the same single-shuffle gaps-and-islands shape as
+  ``operators/islands.py``). Nothing is ever collected.
+
+Reference tie-in: the reference has no corpus hygiene (its corpus is
+the PA vote record, `crawl.py` trusts the source); these extend the
+Q2-family dedup semantics (`find_duplicates.py`) from whole-record to
+sub-document spans, per the north-star extension charter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, start, gram): every word n-gram with its 1-based start
+    position. One split + one explode — linear, no shuffle."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
+    )
+    return toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("tk") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {n - 1}),"
+                    f" i -> struct(i AS start,"
+                    f" array_join(slice(tk, i, {n}), ' ') AS gram))"
+                ),
+            ).otherwise(
+                F.expr("array()").cast("array<struct<start:int,gram:string>>")
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per training document: n-gram overlap against the eval set.
+
+    Returns (id, n_grams, n_hit, hit_share, contaminated) — one row
+    per training document, zero-hit documents included.
+    ``contaminated`` is the published rule: ANY shared n-gram flags
+    the document. ``hit_share`` (distinct shared grams / distinct
+    grams) stays int/int rational, so the value is engine-exact.
+
+    The eval n-gram set is broadcast: a benchmark is fixed-size
+    regardless of corpus scale, so the corpus side needs no shuffle
+    beyond the per-doc count aggregation.
+    """
+    train_grams = (
+        _word_ngrams(train, id_col, text_col, n)
+        .select(id_col, "gram")
+        .distinct()
+    )
+    eval_grams = (
+        _word_ngrams(eval_df, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+    )
+    per_doc = train_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn("hit_share", F.col("n_hit") / F.col("n_grams"))
+        .withColumn("contaminated", F.col("n_hit") > 0)
+    )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per document: fraction of tokens covered by k-token spans that
+    occur in >= 2 distinct documents.
+
+    Returns (id, n_tokens, covered_tokens, coverage) for EVERY
+    document (zero-coverage rows included). All counts are integers;
+    ``coverage`` is the single int/int division, so the result is
+    engine-exact.
+
+    Plan: span occurrences -> groupBy(gram) countDistinct(doc) (one
+    shuffle, map-side combined) -> semi-join spans whose count >= 2
+    back (shuffle on the gram key) -> per-doc interval union via the
+    running-max-end window (one shuffle on the doc id) -> covered =
+    sum of merged-island extents. No step is ever worse than linear
+    in corpus tokens, and no state is driver-sized.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
+    )
+    n_tokens = toks.select(
+        id_col, F.size("tk").cast("long").alias("n_tokens")
+    )
+    spans = _word_ngrams(docs, id_col, text_col, k).select(
+        id_col,
+        "start",
+        (F.col("start") + F.lit(k - 1)).alias("end"),
+        "gram",
+    )
+    dup_grams = (
+        spans.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_spans = spans.join(dup_grams, "gram", "left_semi")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("start", "end")
+    islands = (
+        dup_spans.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    covered = (
+        islands.groupBy(id_col, "island")
+        .agg(
+            (F.max("end") - F.min("start") + 1).alias("extent"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("extent").cast("long").alias("covered_tokens"))
+    )
+    return (
+        n_tokens.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .withColumn("coverage", F.col("covered_tokens") / F.col("n_tokens"))
+    )

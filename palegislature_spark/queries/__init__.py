@@ -22,5 +22,6 @@ from palegislature_spark.queries import vectors as _vectors  # noqa: E402,F401
 from palegislature_spark.queries import er as _er  # noqa: E402,F401
 from palegislature_spark.queries import ingest as _ingest  # noqa: E402,F401
 from palegislature_spark.queries import surface as _surface  # noqa: E402,F401
+from palegislature_spark.queries import corpus as _corpus  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

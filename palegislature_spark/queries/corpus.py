@@ -1,0 +1,448 @@
+"""Corpus-hygiene and corpus-statistics queries: benchmark
+decontamination, duplicate-span coverage, BM25 relevance, mixture
+weights, and tokenizer encoding.
+
+The second wave of the training-data-pipeline extension family (the
+first wave — dedup/quality/sampling/packing — lives in ``text.py``).
+Float discipline follows the house rule: every ratio is either a
+single int/int division or a chain of IEEE-correctly-rounded ops
+(`sqrt`, `*`, `/`, `+`) evaluated in an identical, explicitly
+parenthesized order on both engines, so the driver's raw-value hash
+matches with no rounding tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from palegislature_spark.catalog import load
+from palegislature_spark.queries.registry import register
+
+
+def _decontam_oracle() -> str:
+    from palegislature_spark.operators.sampling import _hex_boundary
+
+    b_val = _hex_boundary(0.95)
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(5))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) >= '{b_val}'
+           AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_eval, {gram} AS gram
+  FROM (SELECT doc_id, is_eval, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+        FROM toks)
+),
+evalg AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM grams WHERE NOT is_eval GROUP BY doc_id
+),
+hits AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM grams g JOIN evalg e USING (gram)
+  WHERE NOT g.is_eval GROUP BY g.doc_id
+)
+SELECT c.doc_id, c.n_grams,
+       coalesce(h.n_hit, 0) AS n_hit,
+       coalesce(h.n_hit, 0) * 1.0 / c.n_grams AS hit_share,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+@register(
+    "decontaminate_ngrams",
+    covers="training-pipeline extension: benchmark decontamination — "
+    "word-5-gram overlap of the train split against the held-out test "
+    "split (GPT-3 appendix-C rule: any shared long n-gram flags the "
+    "training document); eval n-gram set broadcast (benchmark-sized), "
+    "corpus side linear",
+    oracle=_decontam_oracle(),
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the deterministic hash-split (eval = its 'test' split)
+    with the broadcast n-gram overlap operator — the exact
+    decontamination job a pretraining pipeline runs, with the eval
+    side fixed-size and broadcast no matter the corpus scale."""
+    from palegislature_spark.operators.contamination import decontaminate
+    from palegislature_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(F.col("split") != "test")
+    eval_df = docs.filter(F.col("split") == "test")
+    return decontaminate(train, eval_df, "doc_id", "text", n=5)
+
+
+def _span_oracle(k: int) -> str:
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+spans AS (
+  SELECT doc_id, i AS s, i + {k - 1} AS e, {gram} AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1})) AS i
+        FROM toks)
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM spans GROUP BY gram
+  ) WHERE nd >= 2
+),
+ds AS (SELECT doc_id, s, e FROM spans JOIN dup USING (gram)),
+w AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM ds
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM w
+),
+cov AS (
+  SELECT doc_id, CAST(sum(extent) AS BIGINT) AS covered_tokens
+  FROM (SELECT doc_id, island, max(e) - min(s) + 1 AS extent
+        FROM isl GROUP BY doc_id, island)
+  GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(cov.covered_tokens, 0) AS covered_tokens,
+       coalesce(cov.covered_tokens, 0) * 1.0 / nt.n_tokens AS coverage
+FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
+"""
+
+
+@register(
+    "dup_span_coverage",
+    covers="dedup extension: duplicate-span coverage — fraction of each "
+    "document's tokens inside k-token spans occurring in >= 2 documents "
+    "(Lee et al. 2022 substring dedup re-expressed as shingle grouping "
+    "+ windowed interval union; every stage linear + shuffle-friendly)",
+    oracle=_span_oracle(8),
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from palegislature_spark.operators.contamination import (
+        duplicate_span_coverage,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_span_coverage(docs, "doc_id", "text", k=8)
+
+
+_BM25_TERMS = ("spark", "hash", "window", "merge")
+_K1, _B = "1.2", "0.75"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(tk, w -> w = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    # e0-suffixed literals force DOUBLE: DuckDB parses bare `2.2` as
+    # DECIMAL and keeps int*DECIMAL exact, which breaks the IEEE
+    # bit-for-bit correspondence with Spark's double arithmetic
+    comps = " + ".join(
+        f"(((n - df_{t} + 0.5e0) / (df_{t} + 0.5e0))"
+        f" * ((tf_{t} * 2.2e0)"
+        f" / (tf_{t} + {_K1}e0 * (0.25e0 + {_B}e0 * (dl / avgdl)))))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+d AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(dl) * 1.0e0 / count(*) AS avgdl,
+         {df_cols}
+  FROM d
+)
+SELECT doc_id, dl AS n_tokens,
+       {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+       {comps} AS score
+FROM d CROSS JOIN s
+"""
+
+
+@register(
+    "bm25_relevance",
+    covers="text-analysis extension: BM25 relevance scoring against a "
+    "fixed query (Robertson-Sparck Jones; rational idf variant — the "
+    "log-free odds ratio, same ranking — keeps every op an IEEE "
+    "correctly-rounded */ /+ chain, fixed-order summed, so scores are "
+    "bit-exact across engines)",
+    oracle=_bm25_oracle(),
+)
+def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) of every document against the query
+    {spark, hash, window, merge}. Corpus statistics (N, avgdl, per-term
+    document frequencies) are one aggregate row broadcast back via
+    crossJoin — the 1-row scalar-attach pattern; the per-document side
+    is a single linear projection. The idf is the un-logged
+    Robertson-Sparck Jones odds ratio (N - df + 0.5)/(df + 0.5): a
+    monotone transform of the classical log idf (identical ranking)
+    chosen because libm ``ln`` is the one op whose last-ulp rounding
+    is NOT pinned down by IEEE 754 across engines."""
+    docs = load(spark, sf_dir, "documents")
+
+    def tf(term: str) -> F.Column:
+        # closure factory: a `t=t` default arg would make the HOF
+        # bridge read the lambda as the (element, index) 2-arg form
+        return (
+            F.size(F.filter(F.col("tk"), lambda w: w == term))
+            .cast("long")
+            .alias(f"tf_{term}")
+        )
+
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+    ).select(
+        "doc_id",
+        F.size("tk").cast("long").alias("dl"),
+        *[tf(t) for t in _BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    k1, b = float(_K1), float(_B)
+
+    def comp(t: str) -> F.Column:
+        idf = (F.col("n") - F.col(f"df_{t}") + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        tf_part = (F.col(f"tf_{t}") * F.lit(2.2)) / (
+            F.col(f"tf_{t}")
+            + F.lit(k1)
+            * (
+                F.lit(1 - b)
+                + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+        return idf * tf_part
+
+    score = comp(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + comp(t)
+    return d.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        *[F.col(f"tf_{t}") for t in _BM25_TERMS],
+        score.alias("score"),
+    )
+
+
+_MIX_ORACLE = """
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS grand FROM src),
+w AS (SELECT source, n_docs, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS sw
+      FROM src),
+den AS (
+  SELECT CAST(
+           list_reduce(list(sw ORDER BY source), (a, b) -> a + b)
+           AS DOUBLE) AS denom
+  FROM w
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens * 1.0 / grand AS raw_share,
+       sw / denom AS temp_share,
+       (sw / denom) / (n_tokens * 1.0 / grand) AS repeat_factor
+FROM w CROSS JOIN tot CROSS JOIN den
+"""
+
+
+@register(
+    "domain_mixture_weights",
+    covers="training-pipeline extension: temperature-scaled domain "
+    "mixture weights (alpha = 0.5 token-count reweighting, the "
+    "multilingual-sampling rule of mBERT/XLM-R/PaLM data mixing) with "
+    "per-domain repeat factors; the one float sum (the sqrt "
+    "normalizer) is a fixed-order sequential fold on both engines",
+    oracle=_MIX_ORACLE,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights: raw token share vs temperature
+    share p_i^0.5 / sum(p_j^0.5) and the repeat factor their ratio
+    implies. The heavy work is one map-side-combined groupBy over the
+    corpus; everything after runs on the domain-count table (20 rows
+    here, thousands at worst — dimension-sized at any corpus scale).
+    The sqrt-weight normalizer is summed by an explicit sorted
+    sequential fold (init 0.0, left-to-right), matching DuckDB's
+    ``list_reduce`` over ``list(sw ORDER BY source)`` bit for bit —
+    an order-pinned sum, where a plain ``sum()`` over doubles would
+    be free to add in any (engine-specific) order."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = src.withColumn("sw", F.sqrt(F.col("n_tokens").cast("double")))
+    scal = w.agg(
+        F.sum("n_tokens").cast("long").alias("grand"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "sw"))),
+                lambda s: s["sw"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom"),
+    )
+    return w.crossJoin(F.broadcast(scal)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(1.0) / F.col("grand")).alias("raw_share"),
+        (F.col("sw") / F.col("denom")).alias("temp_share"),
+        (
+            (F.col("sw") / F.col("denom"))
+            / (F.col("n_tokens") * F.lit(1.0) / F.col("grand"))
+        ).alias("repeat_factor"),
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replay of train-then-encode: the same
+    boundary-wrapped string-replace merge chain as ``_bpe_oracle`` in
+    ``text.py`` (provably equal to the Spark fold — see
+    ``operators/bpe.py`` module docstring), extended one step to
+    syms{n+1} (the fully merged vocabulary) and then applied to every
+    document as a word -> token-list dictionary join."""
+    ctes = [
+        """words AS (
+  SELECT token AS w, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> '' AND instr(token, chr(1)) = 0 AND instr(token, chr(2)) = 0
+  GROUP BY token
+)""",
+        """syms1 AS (
+  SELECT w, cnt,
+         array_to_string(list_transform(regexp_extract_all(w, '(?s).'),
+                                        c -> chr(1) || c || chr(2)), '') AS s
+  FROM words
+)""",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""tk{k} AS (
+  SELECT cnt,
+         regexp_extract_all(s, chr(1) || '([^' || chr(1) || ']*)' || chr(2), 1) AS tk
+  FROM syms{k}
+)"""
+        )
+        ctes.append(
+            f"""pairs{k} AS (
+  SELECT p.a AS a, p.b AS b, sum(cnt) AS n
+  FROM (SELECT cnt, unnest(list_transform(range(2, len(tk) + 1),
+                           i -> struct_pack(a := tk[i-1], b := tk[i]))) AS p
+        FROM tk{k})
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""top{k} AS (
+  SELECT a, b, a || b AS m, n FROM pairs{k} ORDER BY n DESC, a, b LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""syms{k + 1} AS (
+  SELECT w, cnt,
+         replace(s, chr(1) || t.a || chr(2) || chr(1) || t.b || chr(2),
+                    chr(1) || t.m || chr(2)) AS s
+  FROM syms{k} CROSS JOIN top{k} t
+)"""
+        )
+    ctes.append(
+        f"""dict AS (
+  SELECT w,
+         regexp_extract_all(s, chr(1) || '([^' || chr(1) || ']*)' || chr(2), 1)
+           AS toks
+  FROM syms{n_merges + 1}
+)"""
+    )
+    ctes.append(
+        """dtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+dw AS (
+  SELECT doc_id, i, tk[i] AS w
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM dtoks)
+  WHERE tk[i] <> ''
+),
+wt AS (
+  SELECT doc_id, i, j, toks[j] AS token
+  FROM (SELECT doc_id, i, toks, unnest(generate_series(1, len(toks))) AS j
+        FROM dw JOIN dict USING (w))
+),
+enc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         list(token ORDER BY i, j) AS tokens
+  FROM wt GROUP BY doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.doc_id,
+       coalesce(enc.n_tokens, 0) AS n_tokens,
+       coalesce(enc.tokens, CAST([] AS VARCHAR[])) AS tokens
+FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
+    )
+
+
+@register(
+    "bpe_encode_tokens",
+    covers="text-analysis extension: tokenizer ENCODE — apply the "
+    "trained BPE merge table to every document (model-sized merge "
+    "list collected once, applied as a chain of JVM-side folds in one "
+    "projection; completes the train/encode tokenizer pair)",
+    oracle=_bpe_encode_oracle(8),
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 merges (same rounds as ``tokenizer_bpe_merges``), then
+    encode the corpus with them. Encoding is shuffle-free: the merge
+    table is collected (model-sized — the tokenizer artifact), and
+    each document is tokenized by one linear fold chain per merge
+    inside a single projection."""
+    from palegislature_spark.operators.bpe import apply_bpe, bpe_merge_table
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_merge_table(docs, "text", n_merges=8)
+    enc = apply_bpe(docs, merges, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
+    )

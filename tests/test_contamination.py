@@ -1,0 +1,153 @@
+"""Unit tests for benchmark decontamination and duplicate-span
+coverage (operators/contamination.py) on handcrafted fixtures where
+the expected answer is derivable by eye."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palegislature_spark.operators.contamination import (
+    _word_ngrams,
+    decontaminate,
+    duplicate_span_coverage,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_positions(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b")])
+    got = sorted(
+        (r.doc_id, r.start, r.gram)
+        for r in _word_ngrams(df, "doc_id", "text", 3).collect()
+    )
+    assert got == [(1, 1, "a b c"), (1, 2, "b c d")]  # doc 2: too short
+
+
+def test_decontaminate_flags_any_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "quick brown fox jumps over something else entirely now"),
+        ],
+    )
+    eval_df = _docs(spark, [(100, "the quick brown fox jumps over it")])
+    out = {
+        r.doc_id: r
+        for r in decontaminate(train, eval_df, n=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1 shares 5-grams starting at 'the quick...' and 'quick brown...'
+    assert out[1].contaminated and out[1].n_hit == 2
+    assert out[1].n_grams == 5
+    assert out[1].hit_share == 2 / 5
+    # doc 3 shares exactly 'quick brown fox jumps over'
+    assert out[3].contaminated and out[3].n_hit == 1
+    # doc 2 is clean and still present with zeros
+    assert not out[2].contaminated and out[2].n_hit == 0
+    assert out[2].hit_share == 0.0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    train = _docs(spark, [(1, "a b c d e f")])
+    eval_df = _docs(spark, [(9, "a b c d e")])
+    plan = decontaminate(train, eval_df, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_coverage_merges_overlapping_intervals(spark):
+    # k=3: docs 1 and 2 share the run "a b c d" -> spans (a b c) and
+    # (b c d) at doc positions 1 and 2 -> union covers tokens 1..4.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d x y z"),
+            (2, "p q a b c d r"),
+            (3, "u v w m n o t"),
+        ],
+    )
+    out = {
+        r.doc_id: r for r in duplicate_span_coverage(df, k=3).collect()
+    }
+    assert out[1].n_tokens == 7 and out[1].covered_tokens == 4
+    assert out[1].coverage == 4 / 7
+    # doc 2: the shared run sits at positions 3..6
+    assert out[2].covered_tokens == 4
+    # doc 3 shares nothing but still appears
+    assert out[3].covered_tokens == 0 and out[3].coverage == 0.0
+
+
+def test_span_coverage_disjoint_islands_sum(spark):
+    # shared spans at both ends, gap in the middle: extents add up
+    df = _docs(
+        spark,
+        [
+            (1, "a b c GAP1 GAP2 d e f"),
+            (2, "a b c OTHER1 OTHER2 d e f"),
+        ],
+    )
+    out = {
+        r.doc_id: r for r in duplicate_span_coverage(df, k=3).collect()
+    }
+    # islands [1,3] and [6,8] -> 6 covered of 8
+    assert out[1].covered_tokens == 6 and out[1].n_tokens == 8
+    assert out[2].covered_tokens == 6
+
+
+def test_span_coverage_within_doc_repeat_not_counted(spark):
+    # a span repeated only WITHIN one doc is not a cross-doc duplicate
+    df = _docs(
+        spark,
+        [
+            (1, "a b c a b c"),
+            (2, "x y z w v u"),
+        ],
+    )
+    out = {
+        r.doc_id: r for r in duplicate_span_coverage(df, k=3).collect()
+    }
+    assert out[1].covered_tokens == 0
+    assert out[2].covered_tokens == 0
+
+
+def test_bm25_score_monotone_in_tf(spark, sf_dir):
+    from palegislature_spark.queries.corpus import bm25_relevance
+
+    out = bm25_relevance(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # zero-tf docs score exactly 0; any matching term scores positive
+    for r in rows:
+        tf_sum = r.tf_spark + r.tf_hash + r.tf_window + r.tf_merge
+        assert (r.score > 0) == (tf_sum > 0)
+
+
+def test_mixture_weights_shares_sum_to_one(spark, sf_dir):
+    from palegislature_spark.queries.corpus import domain_mixture_weights
+
+    rows = domain_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-9
+    # temperature flattens: every repeat factor is finite and positive,
+    # small domains get boosted (factor > 1) and the largest damped
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    assert small.repeat_factor > 1.0 > big.repeat_factor
+
+
+def test_bpe_encode_roundtrip_concat(spark):
+    from palegislature_spark.operators.bpe import apply_bpe, bpe_merge_table
+
+    df = _docs(spark, [(1, "low lower lowest low"), (2, "low slow")])
+    merges = bpe_merge_table(df, n_merges=4)
+    enc = {r.doc_id: r.tokens for r in apply_bpe(df, merges).collect()}
+    # concatenating each doc's tokens reproduces its words in order
+    assert "".join(enc[1]) == "lowlowerlowestlow"
+    assert "".join(enc[2]) == "lowslow"
+    # the top merge over this corpus is (l, o) then (lo, w): 'low'
+    # appears as a single token after 4 merges
+    assert "low" in enc[1]
