@@ -48,6 +48,10 @@ HEADLINE = [
     "redact_pii",
     "sketch_heavy_hitters",
     "sequence_packing",
+    "testset_decontam",
+    "span_dup_coverage",
+    "relevance_bm25",
+    "tokenizer_bpe_encode",
 ]
 
 

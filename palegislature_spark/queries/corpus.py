@@ -57,7 +57,7 @@ FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id
 
 
 @register(
-    "decontaminate_ngrams",
+    "testset_decontam",
     covers="training-pipeline extension: benchmark decontamination — "
     "word-5-gram overlap of the train split against the held-out test "
     "split (GPT-3 appendix-C rule: any shared long n-gram flags the "
@@ -127,7 +127,7 @@ FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
 
 
 @register(
-    "dup_span_coverage",
+    "span_dup_coverage",
     covers="dedup extension: duplicate-span coverage — fraction of each "
     "document's tokens inside k-token spans occurring in >= 2 documents "
     "(Lee et al. 2022 substring dedup re-expressed as shingle grouping "
@@ -186,7 +186,7 @@ FROM d CROSS JOIN s
 
 
 @register(
-    "bm25_relevance",
+    "relevance_bm25",
     covers="text-analysis extension: BM25 relevance scoring against a "
     "fixed query (Robertson-Sparck Jones; rational idf variant — the "
     "log-free odds ratio, same ranking — keeps every op an IEEE "
@@ -285,7 +285,7 @@ FROM w CROSS JOIN tot CROSS JOIN den
 
 
 @register(
-    "domain_mixture_weights",
+    "mixture_domain_weights",
     covers="training-pipeline extension: temperature-scaled domain "
     "mixture weights (alpha = 0.5 token-count reweighting, the "
     "multilingual-sampling rule of mBERT/XLM-R/PaLM data mixing) with "
@@ -423,7 +423,7 @@ FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
 
 
 @register(
-    "bpe_encode_tokens",
+    "tokenizer_bpe_encode",
     covers="text-analysis extension: tokenizer ENCODE — apply the "
     "trained BPE merge table to every document (model-sized merge "
     "list collected once, applied as a chain of JVM-side folds in one "
