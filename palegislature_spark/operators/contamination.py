@@ -193,3 +193,109 @@ def duplicate_span_coverage(
         )
         .withColumn("coverage", F.col("covered_tokens") / F.col("n_tokens"))
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Remove cross-document duplicated spans, keeping one canonical
+    occurrence — the REWRITE step of Lee et al. 2022 substring dedup
+    (their ExactSubstr: delete all but the first occurrence of every
+    duplicated >= k-token span).
+
+    The canonical occurrence of a duplicated k-gram is its globally
+    first position (min (doc_id, start) — deterministic). Every
+    NON-canonical occurrence's interval is unioned per document, and
+    tokens inside that union are dropped; the surviving tokens are
+    re-joined into ``text_clean`` in original order.
+
+    Returns (id, n_tokens, n_removed, text_clean) for every document.
+
+    Scale shape: canonical election is one window argmin partitioned
+    by the gram key (same shuffle as the occurrence count); interval
+    union is the per-doc running-max-end window; the drop itself
+    explodes covered intervals into positions — linear, since union
+    extents sum to at most the document's token count — and
+    anti-joins on (id, pos). No collects, no quadratic step.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("tk"),
+    )
+    positions = toks.select(
+        id_col,
+        F.posexplode("tk").alias("pos0", "w"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "w")
+    n_tokens = toks.select(id_col, F.size("tk").cast("long").alias("n_tokens"))
+
+    spans = _word_ngrams(docs, id_col, text_col, k).select(
+        id_col,
+        "start",
+        (F.col("start") + F.lit(k - 1)).alias("end"),
+        "gram",
+    )
+    dup_grams = (
+        spans.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_spans = spans.join(dup_grams, "gram", "left_semi")
+    # canonical occurrence: global argmin (doc_id, start) per gram
+    w_gram = Window.partitionBy("gram").orderBy(id_col, "start")
+    removable = (
+        dup_spans.withColumn("rn", F.row_number().over(w_gram))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "start", "end")
+    )
+    # per-doc interval union of removable spans
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("start", "end")
+    islands = (
+        removable.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy(id_col, "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+    )
+    covered_pos = islands.select(
+        id_col, F.explode(F.sequence("s", "e")).alias("pos")
+    )
+    kept = positions.join(covered_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        n_tokens.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -143,6 +143,86 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(docs, "doc_id", "text", k=8)
 
 
+def _rewrite_oracle(k: int) -> str:
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, tk[i] AS w
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)
+),
+spans AS (
+  SELECT doc_id, i AS s, i + {k - 1} AS e, {gram} AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1})) AS i
+        FROM toks)
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM spans GROUP BY gram
+  ) WHERE nd >= 2
+),
+rem AS (
+  SELECT doc_id, s, e FROM (
+    SELECT sp.doc_id, sp.s, sp.e,
+           row_number() OVER (PARTITION BY gram ORDER BY sp.doc_id, sp.s) AS rn
+    FROM spans sp JOIN dup USING (gram)
+  ) WHERE rn > 1
+),
+w AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM rem
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM w
+),
+mrg AS (
+  SELECT doc_id, island, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, island
+),
+cpos AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM mrg),
+kept AS (
+  SELECT p.doc_id, p.pos, p.w
+  FROM pos p LEFT JOIN cpos c ON p.doc_id = c.doc_id AND p.pos = c.pos
+  WHERE c.pos IS NULL
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+SELECT nt.doc_id, nt.n_tokens,
+       nt.n_tokens - coalesce(reb.n_kept, 0) AS n_removed,
+       coalesce(reb.text_clean, '') AS text_clean
+FROM nt LEFT JOIN reb ON nt.doc_id = reb.doc_id
+"""
+
+
+@register(
+    "span_dedup_rewrite",
+    covers="dedup extension: duplicate-span REMOVAL — the rewrite step "
+    "of Lee et al. 2022 ExactSubstr dedup (keep the globally first "
+    "occurrence of every duplicated k-token span, strip the rest, "
+    "reconstruct the text); canonical election is a per-gram window "
+    "argmin, the strip an interval-union + position anti-join",
+    oracle=_rewrite_oracle(8),
+)
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from palegislature_spark.operators.contamination import (
+        strip_duplicate_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, "doc_id", "text", k=8)
+
+
 _BM25_TERMS = ("spark", "hash", "window", "merge")
 _K1, _B = "1.2", "0.75"
 

@@ -114,6 +114,51 @@ def test_span_coverage_within_doc_repeat_not_counted(spark):
     assert out[2].covered_tokens == 0
 
 
+def test_strip_spans_keeps_first_occurrence(spark):
+    from palegislature_spark.operators.contamination import (
+        strip_duplicate_spans,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c x y z w"),
+            (2, "p q a b c r s"),
+            (3, "a b c t u v m"),
+        ],
+    )
+    out = {
+        r.doc_id: r for r in strip_duplicate_spans(df, k=3).collect()
+    }
+    # doc 1 holds the canonical (min doc_id, start) occurrence of
+    # "a b c": untouched; docs 2 and 3 lose those three tokens
+    assert out[1].n_removed == 0
+    assert out[1].text_clean == "a b c x y z w"
+    assert out[2].n_removed == 3 and out[2].text_clean == "p q r s"
+    assert out[3].n_removed == 3 and out[3].text_clean == "t u v m"
+
+
+def test_strip_spans_overlapping_runs_merge(spark):
+    from palegislature_spark.operators.contamination import (
+        strip_duplicate_spans,
+    )
+
+    # shared 4-token run -> two overlapping 3-gram spans in each doc;
+    # the non-canonical doc loses the union, not double-counted
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d x y"),
+            (2, "z a b c d w"),
+        ],
+    )
+    out = {
+        r.doc_id: r for r in strip_duplicate_spans(df, k=3).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 4 and out[2].text_clean == "z w"
+
+
 def test_bm25_score_monotone_in_tf(spark, sf_dir):
     from palegislature_spark.queries.corpus import bm25_relevance
 

@@ -53,6 +53,12 @@ ALLOW_NESTED_LOOP = {
     # crossJoin(broadcast(max(id))) — a 1-row scalar attach, the
     # standard distributed pattern for "next id past the dim's max".
     "ingest_member_service",
+    # Corpus-statistics scalar attaches: crossJoin(broadcast(<1-row
+    # aggregate>)) of (N, avgdl, per-term df) / (grand total, sqrt-sum
+    # normalizer) onto the per-document/per-domain side — 1-row
+    # broadcast, not a data-scale cartesian.
+    "relevance_bm25",
+    "mixture_domain_weights",
 }
 
 # Pipeline DataFrames whose only NLJ is a 1-row scalar attach
