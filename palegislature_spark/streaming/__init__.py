@@ -2,6 +2,7 @@
 
 from palegislature_spark.streaming.jobs import (
     curate_stream,
+    decontam_stream,
     dedup_within_watermark,
     read_stream,
     run_available_now,
@@ -16,6 +17,7 @@ from palegislature_spark.streaming.jobs import (
 
 __all__ = [
     "curate_stream",
+    "decontam_stream",
     "dedup_within_watermark",
     "read_stream",
     "run_available_now",

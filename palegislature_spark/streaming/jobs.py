@@ -261,6 +261,115 @@ def curate_stream(
     )
 
 
+def decontam_stream(
+    stream: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Streaming benchmark decontamination: drop arriving documents
+    sharing any word n-gram with the (static) eval set, checked
+    against a Bloom filter of the eval n-grams.
+
+    STATELESS by design: the eval side is a benchmark — fixed size no
+    matter the stream volume — so its n-gram set is built ONCE into a
+    capacity-scaled xxhash64 Bloom filter whose bitmap is collected
+    and inlined as a literal array column (the fixed-size md5 bloom
+    in ``operators/sketch.py`` exists for SQL-oracle replay; this
+    one is sized to the eval set instead). Each arriving document is then screened by pure
+    per-row expressions (n-gram transform + k bit probes per gram):
+    no state store, no watermark, no stream-side join or aggregation
+    — the plan stays a linear projection that any number of
+    executors run independently.
+
+    Bloom direction is the SAFE one for decontamination: no false
+    negatives, so every truly contaminated document is caught; the
+    design-rate false positives only over-drop (a second exact check
+    can run in the batch compaction job if that loss matters).
+
+    Emits survivors with an ``n_grams`` audit column
+    (violations-as-data: the dropped share is the per-batch
+    input-minus-output delta).
+    """
+    from palegislature_spark.operators.contamination import _word_ngrams
+
+    eval_grams = (
+        _word_ngrams(eval_docs, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+        .localCheckpoint()
+    )
+    # Capacity-scaled filter (unlike the oracle-pinned 4096-bit
+    # md5 bloom in operators/sketch.py, which saturates on thousands
+    # of grams): m = 32 bits/gram, k = 8 probes -> per-gram FP ~5e-6,
+    # so a whole document's any-hit FP stays well under 1%. The
+    # bitmap is 4 bytes/eval-gram: ~4 MB for a 1M-gram eval suite —
+    # inlined as a literal array. (Past tens of MB, move the bitmap
+    # to a Spark broadcast probed inside an Arrow-batched pandas UDF;
+    # the plan shape is otherwise identical.)
+    n_eval = eval_grams.count()
+    k_probes = 8
+    n_words = max(8, (32 * max(n_eval, 1) + 63) // 64)
+    m_bits = n_words * 64
+    pos_df = None
+    for p in range(k_probes):
+        one = eval_grams.select(
+            F.pmod(F.xxhash64("gram", F.lit(p)), F.lit(m_bits)).alias("pos")
+        )
+        pos_df = one if pos_df is None else pos_df.unionByName(one)
+    bitmap = {
+        r["word"]: r["bits"]
+        for r in pos_df.select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    }
+    bits_lit = F.array(
+        *[F.lit(bitmap.get(i, 0)).cast("long") for i in range(n_words)]
+    )
+
+    tk = F.split(F.col(text_col), " ")
+    gram_arr = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+    def might_contain(gram_col: F.Column) -> F.Column:
+        hit = F.lit(True)
+        for p in range(k_probes):
+            pos = F.pmod(F.xxhash64(gram_col, F.lit(p)), F.lit(m_bits))
+            word = (pos / F.lit(64)).cast("long")
+            # getbit takes the bit index as a column (shiftleft's
+            # Python helper would demand an int literal here)
+            hit = hit & (
+                F.getbit(
+                    F.element_at(bits_lit, (word + 1).cast("int")),
+                    pos % 64,
+                )
+                == 1
+            )
+        return hit
+
+    with_grams = stream.withColumn("__grams", F.array_distinct(gram_arr))
+    return (
+        with_grams.withColumn(
+            "__hits", F.size(F.filter(F.col("__grams"), might_contain))
+        )
+        .filter(F.col("__hits") == 0)
+        .withColumn("n_grams", F.size("__grams").cast("long"))
+        .drop("__grams", "__hits")
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

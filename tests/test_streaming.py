@@ -357,3 +357,63 @@ def test_value_transitions_tws_matches_legacy(spark, tmp_path):
         (1, TS(2024, 1, 1, 11, 10), 1.0, 2.0),
         (2, TS(2024, 1, 1, 10, 0), 5.0, None),
     ]
+
+
+def test_decontam_stream_drops_overlap_statelessly(spark, tmp_path):
+    """Streaming decontamination: a doc sharing a 5-gram with the eval
+    set is dropped, a clean doc passes, and the streaming plan carries
+    NO state operator (pure per-row bloom probes)."""
+    run = "alpha beta gamma delta epsilon"
+    eval_docs = spark.createDataFrame(
+        [(100, f"{run} zeta eta theta")], "doc_id long, text string"
+    )
+    d = tmp_path / "docs_decontam"
+    batch = [
+        (1, TS(2024, 1, 1, 10, 0), f"start words {run} more words here"),
+        (2, TS(2024, 1, 1, 10, 5), "totally clean content nothing shared at all ok"),
+        (3, TS(2024, 1, 1, 10, 10), "alpha beta gamma delta other tail words"),  # 4-gram only: kept
+    ]
+    spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+
+    stream = streaming.read_stream(spark, str(d), DOC_SCHEMA)
+    out = streaming.decontam_stream(stream, eval_docs)
+    q = streaming.run_available_now(out, str(tmp_path / "cp_dc"), "decontam_t")
+    drain(q)
+    got = rows(spark.table("decontam_t"), "doc_id")
+    assert got == [(2,), (3,)]
+    # stateless: no state store operator ran
+    progress = q.lastProgress
+    assert progress is None or progress["stateOperators"] == []
+
+
+def test_decontam_stream_no_false_negatives_vs_exact(spark, sf_dir):
+    """Bloom screening must catch EVERY document the exact batch
+    decontamination flags (no false negatives — the safe direction);
+    over-drops are allowed only at the filter's design rate."""
+    from palegislature_spark.operators.contamination import decontaminate
+    from palegislature_spark.operators.sampling import hash_split
+    from palegislature_spark.catalog import load
+
+    docs = hash_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(F.col("split") != "test").select("doc_id", "text")
+    eval_df = docs.filter(F.col("split") == "test").select("doc_id", "text")
+
+    exact = decontaminate(train, eval_df, n=5)
+    flagged = {r.doc_id for r in exact.filter("contaminated").collect()}
+    # decontam_stream is a pure projection+filter: valid on batch too
+    survivors = {
+        r.doc_id
+        for r in streaming.decontam_stream(train, eval_df).collect()
+    }
+    assert flagged.isdisjoint(survivors)
+    # over-drop bounded: survivors + flagged should cover nearly all
+    total = train.count()
+    dropped = total - len(survivors)
+    assert dropped >= len(flagged)
+    assert dropped - len(flagged) <= max(5, total // 20)
