@@ -50,6 +50,7 @@ HEADLINE = [
     "sequence_packing",
     "testset_decontam",
     "span_dup_coverage",
+    "span_dedup_rewrite",
     "relevance_bm25",
     "tokenizer_bpe_encode",
 ]
