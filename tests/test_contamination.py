@@ -4,6 +4,8 @@ the expected answer is derivable by eye."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from palegislature_spark.operators.contamination import (
@@ -157,6 +159,107 @@ def test_strip_spans_overlapping_runs_merge(spark):
     }
     assert out[1].n_removed == 0
     assert out[2].n_removed == 4 and out[2].text_clean == "z w"
+
+
+def _py_spans(texts: dict[int, str], k: int):
+    """Brute-force reference: doc -> list of (start, end, gram)."""
+    out = {}
+    for d, t in texts.items():
+        tk = t.split(" ")
+        out[d] = [
+            (i + 1, i + k, " ".join(tk[i : i + k]))
+            for i in range(len(tk) - k + 1)
+        ]
+    return out
+
+
+def _py_union(intervals):
+    covered = set()
+    for s, e in intervals:
+        covered.update(range(s, e + 1))
+    return covered
+
+
+def _py_coverage(texts: dict[int, str], k: int):
+    spans = _py_spans(texts, k)
+    gram_docs: dict[str, set] = {}
+    for d, sp in spans.items():
+        for _, _, g in sp:
+            gram_docs.setdefault(g, set()).add(d)
+    out = {}
+    for d, t in texts.items():
+        ivals = [
+            (s, e) for s, e, g in spans[d] if len(gram_docs[g]) >= 2
+        ]
+        out[d] = (len(t.split(" ")), len(_py_union(ivals)))
+    return out
+
+
+def _py_rewrite(texts: dict[int, str], k: int):
+    spans = _py_spans(texts, k)
+    gram_docs: dict[str, set] = {}
+    occ: dict[str, list] = {}
+    for d in sorted(texts):
+        for s, e, g in spans[d]:
+            gram_docs.setdefault(g, set()).add(d)
+            occ.setdefault(g, []).append((d, s, e))
+    removable: dict[int, list] = {d: [] for d in texts}
+    for g, lst in occ.items():
+        if len(gram_docs[g]) < 2:
+            continue
+        for d, s, e in sorted(lst)[1:]:  # canonical = min (doc, start)
+            removable[d].append((s, e))
+    out = {}
+    for d, t in texts.items():
+        tk = t.split(" ")
+        cov = _py_union(removable[d])
+        kept = [w for i, w in enumerate(tk, start=1) if i not in cov]
+        out[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+_word = st.sampled_from(["a", "b", "c", "d"])
+_text = st.lists(_word, min_size=1, max_size=14).map(" ".join)
+_corpus = st.lists(_text, min_size=2, max_size=5)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus)
+def test_span_coverage_matches_bruteforce(spark, corpus):
+    """Tiny random corpora over a 4-word alphabet (dense duplicate
+    structure by construction) pin the Spark interval-union coverage
+    against an independent O(n^2) Python reference."""
+    from palegislature_spark.operators.contamination import (
+        duplicate_span_coverage,
+    )
+
+    texts = {i + 1: t for i, t in enumerate(corpus)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens)
+        for r in duplicate_span_coverage(df, k=3).collect()
+    }
+    assert got == _py_coverage(texts, 3)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus)
+def test_span_rewrite_matches_bruteforce(spark, corpus):
+    from palegislature_spark.operators.contamination import (
+        strip_duplicate_spans,
+    )
+
+    texts = {i + 1: t for i, t in enumerate(corpus)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in strip_duplicate_spans(df, k=3).collect()
+    }
+    assert got == _py_rewrite(texts, 3)
 
 
 def test_bm25_score_monotone_in_tf(spark, sf_dir):
