@@ -143,6 +143,81 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(docs, "doc_id", "text", k=8)
 
 
+_PAD_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST((len(string_split(text, ' ')) - 1) // 16 AS BIGINT) AS bucket,
+         doc_id % 4 AS shard
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket, shard
+                               ORDER BY n_tokens, doc_id) AS rn
+  FROM d
+),
+b AS (SELECT *, CAST((rn - 1) // 32 AS BIGINT) AS batch_id FROM r)
+SELECT bucket, shard, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       (count(*) * max(n_tokens) - sum(n_tokens)) * 1.0
+         / (count(*) * max(n_tokens)) AS pad_waste_share
+FROM b GROUP BY bucket, shard, batch_id
+"""
+
+
+@register(
+    "pad_efficient_batches",
+    covers="training-pipeline extension: pad-aware length-bucketed "
+    "batch formation (inference/fine-tune loader prep — group "
+    "similar-length documents into fixed-size batches and account the "
+    "padding waste; the dynamic-batching complement of "
+    "sequence_packing's concat-and-chunk)",
+    oracle=_PAD_ORACLE,
+)
+def pad_efficient_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch formation: documents are bucketed by length (16-token
+    bands), sharded, and greedily grouped 32-at-a-time in
+    (length, id) order; each batch row reports its padded-token waste
+    ((n_docs * max_len - sum_len) / padded — the tokens a loader
+    would burn on padding).
+
+    Scale shape: the ranking window is partitioned by (bucket, SHARD)
+    — doc_id % 4 here, one shard per worker slice in production — so
+    no window partition ever holds more than a bounded slice of the
+    corpus and batches never straddle shards: exactly how a
+    distributed loader forms batches per worker, and deterministic
+    regardless of executor count. A single global sort (the naive
+    'order everything by length' batcher) would be the one-partition
+    bottleneck this design exists to avoid.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("n_tokens") - 1) / 16).cast("long").alias("bucket"),
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("n_tokens", "doc_id")
+    b = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_id", ((F.col("rn") - 1) / 32).cast("long")
+    )
+    return b.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_len"),
+        (
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+            * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.max("n_tokens"))
+        ).alias("pad_waste_share"),
+    )
+
+
 def _rewrite_oracle(k: int) -> str:
     gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(k))
     return f"""

@@ -6,6 +6,7 @@ from palegislature_spark.sources.merge import (
     merge_by_key,
     overwrite_updates,
     read_snapshot,
+    snapshot_diff,
     upsert_parquet,
     upsert_parquet_rowlevel,
     vacuum,
@@ -28,6 +29,7 @@ __all__ = [
     "overwrite_updates",
     "read_snapshot",
     "service_rules",
+    "snapshot_diff",
     "stale_items",
     "upsert_parquet",
     "upsert_parquet_rowlevel",

@@ -287,6 +287,37 @@ def test_mixture_weights_shares_sum_to_one(spark, sf_dir):
     assert small.repeat_factor > 1.0 > big.repeat_factor
 
 
+def test_pad_batching_beats_arrival_order(spark, sf_dir):
+    """Length-bucketed batches must waste fewer padded tokens than
+    naive arrival-order batches of the same size over the same
+    corpus (the whole point of the bucketing)."""
+    from palegislature_spark.catalog import load
+    from palegislature_spark.queries.corpus import pad_efficient_batches
+
+    bucketed = pad_efficient_batches(spark, sf_dir).collect()
+    total_padded = sum(r.n_docs * r.max_len for r in bucketed)
+    total_real = sum(r.sum_len for r in bucketed)
+
+    docs = load(spark, sf_dir, "documents")
+    naive = (
+        docs.select(
+            (F.col("doc_id") / 32).cast("long").alias("batch_id"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+        )
+        .collect()
+    )
+    naive_padded = sum(r.n_docs * r.max_len for r in naive)
+    naive_real = sum(r.sum_len for r in naive)
+    assert total_real == naive_real  # same tokens either way
+    assert total_padded < naive_padded
+
+
 def test_bpe_encode_roundtrip_concat(spark):
     from palegislature_spark.operators.bpe import apply_bpe, bpe_merge_table
 

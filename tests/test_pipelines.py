@@ -533,3 +533,33 @@ def test_compact_files_concurrent_reader(spark, tmp_path):
     assert not bad, f"inconsistent snapshots observed: {sorted(set(bad))}"
     sources.vacuum(spark, path)
     assert spark.read.parquet(path).count() == 60
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """Generation diff on the manifest store: the (N-1, N) change set
+    reports exactly the rows the last commit added / removed /
+    updated, with before/after structs."""
+    path = str(tmp_path / "diffable")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    sources.upsert_parquet_rowlevel(spark, path, base, ["id"])  # gen 0
+    upd = spark.createDataFrame(
+        [(2, "b", 25), (4, "d", 40), (3, "c", 30)], "id long, s string, v long"
+    )
+    stats = sources.upsert_parquet_rowlevel(spark, path, upd, ["id"])  # gen 1
+    assert stats["generation"] == 1
+
+    diff = {
+        r.id: r
+        for r in sources.snapshot_diff(
+            spark, path, ["id"], gen_a=0, gen_b=1
+        ).collect()
+    }
+    # row 3 re-merged with identical values: unchanged, not reported;
+    # row 1 untouched: absent
+    assert set(diff) == {2, 4}
+    assert diff[2].change == "updated"
+    assert diff[2].before.v == 20 and diff[2].after.v == 25
+    assert diff[4].change == "added"
+    assert diff[4].before is None and diff[4].after.v == 40
