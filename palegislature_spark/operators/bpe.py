@@ -172,6 +172,7 @@ def apply_bpe(
     merge_table: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Tokenize with a learned merge table: per document,
     (id, tokens array) after replaying every merge in step order.
@@ -187,7 +188,15 @@ def apply_bpe(
     sf0.1 bench corpus). Reassembly is a per-document sorted
     collect — bounded by document length, the same per-doc grain as
     winnowing. Output is bit-identical to folding each document's
-    words in place (the fold is a pure per-word function)."""
+    words in place (the fold is a pure per-word function).
+
+    ``broadcast_vocab`` forces the dictionary join to broadcast.
+    Default OFF: a space-split vocabulary GROWS with the corpus
+    (Heaps' law — a web corpus's URLs/typos/numbers reach hundreds of
+    millions of distinct words), so the safe default lets the
+    optimizer/AQE pick the strategy and fall back to a shuffle join;
+    pass True only when the vocabulary is known bounded (a curated
+    corpus, or post-normalization)."""
     rules = [
         (r["left_sym"], r["right_sym"])
         for r in merge_table.orderBy("step").collect()
@@ -206,8 +215,10 @@ def apply_bpe(
         # so each rule's fold is built by a closure factory
         col = _fold_syms(col, _make_step(a, b))
     word_toks = vocab.select("w", col.alias("toks"))
+    if broadcast_vocab:
+        word_toks = F.broadcast(word_toks)
     rebuilt = (
-        word_pos.join(F.broadcast(word_toks), "w")
+        word_pos.join(word_toks, "w")
         .groupBy(id_col)
         .agg(
             F.flatten(

@@ -64,6 +64,60 @@ def _word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     ).select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
 
 
+def _spans(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, start, end, gram): every k-token span with its inclusive
+    1-based token interval."""
+    return _word_ngrams(docs, id_col, text_col, k).select(
+        id_col,
+        "start",
+        (F.col("start") + F.lit(k - 1)).alias("end"),
+        "gram",
+    )
+
+
+def _cross_doc_dup_grams(spans: DataFrame, id_col: str) -> DataFrame:
+    """Grams occurring in >= 2 distinct documents (one gram column).
+    One shuffle on the gram key, map-side combined."""
+    return (
+        spans.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+
+
+def _interval_islands(intervals: DataFrame, id_col: str) -> DataFrame:
+    """Union overlapping [start, end] intervals per id — the classic
+    running-max-end window — returning one row per merged island:
+    (id, island, s, e, extent). Single shuffle on the id."""
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("start", "end")
+    return (
+        intervals.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("s"),
+            F.max("end").alias("e"),
+            (F.max("end") - F.min("start") + 1).alias("extent"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -93,6 +147,10 @@ def decontaminate(
         .select("gram")
         .distinct()
     )
+    # anchor on the full training id set, not the gram table: a doc
+    # shorter than n words yields zero n-grams and would otherwise be
+    # silently dropped instead of reported clean
+    all_docs = train.select(id_col).distinct()
     per_doc = train_grams.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )
@@ -102,13 +160,19 @@ def decontaminate(
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
     return (
-        per_doc.join(hits, id_col, "left")
+        all_docs.join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             id_col,
-            "n_grams",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
         )
-        .withColumn("hit_share", F.col("n_hit") / F.col("n_grams"))
+        .withColumn(
+            "hit_share",
+            F.when(
+                F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)),
+        )
         .withColumn("contaminated", F.col("n_hit") > 0)
     )
 
@@ -140,45 +204,12 @@ def duplicate_span_coverage(
     n_tokens = toks.select(
         id_col, F.size("tk").cast("long").alias("n_tokens")
     )
-    spans = _word_ngrams(docs, id_col, text_col, k).select(
-        id_col,
-        "start",
-        (F.col("start") + F.lit(k - 1)).alias("end"),
-        "gram",
-    )
-    dup_grams = (
-        spans.select(id_col, "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    dup_spans = spans.join(dup_grams, "gram", "left_semi")
-
-    w_prev = (
-        Window.partitionBy(id_col)
-        .orderBy("start", "end")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy(id_col).orderBy("start", "end")
-    islands = (
-        dup_spans.withColumn("prev_end", F.max("end").over(w_prev))
-        .withColumn(
-            "new_island",
-            F.when(
-                F.col("prev_end").isNull()
-                | (F.col("start") > F.col("prev_end")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("new_island").over(w_run))
+    spans = _spans(docs, id_col, text_col, k)
+    dup_spans = spans.join(
+        _cross_doc_dup_grams(spans, id_col), "gram", "left_semi"
     )
     covered = (
-        islands.groupBy(id_col, "island")
-        .agg(
-            (F.max("end") - F.min("start") + 1).alias("extent"),
-        )
+        _interval_islands(dup_spans, id_col)
         .groupBy(id_col)
         .agg(F.sum("extent").cast("long").alias("covered_tokens"))
     )
@@ -231,21 +262,10 @@ def strip_duplicate_spans(
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "w")
     n_tokens = toks.select(id_col, F.size("tk").cast("long").alias("n_tokens"))
 
-    spans = _word_ngrams(docs, id_col, text_col, k).select(
-        id_col,
-        "start",
-        (F.col("start") + F.lit(k - 1)).alias("end"),
-        "gram",
+    spans = _spans(docs, id_col, text_col, k)
+    dup_spans = spans.join(
+        _cross_doc_dup_grams(spans, id_col), "gram", "left_semi"
     )
-    dup_grams = (
-        spans.select(id_col, "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    dup_spans = spans.join(dup_grams, "gram", "left_semi")
     # canonical occurrence: global argmin (doc_id, start) per gram
     w_gram = Window.partitionBy("gram").orderBy(id_col, "start")
     removable = (
@@ -254,26 +274,7 @@ def strip_duplicate_spans(
         .select(id_col, "start", "end")
     )
     # per-doc interval union of removable spans
-    w_prev = (
-        Window.partitionBy(id_col)
-        .orderBy("start", "end")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy(id_col).orderBy("start", "end")
-    islands = (
-        removable.withColumn("prev_end", F.max("end").over(w_prev))
-        .withColumn(
-            "new_island",
-            F.when(
-                F.col("prev_end").isNull()
-                | (F.col("start") > F.col("prev_end")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("new_island").over(w_run))
-        .groupBy(id_col, "island")
-        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
-    )
+    islands = _interval_islands(removable, id_col)
     covered_pos = islands.select(
         id_col, F.explode(F.sequence("s", "e")).alias("pos")
     )

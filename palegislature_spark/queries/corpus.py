@@ -39,6 +39,7 @@ grams AS (
         FROM toks)
 ),
 evalg AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+alltrain AS (SELECT doc_id FROM toks WHERE NOT is_eval),
 counts AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
   FROM grams WHERE NOT is_eval GROUP BY doc_id
@@ -48,11 +49,16 @@ hits AS (
   FROM grams g JOIN evalg e USING (gram)
   WHERE NOT g.is_eval GROUP BY g.doc_id
 )
-SELECT c.doc_id, c.n_grams,
+SELECT a.doc_id,
+       coalesce(c.n_grams, 0) AS n_grams,
        coalesce(h.n_hit, 0) AS n_hit,
-       coalesce(h.n_hit, 0) * 1.0 / c.n_grams AS hit_share,
+       CASE WHEN coalesce(c.n_grams, 0) > 0
+            THEN coalesce(h.n_hit, 0) * 1.0 / c.n_grams
+            ELSE 0.0e0 END AS hit_share,
        coalesce(h.n_hit, 0) > 0 AS contaminated
-FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id
+FROM alltrain a
+LEFT JOIN counts c ON a.doc_id = c.doc_id
+LEFT JOIN hits h ON a.doc_id = h.doc_id
 """
 
 
@@ -595,7 +601,25 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     merges = bpe_merge_table(docs, "text", n_merges=8)
-    enc = apply_bpe(docs, merges, "doc_id", "text")
+    # words containing \x01/\x02 are excluded from TRAINING on both
+    # engines (vocabulary(); the oracle's boundary-wrap replay needs
+    # them); the oracle's encode dictionary inherits that exclusion
+    # through its inner join, so screen them identically here —
+    # apply_bpe itself encodes any word
+    cleaned = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split("text", " "),
+                lambda w: ~w.contains("\x01") & ~w.contains("\x02"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    # broadcast_vocab=True: this corpus's vocabulary is known bounded
+    # (see apply_bpe — the default lets AQE choose for open-ended
+    # web-scale vocabularies)
+    enc = apply_bpe(cleaned, merges, "doc_id", "text", broadcast_vocab=True)
     return enc.select(
         "doc_id",
         F.size("tokens").cast("long").alias("n_tokens"),

@@ -617,12 +617,15 @@ def snapshot_diff(
     every key as added / removed / updated (unchanged rows are
     dropped).
 
-    ``gen_a`` is the before-snapshot, ``gen_b`` the after (None =
-    latest).  The manifest retention window keeps the last TWO
-    generations readable, so the supported diff is (N-1, N) — exactly
-    the incremental-consumer case: "what did the most recent commit
-    change".  Deeper history would need retained manifests (the same
-    trade a table format makes with its log retention setting).
+    ``gen_b`` defaults to the latest committed generation and
+    ``gen_a`` to the one before it — the incremental-consumer default
+    "what did the most recent commit change" (a naive latest-vs-latest
+    default would always diff a snapshot against itself and report
+    nothing).  The manifest retention window keeps the last TWO
+    generations readable, so (N-1, N) is also the supported window;
+    deeper history would need retained manifests (the same trade a
+    table format makes with its log retention setting).  Diffing a
+    generation-0 dataset reports every row as added.
 
     Returns (keys..., change, before, after): ``before``/``after``
     are structs of the non-key columns (NULL on the missing side).
@@ -631,8 +634,21 @@ def snapshot_diff(
     join prunes further if both generations share partition layout.
     """
     keys = list(keys)
-    a = read_snapshot(spark, path, generation=gen_a)
+    if gen_b is None:
+        m = _read_manifest(spark, path.rstrip("/"))
+        if m is None:
+            raise ValueError(
+                f"no manifest at {path}: snapshot_diff needs committed "
+                "generations (write via upsert_parquet_rowlevel/compact)"
+            )
+        gen_b = m["generation"]
+    if gen_a is None:
+        gen_a = gen_b - 1
     b = read_snapshot(spark, path, generation=gen_b)
+    if gen_a < 0:
+        a = b.limit(0)  # before generation 0: the empty dataset
+    else:
+        a = read_snapshot(spark, path, generation=gen_a)
     cols = [c for c in b.columns if c not in keys]
     a_s = a.select(*keys, F.struct(*cols).alias("before"))
     b_s = b.select(*keys, F.struct(*cols).alias("after"))

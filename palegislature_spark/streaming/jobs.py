@@ -352,21 +352,28 @@ def decontam_stream(
             # Python helper would demand an int literal here)
             hit = hit & (
                 F.getbit(
-                    F.element_at(bits_lit, (word + 1).cast("int")),
+                    F.element_at(F.col("__bits"), (word + 1).cast("int")),
                     pos % 64,
                 )
                 == 1
             )
         return hit
 
-    with_grams = stream.withColumn("__grams", F.array_distinct(gram_arr))
+    # bind the bitmap literal ONCE: referencing bits_lit inside each
+    # of the k probe conjuncts would copy the n_words-element literal
+    # array k times per row expression (k * n_words Literal nodes —
+    # at a 1M-gram eval suite that alone would blow past codegen
+    # limits); a named column keeps exactly one copy in the plan
+    with_grams = stream.withColumn("__bits", bits_lit).withColumn(
+        "__grams", F.array_distinct(gram_arr)
+    )
     return (
         with_grams.withColumn(
             "__hits", F.size(F.filter(F.col("__grams"), might_contain))
         )
         .filter(F.col("__hits") == 0)
         .withColumn("n_grams", F.size("__grams").cast("long"))
-        .drop("__grams", "__hits")
+        .drop("__bits", "__grams", "__hits")
     )
 
 

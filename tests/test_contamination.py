@@ -54,11 +54,26 @@ def test_decontaminate_flags_any_overlap(spark):
     assert out[2].hit_share == 0.0
 
 
+def test_decontaminate_reports_short_docs_clean(spark):
+    """A training doc shorter than n words has no n-grams; it must
+    still appear in the output as clean (n_grams=0, hit_share=0.0),
+    not silently vanish."""
+    train = _docs(spark, [(1, "only three words"), (2, "a b c d e f g")])
+    eval_df = _docs(spark, [(9, "a b c d e")])
+    out = {r.doc_id: r for r in decontaminate(train, eval_df, n=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_grams == 0 and out[1].n_hit == 0
+    assert out[1].hit_share == 0.0 and not out[1].contaminated
+    assert out[2].contaminated
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     train = _docs(spark, [(1, "a b c d e f")])
     eval_df = _docs(spark, [(9, "a b c d e")])
     plan = decontaminate(train, eval_df, n=5)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_span_coverage_merges_overlapping_intervals(spark):

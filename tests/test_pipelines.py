@@ -563,3 +563,18 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     assert diff[2].before.v == 20 and diff[2].after.v == 25
     assert diff[4].change == "added"
     assert diff[4].before is None and diff[4].after.v == 40
+
+
+def test_snapshot_diff_defaults_to_last_commit(spark, tmp_path):
+    """Default-argument snapshot_diff must diff (N-1, N), not latest
+    against itself; on a generation-0 dataset everything is 'added'."""
+    path = str(tmp_path / "diffable_defaults")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    sources.upsert_parquet_rowlevel(spark, path, base, ["id"])  # gen 0
+    gen0 = sources.snapshot_diff(spark, path, ["id"]).collect()
+    assert {(r.id, r.change) for r in gen0} == {(1, "added"), (2, "added")}
+
+    upd = spark.createDataFrame([(2, 25)], "id long, v long")
+    sources.upsert_parquet_rowlevel(spark, path, upd, ["id"])  # gen 1
+    d = sources.snapshot_diff(spark, path, ["id"]).collect()
+    assert {(r.id, r.change) for r in d} == {(2, "updated")}
