@@ -51,6 +51,7 @@ HEADLINE = [
     "testset_decontam",
     "span_dup_coverage",
     "span_dedup_rewrite",
+    "rollup_cascade_daily",
     "relevance_bm25",
     "tokenizer_bpe_encode",
 ]

@@ -625,3 +625,50 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("long").alias("n_tokens"),
         "tokens",
     )
+
+
+_ROLLUP_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day, event_type,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(list_reduce(list(total_value ORDER BY hour), (a, b) -> a + b)
+            AS DOUBLE) AS total_value
+FROM h GROUP BY 1, 2
+"""
+
+
+@register(
+    "rollup_cascade_daily",
+    covers="training-pipeline/storage extension: continuous-aggregate "
+    "rollup cascade (raw -> hourly -> daily, the daily level derived "
+    "from the HOURLY table, never raw — TimescaleDB continuous "
+    "aggregates on Spark; daily double totals order-pinned by an "
+    "hour-sorted fold so the cascade replays bit-exactly)",
+    oracle=_ROLLUP_ORACLE,
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily level of the rollup cascade. The oracle replays the same
+    two-level shape (hourly CTE, then an hour-ordered list_reduce for
+    the daily totals — matching the Spark fold's 0.0 init exactly,
+    since 0.0 + x == x in IEEE). Incremental refresh of the hourly
+    level is exercised from a real stream in tests/test_rollup.py."""
+    from palegislature_spark.operators.rollup import (
+        daily_from_hourly,
+        hourly_rollup,
+    )
+    from palegislature_spark.session import ensure_utc
+
+    ensure_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = daily_from_hourly(hourly_rollup(ev))
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
