@@ -280,3 +280,142 @@ def value_transitions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_value",
         )
     )
+
+
+@register(
+    "user_funnel_stages",
+    covers="analytics extension: ordered funnel analysis "
+    "(view -> click -> purchase with strict event-time ordering per "
+    "user — the MATCH_RECOGNIZE-lite conversion query every product "
+    "analytics store ships; three keyed aggregation passes, no "
+    "self-cartesian)",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CASE WHEN p.p_ts IS NOT NULL THEN 'purchase'
+            WHEN c.c_ts IS NOT NULL THEN 'click'
+            ELSE 'view' END AS stage,
+       p.p_ts IS NOT NULL AS converted,
+       CASE WHEN p.p_ts IS NOT NULL
+            THEN epoch_ms(p.p_ts) - epoch_ms(v.v_ts) END AS ms_to_convert
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: first view, first click AFTER that view,
+    first purchase AFTER that click. Each stage is one keyed
+    aggregation over the events pre-filtered to the stage type — the
+    standard funnel plan (events shuffle on user_id once per stage;
+    the stage tables are user-count-sized and co-partitioned, so
+    Catalyst reuses the exchange). ms_to_convert stays integer
+    (epoch millis difference), engine-exact."""
+    ensure_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("p_ts").isNotNull(), "purchase")
+            .when(F.col("c_ts").isNotNull(), "click")
+            .otherwise("view")
+            .alias("stage"),
+            F.col("p_ts").isNotNull().alias("converted"),
+            # events.ts loads as TIMESTAMP_NTZ; cast under the pinned
+            # UTC session so unix_millis accepts it — same instants
+            # DuckDB's epoch_ms reads off the naive timestamp
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.unix_millis(F.col("p_ts").cast("timestamp"))
+                - F.unix_millis(F.col("v_ts").cast("timestamp")),
+            ).alias("ms_to_convert"),
+        )
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    covers="analytics extension: cohort retention triangle (users "
+    "grouped by first-seen day; distinct active users at each day "
+    "offset — two keyed aggregations, integer-exact)",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM activity GROUP BY 1, 2
+""",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: cohort = first-seen calendar day; each
+    (cohort, day-offset) cell counts the distinct users active that
+    many days later. The cohort dimension broadcasts (user-count-
+    sized); everything else is one distinct + one count — exact
+    integer arithmetic end to end."""
+    ensure_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "active_users",
+    )
