@@ -1,6 +1,7 @@
 """Corpus-hygiene and corpus-statistics queries: benchmark
-decontamination, duplicate-span coverage, BM25 relevance, mixture
-weights, and tokenizer encoding.
+decontamination, duplicate-span coverage and removal, BM25 relevance,
+mixture weights, pad-aware batch formation, tokenizer encoding, and
+the continuous-aggregate rollup cascade.
 
 The second wave of the training-data-pipeline extension family (the
 first wave — dedup/quality/sampling/packing — lives in ``text.py``).
