@@ -673,3 +673,61 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+def _search_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(tk, w -> w = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    comps = " + ".join(
+        f"(((n - df_{t} + 0.5e0) / (df_{t} + 0.5e0))"
+        f" * ((tf_{t} * 2.2e0)"
+        f" / (tf_{t} + {_K1}e0 * (0.25e0 + {_B}e0 * (dl / avgdl)))))"
+        for t in _BM25_TERMS
+    )
+    any_hit = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+d AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(dl) * 1.0e0 / count(*) AS avgdl,
+         {df_cols}
+  FROM d
+)
+SELECT doc_id, {comps} AS score
+FROM d CROSS JOIN s
+WHERE {any_hit} > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "search_bm25_topk",
+    covers="text-analysis extension: index-SERVED BM25 search — top-k "
+    "over the sharded inverted index (build/serve split, the IR "
+    "analogue of the IVF index pair; the query touches only the "
+    "queried tokens' posting segments, never the corpus). Oracle is "
+    "the equivalent full-scan ranking — the index path must reproduce "
+    "it bit for bit",
+    oracle=_search_oracle(),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from palegislature_spark.operators.index import (
+        build_inverted_index,
+        search_bm25_topk as _search,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "doc_id", "text", n_shards=4)
+    return _search(idx, _BM25_TERMS, k=10)

@@ -59,6 +59,8 @@ ALLOW_NESTED_LOOP = {
     # broadcast, not a data-scale cartesian.
     "relevance_bm25",
     "mixture_domain_weights",
+    # same 1-row (n_docs, avgdl) stats attach on the index-served path
+    "search_bm25_topk",
 }
 
 # Pipeline DataFrames whose only NLJ is a 1-row scalar attach
