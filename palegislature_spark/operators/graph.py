@@ -1,0 +1,81 @@
+"""PageRank — iterative link analysis on a DataFrame edge list.
+
+The unnormalized damped form (Page et al. 1999; the PR-lite every
+graph engine ships): rank' = (1 - d) + d * sum(incoming rank/out_deg),
+iterated a fixed number of rounds. Complements the repo's other
+iterative operators — connected components (`er/components.py`), the
+BPE trainer and the Lloyd refinement — with the weighted-propagation
+case.
+
+Spark shape: each round is one join of the rank table onto the edge
+list plus one aggregation on the destination — both shuffles on graph
+keys, nothing driver-sized; the evolving rank table is
+localCheckpoint()ed per round to keep lineage flat (the house
+discipline for driver-loop iteration, see `operators/bpe.py`).
+
+Determinism: the default (scale) path sums incoming contributions
+with a plain float sum — order-free semantics, engine-specific bits.
+``exact_replay=True`` folds each node's contributions in source-id
+order (bounded by in-degree), which a DuckDB oracle replays with an
+ordered ``list_reduce`` — the same dual-path discipline as the IVF
+Lloyd refinement (scale default + bit-reproducible twin for the
+oracle-pinned registry query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    exact_replay: bool = False,
+) -> DataFrame:
+    """(node, rank) after ``iters`` damped propagation rounds over the
+    DISTINCT directed edge list. Dangling nodes (no out-edges) simply
+    contribute nothing; nodes with no in-edges settle at 1 - d."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", "src", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        if exact_replay:
+            sums = contribs.groupBy("dst").agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("src", "c"))),
+                        lambda s: s["c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("s")
+            )
+        else:
+            sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -731,3 +731,78 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     idx = build_inverted_index(docs, "doc_id", "text", n_shards=4)
     return _search(idx, _BM25_TERMS, k=10)
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled replay of the exact_replay pagerank: per-node incoming
+    sums fold in source-id order (list_reduce == the Spark fold with
+    0.0 init, since 0.0 + x == x in IEEE); (1 - d) is written as the
+    SQL expression (1.0e0 - 0.85e0) so both engines derive the same
+    double the Python literal subtraction produces."""
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        """nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+)""",
+        """deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       FROM edges GROUP BY src)""",
+        "r0 AS (SELECT node, 1.0e0 AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst, e.src, r.rank / d.deg AS c
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT dst, CAST(list_reduce(list(c ORDER BY src), (a, b) -> a + b)
+              AS DOUBLE) AS s
+  FROM c{i} GROUP BY dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         (1.0e0 - 0.85e0) + 0.85e0 * coalesce(s.s, 0.0e0) AS rank
+  FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+    )
+
+
+@register(
+    "rank_graph_suppliers",
+    covers="analytics extension: PageRank (3 damped propagation rounds "
+    "over the distinct customer->supplier purchase graph — the "
+    "weighted-iteration graph case beside connected components; "
+    "oracle replays the order-pinned exact_replay twin, the scale "
+    "default uses a plain map-side-combined sum)",
+    oracle=_pagerank_oracle(3),
+)
+def rank_graph_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from palegislature_spark.operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return pagerank(edges, iters=3, exact_replay=True)
