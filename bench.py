@@ -52,6 +52,8 @@ HEADLINE = [
     "span_dup_coverage",
     "span_dedup_rewrite",
     "rollup_cascade_daily",
+    "search_bm25_topk",
+    "rank_graph_suppliers",
     "relevance_bm25",
     "tokenizer_bpe_encode",
 ]
