@@ -806,3 +806,86 @@ def rank_graph_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(edges, iters=3, exact_replay=True)
+
+
+_EPOCH_ORACLE = f"""
+WITH {_MIX_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0].rstrip().rstrip(",")},
+rf AS (
+  SELECT source, (sw / denom) / (n_tokens * 1.0 / grand) AS repeat_factor
+  FROM w CROSS JOIN tot CROSS JOIN den
+),
+plan AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(r.repeat_factor) AS BIGINT)
+         + CASE WHEN substr(md5('epoch0|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                     < lpad(lower(to_hex(
+                         CAST(floor((r.repeat_factor - floor(r.repeat_factor))
+                                    * 1152921504606846976.0e0) AS BIGINT)
+                       )), 15, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rf r ON d.source = r.source
+)
+SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+FROM (SELECT doc_id, source, n_copies,
+             unnest(generate_series(1, n_copies)) AS i
+      FROM plan)
+"""
+
+
+@register(
+    "mixture_epoch_sample",
+    covers="training-pipeline extension: epoch plan materialization — "
+    "turn the temperature-mixture repeat factors into an actual "
+    "deterministic sampled corpus (floor(r) guaranteed copies + one "
+    "more when the doc's md5 draw falls under frac(r); the fractional "
+    "boundary is frac * 2^60 — an EXACT power-of-two scaling of the "
+    "engine-identical double, so the draw replays bit-exactly)",
+    oracle=_EPOCH_ORACLE,
+)
+def mixture_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes mixture_domain_weights with a deterministic per-doc
+    hash draw: every document appears floor(r_source) times plus one
+    extra copy iff its 60-bit md5 draw is below frac(r_source) * 2^60.
+    Expected token share per domain equals the temperature share; the
+    plan is repartition- and engine-stable (no RNG). One broadcast of
+    the domain-factor table; one explode — linear in output size."""
+    weights = domain_mixture_weights(spark, sf_dir).select(
+        "source", "repeat_factor"
+    )
+    docs = load(spark, sf_dir, "documents")
+    boundary = F.floor(
+        (F.col("repeat_factor") - F.floor("repeat_factor"))
+        * F.lit(1152921504606846976.0)
+    ).cast("long")
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("epoch0|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    plan = (
+        docs.join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.floor("repeat_factor").cast("long")
+                + F.when(draw < boundary, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+    )
+    # sequence(1, 0) DESCENDS in Spark ([1, 0]) instead of returning
+    # empty — guard zero-copy docs explicitly so they drop like
+    # DuckDB's empty generate_series
+    copies = F.when(
+        F.col("n_copies") >= 1,
+        F.sequence(F.lit(1), F.col("n_copies")),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return plan.select(
+        "doc_id",
+        "source",
+        F.explode(copies).alias("copy_idx"),
+    ).select("doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"))

@@ -345,3 +345,28 @@ def test_bpe_encode_roundtrip_concat(spark):
     # the top merge over this corpus is (l, o) then (lo, w): 'low'
     # appears as a single token after 4 merges
     assert "low" in enc[1]
+
+
+def test_epoch_sample_copy_counts_track_repeat_factors(spark, sf_dir):
+    """Every document appears floor(r) or ceil(r) times for its
+    domain's repeat factor, and the realized per-domain copy total
+    sits between the two bounds implied by r."""
+    import math
+
+    from palegislature_spark.queries.corpus import (
+        domain_mixture_weights,
+        mixture_epoch_sample,
+    )
+
+    rf = {
+        r.source: r.repeat_factor
+        for r in domain_mixture_weights(spark, sf_dir).collect()
+    }
+    plan = mixture_epoch_sample(spark, sf_dir).collect()
+    per_doc: dict = {}
+    for r in plan:
+        per_doc.setdefault((r.source, r.doc_id), 0)
+        per_doc[(r.source, r.doc_id)] += 1
+    for (src, _doc), n in per_doc.items():
+        lo, hi = math.floor(rf[src]), math.ceil(rf[src])
+        assert lo <= n <= hi

@@ -61,6 +61,9 @@ ALLOW_NESTED_LOOP = {
     "mixture_domain_weights",
     # same 1-row (n_docs, avgdl) stats attach on the index-served path
     "search_bm25_topk",
+    # inherits mixture_domain_weights' 1-row (grand, denom) attaches
+    # through composition
+    "mixture_epoch_sample",
 }
 
 # Pipeline DataFrames whose only NLJ is a 1-row scalar attach
