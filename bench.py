@@ -112,6 +112,27 @@ def semantic_dedup_scale(spark, sf_dir: str, sf: float):
 _IVF_INDEX_CACHE: dict = {}
 
 
+def pagerank_scale(spark, sf_dir: str, sf: float):
+    """PageRank at the SCALE settings (plain map-side-combined sums)
+    rather than the order-pinned exact_replay fold the registry
+    query's oracle needs — tracks what a production run pays
+    (exact-vs-scale agreement is pinned in tests/test_graph.py)."""
+    from pyspark.sql import functions as F
+
+    from palegislature_spark.catalog import load
+    from palegislature_spark.operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=3)
+
+
 def knn_ivf_serve(spark, sf_dir: str, sf: float):
     """Serving-path cost of a PREBUILT IVF index (sqrt-n lists, one
     Lloyd iteration): the index is built once outside the timer (the
@@ -146,6 +167,7 @@ EXTRA = {
     "er_match_scale": er_match_scale,
     "semantic_dedup_scale": semantic_dedup_scale,
     "knn_ivf_serve": knn_ivf_serve,
+    "pagerank_scale": pagerank_scale,
 }
 
 

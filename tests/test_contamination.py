@@ -370,3 +370,55 @@ def test_epoch_sample_copy_counts_track_repeat_factors(spark, sf_dir):
     for (src, _doc), n in per_doc.items():
         lo, hi = math.floor(rf[src]), math.ceil(rf[src])
         assert lo <= n <= hi
+
+
+def _py_decontam(train: dict[int, str], eval_texts: list[str], n: int):
+    def grams(t):
+        tk = t.split(" ")
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    eg = set()
+    for t in eval_texts:
+        eg |= grams(t)
+    out = {}
+    for d, t in train.items():
+        g = grams(t)
+        hit = len(g & eg)
+        out[d] = (len(g), hit, hit / len(g) if g else 0.0, hit > 0)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=3, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_decontaminate_matches_bruteforce(spark, train_texts, eval_texts):
+    """Random tiny corpora over a 3-word alphabet pin decontaminate
+    against an independent Python set-intersection reference —
+    including sub-n docs (zero grams, reported clean)."""
+    texts = {i + 1: t for i, t in enumerate(train_texts)}
+    train = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.hit_share, r.contaminated)
+        for r in decontaminate(train, eval_df, n=3).collect()
+    }
+    assert got == _py_decontam(texts, eval_texts, 3)
