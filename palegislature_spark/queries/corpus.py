@@ -733,18 +733,27 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search(idx, _BM25_TERMS, k=10)
 
 
-def _pagerank_oracle(iters: int) -> str:
+_SUPPLIER_EDGES_SQL = """edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+
+
+def _pagerank_oracle(
+    iters: int,
+    edges_sql: str = _SUPPLIER_EDGES_SQL,
+    final: str = "SELECT node, rank FROM r{n}",
+) -> str:
     """Unrolled replay of the exact_replay pagerank: per-node incoming
     sums fold in source-id order (list_reduce == the Spark fold with
     0.0 init, since 0.0 + x == x in IEEE); (1 - d) is written as the
     SQL expression (1.0e0 - 0.85e0) so both engines derive the same
-    double the Python literal subtraction produces."""
+    double the Python literal subtraction produces. ``edges_sql`` is
+    the graph-defining CTE (must be named ``edges`` with src/dst);
+    ``final`` the last SELECT with ``{n}`` for the last round."""
     ctes = [
-        """edges AS (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-)""",
+        edges_sql,
         """nodes AS (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 )""",
@@ -775,9 +784,7 @@ def _pagerank_oracle(iters: int) -> str:
   FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node
 )"""
         )
-    return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
-    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final.format(n=iters)
 
 
 @register(
@@ -889,3 +896,115 @@ def mixture_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(copies).alias("copy_idx"),
     ).select("doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+_WORD_EDGES_SQL = """pairs AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents))
+),
+edges AS (
+  SELECT w1 AS src, w2 AS dst FROM pairs
+  UNION
+  SELECT w2, w1 FROM pairs
+)"""
+
+
+@register(
+    "textrank_keywords",
+    covers="text-analysis extension: TextRank keyword extraction "
+    "(Mihalcea & Tarau 2004) — PageRank composed over the corpus word "
+    "co-occurrence graph (adjacent-word edges, both directions), "
+    "distributed top-20; reuses operators/graph.py with the same "
+    "order-pinned exact_replay twin",
+    oracle=_pagerank_oracle(
+        3,
+        edges_sql=_WORD_EDGES_SQL,
+        final="SELECT node AS token, rank FROM r{n}"
+        " ORDER BY rank DESC, node LIMIT 20",
+    ),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from palegislature_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(F.split("text", " ").alias("tk"))
+    pairs = tk.select(
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                ),
+            ).otherwise(
+                F.expr("array()").cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    edges = pairs.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3, exact_replay=True)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select(F.col("node").alias("token"), "rank")
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+        FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n, c.n * 1.0 / t.total AS prob
+FROM cnt c JOIN tot t ON c.from_type = t.from_type
+"""
+
+
+@register(
+    "transition_matrix_events",
+    covers="analytics extension: first-order Markov transition matrix "
+    "over per-user event sequences (lead window + two keyed "
+    "aggregations; probabilities stay int/int rational)",
+    oracle=_TRANSITION_ORACLE,
+)
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current) estimated from every user's
+    (ts, event_id)-ordered event sequence — the behavioral-model
+    summary (and the generator for synthetic session data). One
+    window shuffle on user_id + one (from, to) aggregation."""
+    from palegislature_spark.session import ensure_utc
+
+    ensure_utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") * F.lit(1.0) / F.col("total")).alias("prob"),
+    )
