@@ -117,20 +117,12 @@ def pagerank_scale(spark, sf_dir: str, sf: float):
     rather than the order-pinned exact_replay fold the registry
     query's oracle needs — tracks what a production run pays
     (exact-vs-scale agreement is pinned in tests/test_graph.py)."""
-    from pyspark.sql import functions as F
-
-    from palegislature_spark.catalog import load
-    from palegislature_spark.operators.graph import pagerank
-
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
-    edges = orders.join(
-        lineitem, orders.o_orderkey == lineitem.l_orderkey
-    ).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    from palegislature_spark.operators.graph import (
+        pagerank,
+        supplier_purchase_edges,
     )
-    return pagerank(edges, iters=3)
+
+    return pagerank(supplier_purchase_edges(spark, sf_dir), iters=3)
 
 
 def knn_ivf_serve(spark, sf_dir: str, sf: float):

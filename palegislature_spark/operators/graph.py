@@ -94,3 +94,21 @@ def pagerank(
         if (i + 1) % ckpt_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def supplier_purchase_edges(spark, sf_dir: str) -> DataFrame:
+    """The customer -> supplier purchase graph (distinct 'c<custkey>'
+    -> 's<suppkey>' edges via orders x lineitem) — shared by the
+    oracle-pinned registry query and the bench scale row so both rank
+    the SAME graph; the SQL twin lives in queries/corpus.py
+    (_SUPPLIER_EDGES_SQL)."""
+    from palegislature_spark.catalog import load
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )

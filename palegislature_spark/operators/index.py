@@ -30,6 +30,9 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# single source of truth for the BM25 constants — queries/corpus.py
+# derives its oracle literals from these, keeping the index path and
+# the full-scan twin bit-identical by construction
 K1 = 1.2
 B = 0.75
 

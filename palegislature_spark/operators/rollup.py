@@ -88,15 +88,18 @@ def refresh_hourly(
     """Incrementally merge a raw-event micro-batch into the persisted
     hourly table at ``path``.
 
-    The batch is partially aggregated first (hours x types rows, tiny),
-    the existing rows for exactly those keys are read back, and the
-    combined partials re-aggregate before an upsert — so a refresh
-    touches O(batch hours) state, never the full table, and late
-    events simply re-merge their hour. Combining partial counts is
-    exact; the value column re-rounds the combined sum, which agrees
-    with a from-scratch build within one cent per key (see inline
-    note — rounding is not associative)."""
-    from palegislature_spark.sources.merge import upsert_parquet
+    The batch is partially aggregated first (hours x types rows, tiny).
+    The hourly table is day-partitioned, and only the days the batch
+    touches are read back (collected day list — bounded by batch
+    hours — pushed as a static partition filter) and rewritten (the
+    upsert's partition-swap grain): a refresh is O(touched days), not
+    O(table). Late events simply re-merge their hour. Combining
+    partial counts is exact; the value column re-rounds the combined
+    sum, which agrees with a from-scratch build within one cent per
+    key (rounding is not associative — the standard
+    continuous-aggregate trade; store the raw sum instead if exact
+    replay matters)."""
+    from palegislature_spark.sources.merge import _hadoop_fs, upsert_parquet
 
     partial = (
         batch.groupBy(
@@ -107,32 +110,40 @@ def refresh_hourly(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum("value").alias("value_sum"),
         )
+        .withColumn("day", F.to_date("hour"))
     )
-    try:
-        existing = spark.read.parquet(path)
-        touched = existing.join(
-            F.broadcast(partial.select("hour", "event_type")),
-            ["hour", "event_type"],
-            "left_semi",
-        ).select(
-            "hour",
-            "event_type",
-            "n_events",
-            # recover the unrounded-order-insensitive partial: the
-            # stored total IS the rounded sum; combining partials and
-            # re-rounding matches a fresh build to the cent
-            # the stored total is the rounded sum; combining it with
-            # new partials and re-rounding agrees with a from-scratch
-            # build within one cent per key (rounding is not
-            # associative — the standard continuous-aggregate trade;
-            # store the raw sum instead if exact replay matters)
-            F.col("total_value").alias("value_sum"),
+    # existence probe via the filesystem — a broad try/except around
+    # the read would misclassify transient IO errors as "first
+    # refresh" and silently drop the existing totals for touched keys
+    fs, HPath = _hadoop_fs(spark, path)
+    if fs.exists(HPath(path)):
+        days = [r["day"] for r in partial.select("day").distinct().collect()]
+        touched = (
+            spark.read.parquet(path)
+            .filter(F.col("day").isin(days))  # static partition pruning
+            .join(
+                F.broadcast(partial.select("hour", "event_type")),
+                ["hour", "event_type"],
+                "left_semi",
+            )
+            .select(
+                "hour",
+                "event_type",
+                "n_events",
+                # the stored total is the rounded sum (see docstring)
+                F.col("total_value").alias("value_sum"),
+                "day",
+            )
         )
         partial = partial.unionByName(touched)
-    except Exception:  # noqa: BLE001 — first refresh: no table yet
-        pass
-    merged = partial.groupBy("hour", "event_type").agg(
+    merged = partial.groupBy("hour", "event_type", "day").agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.round(F.sum("value_sum"), 2).alias("total_value"),
     )
-    upsert_parquet(spark, path, merged, keys=["hour", "event_type"])
+    upsert_parquet(
+        spark,
+        path,
+        merged,
+        keys=["hour", "event_type"],
+        partition_cols=["day"],
+    )

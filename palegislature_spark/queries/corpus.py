@@ -306,10 +306,21 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ("spark", "hash", "window", "merge")
-_K1, _B = "1.2", "0.75"
+# single source of truth for the BM25 constants — the index-served
+# path (operators/index.py) must use the SAME values or the
+# bit-for-bit index-vs-fullscan contract silently breaks
+from palegislature_spark.operators.index import B as _B_NUM  # noqa: E402
+from palegislature_spark.operators.index import K1 as _K1_NUM  # noqa: E402
+
+_K1, _B = str(_K1_NUM), str(_B_NUM)
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(final: str | None = None) -> str:
+    """Shared builder for the full-scan BM25 SQL (relevance_bm25) and
+    the search oracle (search_bm25_topk) — one definition of the
+    tf/df/score expressions so the two cannot drift apart. ``final``
+    overrides the closing SELECT; ``{comps}`` / ``{any_hit}`` are
+    substituted."""
     tf_cols = ",\n         ".join(
         f"CAST(len(list_filter(tk, w -> w = '{t}')) AS BIGINT) AS tf_{t}"
         for t in _BM25_TERMS
@@ -327,6 +338,13 @@ def _bm25_oracle() -> str:
         f" / (tf_{t} + {_K1}e0 * (0.25e0 + {_B}e0 * (dl / avgdl)))))"
         for t in _BM25_TERMS
     )
+    any_hit = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    if final is None:
+        final = (
+            "SELECT doc_id, dl AS n_tokens,\n       "
+            + ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+            + ",\n       {comps} AS score\nFROM d CROSS JOIN s"
+        )
     return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 d AS (
@@ -340,10 +358,7 @@ s AS (
          {df_cols}
   FROM d
 )
-SELECT doc_id, dl AS n_tokens,
-       {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
-       {comps} AS score
-FROM d CROSS JOIN s
+{final.format(comps=comps, any_hit=any_hit)}
 """
 
 
@@ -676,40 +691,13 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _search_oracle() -> str:
-    tf_cols = ",\n         ".join(
-        f"CAST(len(list_filter(tk, w -> w = '{t}')) AS BIGINT) AS tf_{t}"
-        for t in _BM25_TERMS
+    return _bm25_oracle(
+        final="SELECT doc_id, {comps} AS score\n"
+        "FROM d CROSS JOIN s\n"
+        "WHERE {any_hit} > 0\n"
+        "ORDER BY score DESC, doc_id\n"
+        "LIMIT 10"
     )
-    df_cols = ",\n         ".join(
-        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
-        for t in _BM25_TERMS
-    )
-    comps = " + ".join(
-        f"(((n - df_{t} + 0.5e0) / (df_{t} + 0.5e0))"
-        f" * ((tf_{t} * 2.2e0)"
-        f" / (tf_{t} + {_K1}e0 * (0.25e0 + {_B}e0 * (dl / avgdl)))))"
-        for t in _BM25_TERMS
-    )
-    any_hit = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
-    return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-d AS (
-  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-         {tf_cols}
-  FROM t
-),
-s AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         sum(dl) * 1.0e0 / count(*) AS avgdl,
-         {df_cols}
-  FROM d
-)
-SELECT doc_id, {comps} AS score
-FROM d CROSS JOIN s
-WHERE {any_hit} > 0
-ORDER BY score DESC, doc_id
-LIMIT 10
-"""
 
 
 @register(
@@ -797,22 +785,14 @@ def _pagerank_oracle(
     oracle=_pagerank_oracle(3),
 )
 def rank_graph_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from palegislature_spark.operators.graph import pagerank
-
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
+    from palegislature_spark.operators.graph import (
+        pagerank,
+        supplier_purchase_edges,
     )
-    return pagerank(edges, iters=3, exact_replay=True)
+
+    return pagerank(
+        supplier_purchase_edges(spark, sf_dir), iters=3, exact_replay=True
+    )
 
 
 _EPOCH_ORACLE = f"""

@@ -393,16 +393,19 @@ FROM activity GROUP BY 1, 2
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: cohort = first-seen calendar day; each
     (cohort, day-offset) cell counts the distinct users active that
-    many days later. The cohort dimension broadcasts (user-count-
-    sized); everything else is one distinct + one count — exact
-    integer arithmetic end to end."""
+    many days later. The cohort table is one row per distinct USER —
+    it grows with the data, so it is NOT broadcast-hinted: the join
+    shuffles on user_id (co-partitioned with the aggregation that
+    built it, so Catalyst reuses the exchange), and AQE may still
+    choose broadcast when the user set actually fits. Everything else
+    is one distinct + one count — exact integer arithmetic."""
     ensure_utc(spark)
     ev = load(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.min("ts").cast("date").alias("cohort_day")
     )
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort_day",
