@@ -1059,3 +1059,78 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "subset_shingle_containment",
+    covers="dedup extension: asymmetric shingle CONTAINMENT "
+    "(|A∩B| / |A| — Broder's containment coefficient; catches a "
+    "document quoted/embedded inside a larger one, which symmetric "
+    "Jaccard misses when sizes differ). Deliberate exact all-pairs "
+    "oracle tier like dedup_ngram_jaccard — the scale path is the "
+    "same MinHash/LSH banding with per-side size join",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_1, id_2, c, c1.n AS n1, c2.n AS n2
+  FROM common
+  JOIN cnt c1 ON c1.doc_id = id_1
+  JOIN cnt c2 ON c2.doc_id = id_2
+)
+SELECT CASE WHEN n1 <= n2 THEN id_1 ELSE id_2 END AS inner_id,
+       CASE WHEN n1 <= n2 THEN id_2 ELSE id_1 END AS outer_id,
+       c AS common_shingles,
+       CASE WHEN n1 <= n2 THEN n1 ELSE n2 END AS n_inner,
+       c * 1.0 / (CASE WHEN n1 <= n2 THEN n1 ELSE n2 END) AS containment
+FROM j
+WHERE c * 1.0 / (CASE WHEN n1 <= n2 THEN n1 ELSE n2 END) >= 0.9
+""",
+)
+def subset_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where >= 90% of the smaller document's 3-gram shingles
+    appear in the other document — the quote/subset relation. One
+    inverted-index self-join on the shingle + per-pair count, then
+    the asymmetric normalization by the SMALLER side's shingle count
+    (int/int division, engine-exact)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", 3)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    j = (
+        common.join(
+            cnt.select(F.col("doc_id").alias("id_1"), F.col("n").alias("n1")),
+            "id_1",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("id_2"), F.col("n").alias("n2")),
+            "id_2",
+        )
+    )
+    inner_first = F.col("n1") <= F.col("n2")
+    n_inner = F.when(inner_first, F.col("n1")).otherwise(F.col("n2"))
+    return (
+        j.select(
+            F.when(inner_first, F.col("id_1")).otherwise(F.col("id_2")).alias(
+                "inner_id"
+            ),
+            F.when(inner_first, F.col("id_2")).otherwise(F.col("id_1")).alias(
+                "outer_id"
+            ),
+            F.col("c").alias("common_shingles"),
+            n_inner.alias("n_inner"),
+            (F.col("c") * F.lit(1.0) / n_inner).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )

@@ -202,3 +202,32 @@ def test_winnow_impls_bit_identical_property(spark, texts):
     # drop semantics: every doc shorter than k contributes nothing
     short = {i for i, t in docs if len(t) < k}
     assert not ({i for i, _ in b} & short)
+
+
+def test_containment_catches_embedded_quote(spark):
+    """A short doc fully quoted inside a longer one has containment
+    1.0 even though Jaccard is far below the near-dup threshold."""
+    from palegislature_spark.queries.text import subset_shingle_containment  # noqa: F401
+    from palegislature_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "intro words here alpha beta gamma delta and a very "
+                "long tail of unrelated content follows this quote now"),
+            (3, "nothing shared with either document at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = D.shingles(docs, "doc_id", "text", 3)
+    cnt = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # doc 1's 2 shingles all appear in doc 2
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") == 1)
+        .filter(F.col("b.doc_id") == 2)
+        .count()
+    )
+    assert common == cnt[1]  # containment 1.0
