@@ -417,3 +417,38 @@ def test_decontam_stream_no_false_negatives_vs_exact(spark, sf_dir):
     dropped = total - len(survivors)
     assert dropped >= len(flagged)
     assert dropped - len(flagged) <= max(5, total // 20)
+
+
+def test_stream_upsert_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop-and-restart semantics: a second availableNow run on the
+    SAME checkpoint processes only files added since the first run,
+    and the merge sink's key-idempotence leaves exactly the batch
+    result — no duplicates, no reprocessing."""
+    src = tmp_path / "restart_src"
+    table = str(tmp_path / "restart_table")
+    cp = str(tmp_path / "restart_cp")
+
+    def write_file(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once():
+        stream = streaming.read_stream(spark, str(src), SCHEMA)
+        q = streaming.stream_upsert_parquet(
+            stream, table, ["event_id"], cp
+        )
+        q.awaitTermination(120)
+
+    write_file(EVENTS_B1)
+    run_once()
+    first = rows(spark.read.parquet(table), "event_id")
+    assert first == [(1,), (2,), (3,)]  # in-batch dup of id 3 merged
+
+    # restart with new data only; id 3 re-sent with a NEWER value —
+    # merge-by-key keeps one row per key
+    write_file(EVENTS_B2 + [(3, TS(2024, 1, 1, 11, 50), 2, "buy", 11.0)])
+    run_once()
+    got = rows(spark.read.parquet(table), "event_id")
+    assert got == [(1,), (2,), (3,), (4,), (5,)]
+    assert spark.read.parquet(table).count() == 5
