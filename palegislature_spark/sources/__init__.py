@@ -19,13 +19,20 @@ from palegislature_spark.sources.rules import (
     vote_rename_rules,
 )
 from palegislature_spark.sources.queue import stale_items, work_queue
+from palegislature_spark.sources.skipping import (
+    file_stats,
+    pruned_read,
+    write_range_clustered,
+)
 
 __all__ = [
     "compact_files",
+    "file_stats",
     "load_edits",
     "load_matrix_csv",
     "member_rename_rules",
     "merge_by_key",
+    "pruned_read",
     "overwrite_updates",
     "read_snapshot",
     "service_rules",
@@ -36,4 +43,5 @@ __all__ = [
     "vacuum",
     "vote_rename_rules",
     "work_queue",
+    "write_range_clustered",
 ]
