@@ -19,7 +19,10 @@ Parquet the same way ``merge.py`` hand-rolls MERGE:
 
 The sidecar is file-count-sized (like the manifest); refresh it after
 a rewrite the same way a table format recommits stats with each
-snapshot. Selectivity is verified in tests/test_skipping.py: the
+snapshot. On a MANIFEST-managed dataset (``merge.py``), build stats
+after :func:`~palegislature_spark.sources.merge.vacuum` (or from
+``read_snapshot``'s file list): a plain directory read sees
+pending-retire files and would double-count their rows. Selectivity is verified in tests/test_skipping.py: the
 pruned read provably opens fewer files (``df.inputFiles()``) while
 returning byte-identical results to the full-scan filter.
 

@@ -68,3 +68,26 @@ def test_pagerank_sink_accumulates_dangling_leaks_nothing(spark):
     assert abs(got["x"] - 0.15000000000000002) < 1e-15
     # y after round 2: 0.15 + 0.85 * (rank_x_round1 / 1)
     assert abs(got["y"] - (0.15000000000000002 + 0.85 * got["x"])) < 1e-12
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_edge = st.tuples(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_edge, min_size=1, max_size=12))
+def test_pagerank_random_graphs_match_reference(spark, edges):
+    """Random small directed graphs (self-loops and duplicate edges
+    included — pagerank distincts them) pin the exact_replay path
+    bit-for-bit against the pure-Python power iteration."""
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iters=3, exact_replay=True).collect()
+    }
+    assert got == _py_pagerank(edges)
