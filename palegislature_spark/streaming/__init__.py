@@ -1,6 +1,7 @@
 """Structured Streaming surface (SURVEY §2.10 / M4)."""
 
 from palegislature_spark.streaming.jobs import (
+    cms_heavy_hitter_stream,
     curate_stream,
     decontam_stream,
     dedup_within_watermark,
@@ -16,6 +17,7 @@ from palegislature_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "cms_heavy_hitter_stream",
     "curate_stream",
     "decontam_stream",
     "dedup_within_watermark",

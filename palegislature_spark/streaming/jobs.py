@@ -560,3 +560,57 @@ def value_transitions_tws(
             timeMode="EventTime",
         )
     )
+
+
+def cms_heavy_hitter_stream(
+    stream: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> "StreamingQuery":
+    """Streaming heavy-hitter state with BOUNDED memory: each
+    micro-batch is sketched (count-min, ``operators/sketch.py``) and
+    the sketch tables are MERGED — sum by (row, bucket) — into the
+    persisted sketch at ``path``.
+
+    This is the use the CMS docstring advertises: the true streaming
+    token-count state is unbounded (1e9 distinct tokens on a web
+    corpus), while the merged sketch stays DEPTH x WIDTH rows forever,
+    with the classic one-sided overestimate guarantee intact across
+    merges (sum of per-batch sketches == sketch of the union,
+    EXACTLY — integer counters; pinned in tests/test_streaming.py).
+    Query the persisted sketch any time with ``cms_estimate``.
+
+    Durability: the merged sketch is written to a staging dir and
+    swapped in by rename, so a batch that dies mid-write leaves the
+    prior sketch intact and the replayed batch re-merges against real
+    state (same discipline as stream_upsert_parquet).
+    """
+    from palegislature_spark.operators.sketch import cms_sketch
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        toks = batch.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        sk = cms_sketch(toks, "token")
+        fs, HPath = _hadoop_fs(spark, path)
+        if fs.exists(HPath(path)):
+            sk = (
+                spark.read.parquet(path)
+                .unionByName(sk)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        staging = path.rstrip("/") + ".__staging__"
+        fs.delete(HPath(staging), True)
+        sk.write.mode("overwrite").parquet(staging)
+        fs.delete(HPath(path.rstrip("/")), True)
+        fs.rename(HPath(staging), HPath(path.rstrip("/")))
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -452,3 +452,37 @@ def test_stream_upsert_checkpoint_restart_exactly_once(spark, tmp_path):
     got = rows(spark.read.parquet(table), "event_id")
     assert got == [(1,), (2,), (3,), (4,), (5,)]
     assert spark.read.parquet(table).count() == 5
+
+
+def test_cms_stream_merge_equals_batch_sketch(spark, tmp_path):
+    """Streamed per-batch sketches merged by (row, bucket) equal the
+    one-shot sketch of the full corpus EXACTLY (integer counters),
+    and estimates off the streamed state match batch estimates."""
+    from palegislature_spark.operators.sketch import cms_estimate, cms_sketch
+
+    d = tmp_path / "cms_docs"
+    b1 = [(1, TS(2024, 1, 1, 10, 0), "spark hash spark join")]
+    b2 = [(2, TS(2024, 1, 1, 10, 5), "spark window hash"),
+          (3, TS(2024, 1, 1, 10, 6), "join join join")]
+    for b in (b1, b2):
+        spark.createDataFrame(b, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    table = str(tmp_path / "cms_state")
+    stream = streaming.read_stream(spark, str(d), DOC_SCHEMA, max_files_per_trigger=1)
+    q = streaming.cms_heavy_hitter_stream(stream, table)
+    drain(q)
+
+    all_docs = spark.createDataFrame(b1 + b2, DOC_SCHEMA)
+    toks = all_docs.select(F.explode(F.split("text", " ")).alias("token"))
+    want = rows(cms_sketch(toks, "token"), "row", "bucket", "cnt")
+    got = rows(spark.read.parquet(table), "row", "bucket", "cnt")
+    assert got == want
+
+    items = spark.createDataFrame([("spark",), ("join",)], ["token"])
+    est = {
+        r.token: r.est
+        for r in cms_estimate(spark.read.parquet(table), items).collect()
+    }
+    assert est["spark"] >= 3 and est["join"] >= 4  # one-sided overestimate
