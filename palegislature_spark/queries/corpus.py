@@ -988,3 +988,60 @@ def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") * F.lit(1.0) / F.col("total")).alias("prob"),
     )
+
+
+@register(
+    "skew_salted_flag_agg",
+    covers="scale-hardening extension: deterministic two-phase salted "
+    "aggregation (operators/skew.py salted_agg) over a heavy-hitter "
+    "group key — the hot key's rows spread across 32 salt buckets in "
+    "phase 1, partials combine in phase 2; semantically identical to "
+    "the plain groupBy the oracle runs (AQE never splits a hash "
+    "aggregate, so this is the explicit answer for skewed groupings)",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(l_quantity) AS BIGINT) AS count_l_quantity,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def skew_salted_flag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate 60k+ rows into a handful of return-flag groups via
+    the salted two-phase operator: counts/sums/extrema stay exact
+    integers (TPC-H quantities are whole numbers), so two-phase ==
+    one-phase bit for bit and the plain-SQL oracle doubles as the
+    semantic-equality check."""
+    from palegislature_spark.operators.skew import salted_agg
+
+    qty = F.col("l_quantity").cast("long")
+    # salted_agg maps column -> ONE aggregate; alias the measure per
+    # aggregate so all four ride a single two-phase pass (one shuffle)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("qty"),
+        qty.alias("qty_min"),
+        qty.alias("qty_max"),
+    )
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "qty": "sum",
+            "l_orderkey": "count",
+            "qty_min": "min",
+            "qty_max": "max",
+        },
+        salt_cols=["l_orderkey", "l_linenumber"],
+        buckets=32,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("count_l_orderkey").cast("long").alias("count_l_quantity"),
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.col("min_qty_min").cast("long").alias("min_qty"),
+        F.col("max_qty_max").cast("long").alias("max_qty"),
+    )
