@@ -84,6 +84,14 @@ def main() -> int:
 
     spark = get_spark("verify_local")
     con = duckdb.connect()
+    # Co-resident with the Spark JVM, DuckDB's default limit (80% of
+    # RAM) intermittently throws bad-alloc OOM on the heavier replays
+    # (replica-scale BPE) even with system RAM free — allocator
+    # interaction, not true exhaustion; the same SQL runs fine in a
+    # pure-DuckDB process. An explicit cap with spill keeps the gate
+    # deterministic.
+    con.execute("SET memory_limit='32GiB'")
+    con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
     import os.path
 
     for t in STAR_TABLES:
