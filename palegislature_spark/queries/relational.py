@@ -229,15 +229,22 @@ WHERE l_quantity >= 45
 """,
 )
 def filter_null_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-generating and NULL-resolving expressions (nullif/coalesce)."""
+    """NULL-generating and NULL-resolving expressions (nullif/coalesce).
+
+    Scale: the grand total is an aggregate attached via a broadcast
+    1-row crossJoin (same pattern as queries/corpus.py mixture stats),
+    NOT ``count(*) OVER ()`` — an unpartitioned window would funnel
+    every filtered row through a single WindowExec task at 100 TB.
+    """
     li = load(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_quantity") >= 45).select(
+    filtered = li.filter(F.col("l_quantity") >= 45)
+    total = filtered.agg(F.count(F.lit(1)).alias("total"))
+    return filtered.select(
         "l_orderkey",
         "l_linenumber",
         F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("rf"),
         F.when(F.col("l_discount") == 0, F.lit(None)).otherwise(F.round("l_discount", 2)).alias("disc_or_null"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
-    )
+    ).crossJoin(F.broadcast(total))
 
 
 # --------------------------------------------------------------------------

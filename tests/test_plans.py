@@ -56,6 +56,15 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(1)" in plan and "isFinalPlan=true" in plan
 
 
+def test_filter_null_coalesce_no_global_window(spark, sf_dir):
+    # the grand total must be a broadcast 1-row scalar attach, never an
+    # unpartitioned window funneling every row through one task
+    # (VERDICT r5 "What's wrong" #1)
+    plan = plan_of(spark, sf_dir, "filter_null_coalesce")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row attach
+
+
 def test_topk_plans_as_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "customer_topk_spend")
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT

@@ -64,6 +64,9 @@ ALLOW_NESTED_LOOP = {
     # inherits mixture_domain_weights' 1-row (grand, denom) attaches
     # through composition
     "mixture_epoch_sample",
+    # grand-total crossJoin(broadcast(<1-row count>)) replacing the
+    # former single-partition count(*) OVER () window (VERDICT r5 fix)
+    "filter_null_coalesce",
 }
 
 # Pipeline DataFrames whose only NLJ is a 1-row scalar attach
