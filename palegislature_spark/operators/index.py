@@ -71,7 +71,10 @@ def build_inverted_index(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     postings = (
-        tf.withColumn("shard", F.col(id_col) % n_shards)
+        # hash-sharded: `id % n` silently yields a single unbounded
+        # NULL shard for non-numeric ids (ADVICE r5); pmod(xxhash64)
+        # works for any id type and never returns NULL for non-NULL ids
+        tf.withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)))
         .groupBy("token", "shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df_partial"),

@@ -84,6 +84,7 @@ def refresh_hourly(
     path: str,
     batch: DataFrame,
     ts_col: str = "ts",
+    batch_id: int | None = None,
 ) -> None:
     """Incrementally merge a raw-event micro-batch into the persisted
     hourly table at ``path``.
@@ -98,7 +99,19 @@ def refresh_hourly(
     sum, which agrees with a from-scratch build within one cent per
     key (rounding is not associative — the standard
     continuous-aggregate trade; store the raw sum instead if exact
-    replay matters)."""
+    replay matters).
+
+    Replay idempotence: this merge is ADDITIVE, and foreachBatch is
+    at-least-once — a batch replayed after a failure between sink
+    completion and checkpoint commit would double-count. Pass the
+    foreachBatch ``batch_id`` and each stored row carries
+    ``last_batch``, the id of the last batch merged into that KEY; a
+    replayed batch skips keys already stamped with its id. Per-key
+    (not global) stamping makes recovery exact even when a crash
+    lands mid-partition-swap: promoted days skip, un-promoted days
+    re-merge. Calls without ``batch_id`` (ad-hoc batch use) keep the
+    additive semantics and stamp ``-1``.
+    """
     from palegislature_spark.sources.merge import _hadoop_fs, upsert_parquet
 
     partial = (
@@ -112,34 +125,60 @@ def refresh_hourly(
         )
         .withColumn("day", F.to_date("hour"))
     )
+    stamp = F.lit(batch_id if batch_id is not None else -1).cast("long")
     # existence probe via the filesystem — a broad try/except around
     # the read would misclassify transient IO errors as "first
     # refresh" and silently drop the existing totals for touched keys
     fs, HPath = _hadoop_fs(spark, path)
     if fs.exists(HPath(path)):
         days = [r["day"] for r in partial.select("day").distinct().collect()]
-        touched = (
-            spark.read.parquet(path)
-            .filter(F.col("day").isin(days))  # static partition pruning
-            .join(
-                F.broadcast(partial.select("hour", "event_type")),
-                ["hour", "event_type"],
-                "left_semi",
-            )
-            .select(
-                "hour",
-                "event_type",
-                "n_events",
-                # the stored total is the rounded sum (see docstring)
-                F.col("total_value").alias("value_sum"),
-                "day",
-            )
+        existing = spark.read.parquet(path).filter(
+            F.col("day").isin(days)  # static partition pruning
         )
-        partial = partial.unionByName(touched)
-    merged = partial.groupBy("hour", "event_type", "day").agg(
-        F.sum("n_events").cast("long").alias("n_events"),
-        F.round(F.sum("value_sum"), 2).alias("total_value"),
-    )
+        if "last_batch" not in existing.columns:  # pre-upgrade table
+            existing = existing.withColumn("last_batch", F.lit(-1).cast("long"))
+        touched = existing.join(
+            F.broadcast(partial.select("hour", "event_type")),
+            ["hour", "event_type"],
+            "left_semi",
+        ).select(
+            "hour",
+            "event_type",
+            F.col("n_events").alias("old_n"),
+            # the stored total is the rounded sum (see docstring)
+            F.col("total_value").alias("old_total"),
+            F.col("last_batch").alias("old_batch"),
+        )
+        j = partial.join(touched, ["hour", "event_type"], "left")
+        already = (
+            F.col("old_batch") == stamp if batch_id is not None else F.lit(False)
+        )
+        merged = j.select(
+            "hour",
+            "event_type",
+            "day",
+            F.when(already, F.col("old_n"))
+            .otherwise(F.coalesce("old_n", F.lit(0)) + F.col("n_events"))
+            .cast("long")
+            .alias("n_events"),
+            F.when(already, F.col("old_total"))
+            .otherwise(
+                F.round(
+                    F.coalesce("old_total", F.lit(0.0)) + F.col("value_sum"), 2
+                )
+            )
+            .alias("total_value"),
+            F.when(already, F.col("old_batch")).otherwise(stamp).alias("last_batch"),
+        )
+    else:
+        merged = partial.select(
+            "hour",
+            "event_type",
+            "day",
+            "n_events",
+            F.round("value_sum", 2).alias("total_value"),
+            stamp.alias("last_batch"),
+        )
     upsert_parquet(
         spark,
         path,

@@ -30,6 +30,24 @@ def _hex_boundary(p: float) -> str:
     return format(int(p * (16**_HEX_DIGITS)), "015x")
 
 
+def cumulative_hex_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """The exact (name, upper-boundary) pairs ``split_column`` compares
+    against, derived with the SAME float accumulation order it uses.
+
+    Oracles replaying a split MUST take boundaries from here, never
+    re-derive them from a cumulative literal: ``0.9 + 0.05`` rounds to
+    0.9500000000000001 whose hex boundary (...380) differs from
+    ``_hex_boundary(0.95)`` (...300) by a 0x80/2^60 window — wide
+    enough for a doc's md5 draw to land in it and flip splits between
+    engines (ADVICE r5)."""
+    cum = 0.0
+    out: list[tuple[str, str]] = []
+    for name in list(weights)[:-1]:
+        cum += weights[name]
+        out.append((name, _hex_boundary(cum)))
+    return out
+
+
 def _draw(id_col: str, salt: str) -> F.Column:
     return F.substring(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),

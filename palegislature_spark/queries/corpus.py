@@ -23,9 +23,14 @@ from palegislature_spark.queries.registry import register
 
 
 def _decontam_oracle() -> str:
-    from palegislature_spark.operators.sampling import _hex_boundary
+    from palegislature_spark.operators.sampling import cumulative_hex_boundaries
 
-    b_val = _hex_boundary(0.95)
+    # eval = the 'test' split, i.e. draw >= the val upper boundary —
+    # taken from the same accumulated sum split_column compares
+    # against (never re-derived from the 0.95 literal; ADVICE r5)
+    b_val = dict(
+        cumulative_hex_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    )["val"]
     gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(5))
     return f"""
 WITH toks AS (
@@ -332,10 +337,15 @@ def _bm25_oracle(final: str | None = None) -> str:
     # e0-suffixed literals force DOUBLE: DuckDB parses bare `2.2` as
     # DECIMAL and keeps int*DECIMAL exact, which breaks the IEEE
     # bit-for-bit correspondence with Spark's double arithmetic
+    # every literal derives from the imported constants — hard-coding
+    # 2.2/0.25 here would break the single-source-of-truth claim the
+    # moment K1/B change in operators/index.py (ADVICE r5); repr()
+    # round-trips the exact double
+    k1p1, one_minus_b = f"{_K1_NUM + 1.0!r}", f"{1.0 - _B_NUM!r}"
     comps = " + ".join(
         f"(((n - df_{t} + 0.5e0) / (df_{t} + 0.5e0))"
-        f" * ((tf_{t} * 2.2e0)"
-        f" / (tf_{t} + {_K1}e0 * (0.25e0 + {_B}e0 * (dl / avgdl)))))"
+        f" * ((tf_{t} * {k1p1}e0)"
+        f" / (tf_{t} + {_K1}e0 * ({one_minus_b}e0 + {_B}e0 * (dl / avgdl)))))"
         for t in _BM25_TERMS
     )
     any_hit = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
@@ -416,7 +426,7 @@ def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         idf = (F.col("n") - F.col(f"df_{t}") + F.lit(0.5)) / (
             F.col(f"df_{t}") + F.lit(0.5)
         )
-        tf_part = (F.col(f"tf_{t}") * F.lit(2.2)) / (
+        tf_part = (F.col(f"tf_{t}") * F.lit(k1 + 1.0)) / (
             F.col(f"tf_{t}")
             + F.lit(k1)
             * (

@@ -578,9 +578,14 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_oracle() -> str:
-    from palegislature_spark.operators.sampling import _hex_boundary
+    from palegislature_spark.operators.sampling import cumulative_hex_boundaries
 
-    b_train, b_val = _hex_boundary(0.9), _hex_boundary(0.95)
+    # boundaries from split_column's own float accumulation — the 0.95
+    # literal's boundary differs in the last byte (ADVICE r5)
+    bounds = dict(
+        cumulative_hex_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    )
+    b_train, b_val = bounds["train"], bounds["val"]
     return f"""
 SELECT doc_id, lang,
        CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) < '{b_train}' THEN 'train'

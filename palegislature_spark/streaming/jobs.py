@@ -580,33 +580,69 @@ def cms_heavy_hitter_stream(
     EXACTLY — integer counters; pinned in tests/test_streaming.py).
     Query the persisted sketch any time with ``cms_estimate``.
 
-    Durability: the merged sketch is written to a staging dir and
-    swapped in by rename, so a batch that dies mid-write leaves the
-    prior sketch intact and the replayed batch re-merges against real
-    state (same discipline as stream_upsert_parquet).
+    Durability + exactly-once: the merged sketch is written to a
+    staging dir and promoted with the same swap discipline as
+    ``upsert_parquet`` — live is renamed aside to ``.__old__`` BEFORE
+    staging is promoted, so no crash point leaves zero live copies
+    (delete-then-rename would: a crash between the delete and the
+    rename silently rebuilds state from one batch).  On entry the sink
+    first recovers any interrupted swap.  Because foreachBatch is
+    at-least-once and this merge is ADDITIVE (not key-idempotent like
+    stream_upsert_parquet's), every sketch row carries ``last_batch``
+    — the max batch id merged in — and a replayed batch with
+    ``batch_id <= last_batch`` is a no-op, preserving the "sum of
+    per-batch sketches == sketch of the union, EXACTLY" invariant
+    across failure replays.
     """
     from palegislature_spark.operators.sketch import cms_sketch
     from palegislature_spark.sources.merge import _hadoop_fs
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        toks = batch.select(
-            F.explode(F.split(F.col(text_col), " ")).alias("token")
-        ).filter(F.col("token") != "")
-        sk = cms_sketch(toks, "token")
-        fs, HPath = _hadoop_fs(spark, path)
-        if fs.exists(HPath(path)):
+        base = path.rstrip("/")
+        staging = base + ".__staging__"
+        trash = base + ".__old__"
+        fs, HPath = _hadoop_fs(spark, base)
+
+        # Recover an interrupted swap: if live is missing, staging (if
+        # it committed — _SUCCESS present) holds the newest complete
+        # sketch, else .__old__ holds the previous one.  Never delete a
+        # candidate before a live copy exists.
+        if not fs.exists(HPath(base)):
+            if fs.exists(HPath(staging + "/_SUCCESS")):
+                fs.rename(HPath(staging), HPath(base))
+            elif fs.exists(HPath(trash)):
+                fs.rename(HPath(trash), HPath(base))
+
+        sk = cms_sketch(
+            batch.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("token")
+            ).filter(F.col("token") != ""),
+            "token",
+        ).withColumn("last_batch", F.lit(batch_id).cast("bigint"))
+        if fs.exists(HPath(base)):
+            live = spark.read.parquet(base)
+            if "last_batch" in live.columns:
+                row = live.agg(F.max("last_batch").alias("m")).collect()[0]
+                if row["m"] is not None and batch_id <= row["m"]:
+                    return  # at-least-once replay of an already-merged batch
+            else:  # pre-upgrade sketch without the idempotence column
+                live = live.withColumn("last_batch", F.lit(-1).cast("bigint"))
             sk = (
-                spark.read.parquet(path)
-                .unionByName(sk)
+                live.unionByName(sk)
                 .groupBy("row", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.max("last_batch").alias("last_batch"),
+                )
             )
-        staging = path.rstrip("/") + ".__staging__"
         fs.delete(HPath(staging), True)
         sk.write.mode("overwrite").parquet(staging)
-        fs.delete(HPath(path.rstrip("/")), True)
-        fs.rename(HPath(staging), HPath(path.rstrip("/")))
+        fs.delete(HPath(trash), True)
+        if fs.exists(HPath(base)):
+            fs.rename(HPath(base), HPath(trash))
+        fs.rename(HPath(staging), HPath(base))
+        fs.delete(HPath(trash), True)
 
     return (
         stream.writeStream.foreachBatch(sink)

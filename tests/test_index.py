@@ -40,10 +40,24 @@ def test_postings_sharded_and_df_consistent(spark, sf_dir):
     idx = build_inverted_index(docs, n_shards=4)
     seg = idx["postings"].filter(F.col("token") == "spark")
     rows = seg.collect()
-    # every posting entry lives in the shard its doc id maps to
+    # every posting entry lives in the shard its doc id HASHES to
+    # (pmod(xxhash64) — id % n would NULL out non-numeric ids)
+    shard_of = {
+        r.doc_id: r.shard
+        for r in docs.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("shard")
+        ).collect()
+    }
     for r in rows:
         for p in r.postings:
-            assert p.doc_id % 4 == r.shard
+            assert shard_of[p.doc_id] == r.shard
+    # no NULL shards even for string ids
+    str_idx = build_inverted_index(
+        docs.select(F.concat(F.lit("doc-"), "doc_id").alias("doc_id"), "text"),
+        n_shards=4,
+    )
+    assert str_idx["postings"].filter(F.col("shard").isNull()).count() == 0
+    assert str_idx["postings"].select("shard").distinct().count() == 4
     # shard-partial dfs sum to the true document frequency
     df_total = sum(r.df_partial for r in rows)
     true_df = (

@@ -84,6 +84,34 @@ def test_refresh_hourly_incremental_equals_recompute(spark, tmp_path):
     assert ten[2] == 3 and ten[3] == 7.75
 
 
+def test_refresh_hourly_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-merged
+    batch_id must not double-count (ADVICE r5 — additive merges need
+    explicit idempotence; key-level last_batch stamps provide it)."""
+    ensure_utc(spark)
+    path = str(tmp_path / "hourly_replay")
+    refresh_hourly(spark, path, spark.createDataFrame(B1, SCHEMA), batch_id=0)
+    refresh_hourly(spark, path, spark.createDataFrame(B2, SCHEMA), batch_id=1)
+    before = rows(
+        spark.read.parquet(path), "hour", "event_type", "n_events", "total_value"
+    )
+    # replay the last batch (crash between sink completion and
+    # checkpoint commit)
+    refresh_hourly(spark, path, spark.createDataFrame(B2, SCHEMA), batch_id=1)
+    after = rows(
+        spark.read.parquet(path), "hour", "event_type", "n_events", "total_value"
+    )
+    assert after == before
+    # ...and a genuinely NEW batch with the same rows still merges
+    refresh_hourly(spark, path, spark.createDataFrame(B2, SCHEMA), batch_id=2)
+    ten = [
+        r
+        for r in rows(spark.read.parquet(path), "hour", "event_type", "n_events")
+        if r[0].hour == 10
+    ][0]
+    assert ten[2] == 4  # 3 from B1+B2 plus the late click again
+
+
 def test_refresh_hourly_from_real_stream(spark, tmp_path):
     """foreachBatch-driven continuous aggregate: streaming refresh
     over two micro-batches ends at the same hourly table as a batch
@@ -103,7 +131,7 @@ def test_refresh_hourly_from_real_stream(spark, tmp_path):
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda batch, _id: refresh_hourly(spark, table, batch)
+            lambda batch, bid: refresh_hourly(spark, table, batch, batch_id=bid)
         )
         .option("checkpointLocation", str(tmp_path / "cp_rollup"))
         .trigger(availableNow=True)

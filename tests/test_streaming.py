@@ -486,3 +486,30 @@ def test_cms_stream_merge_equals_batch_sketch(spark, tmp_path):
         for r in cms_estimate(spark.read.parquet(table), items).collect()
     }
     assert est["spark"] >= 3 and est["join"] >= 4  # one-sided overestimate
+
+    # --- at-least-once replay (ADVICE r5): wipe the checkpoint so the
+    # same two batches replay with the same batch ids; the additive
+    # merge must skip them via the persisted last_batch stamp.
+    import shutil
+
+    shutil.rmtree(table + "_cp")
+    q = streaming.cms_heavy_hitter_stream(
+        streaming.read_stream(spark, str(d), DOC_SCHEMA, max_files_per_trigger=1),
+        table,
+    )
+    drain(q)
+    assert rows(spark.read.parquet(table), "row", "bucket", "cnt") == want
+
+    # --- crash mid-swap (ADVICE r5): live renamed aside but staging
+    # never promoted. The next sink run must recover from .__old__
+    # rather than rebuilding state from a single batch.
+    import os
+
+    os.rename(table, table + ".__old__")
+    shutil.rmtree(table + "_cp")
+    q = streaming.cms_heavy_hitter_stream(
+        streaming.read_stream(spark, str(d), DOC_SCHEMA, max_files_per_trigger=1),
+        table,
+    )
+    drain(q)
+    assert rows(spark.read.parquet(table), "row", "bucket", "cnt") == want
