@@ -41,21 +41,21 @@ HEADLINE = [
     "props_json_extract",
     "fp_winnow",
     "curation_funnel",
-    "near_dup_clusters",
-    "tokenizer_bpe_merges",
-    "sample_splits",
-    "minhash_incremental_pairs",
-    "redact_pii",
-    "sketch_heavy_hitters",
-    "sequence_packing",
-    "testset_decontam",
-    "span_dup_coverage",
-    "span_dedup_rewrite",
-    "rollup_cascade_daily",
-    "search_bm25_topk",
-    "rank_graph_suppliers",
-    "relevance_bm25",
-    "tokenizer_bpe_encode",
+    "cluster_near_dups",
+    "bpe_train_merges",
+    "assign_hash_splits",
+    "dedup_minhash_incremental",
+    "cleanup_pii_redact",
+    "cms_heavy_hitters",
+    "batch_sequence_packing",
+    "decontam_testset",
+    "coverage_dup_spans",
+    "cleanup_span_rewrite",
+    "cascade_rollup_daily",
+    "bm25_search_topk",
+    "centrality_rank_suppliers",
+    "bm25_relevance",
+    "bpe_encode_corpus",
 ]
 
 

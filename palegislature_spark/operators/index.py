@@ -3,7 +3,7 @@
 The IR-engine counterpart of the IVF split in ``similarity.py``
 (build once / probe many): :func:`build_inverted_index` materializes
 token posting lists plus the corpus statistics BM25 needs, and
-:func:`search_bm25_topk` answers a query by reading ONLY the queried
+:func:`bm25_search_topk` answers a query by reading ONLY the queried
 tokens' postings — never rescanning the corpus. At 100 TB the
 difference is the whole point of an index: a 4-term query touches
 4 tokens' postings (pushdown-pruned on the token column of the
@@ -18,7 +18,7 @@ posting segment stays bounded while the (token, shard) key remains a
 plain equi-join key.
 
 Scoring reuses the log-free Robertson-Sparck Jones odds idf of
-``queries/corpus.py relevance_bm25`` — every op an IEEE
+``queries/corpus.py bm25_relevance`` — every op an IEEE
 correctly-rounded chain, so the index path reproduces the full-scan
 scores bit for bit (asserted in tests/test_index.py).
 """
@@ -86,7 +86,7 @@ def build_inverted_index(
     return {"postings": postings, "doclens": doclens, "stats": stats}
 
 
-def search_bm25_topk(
+def bm25_search_topk(
     index: dict[str, DataFrame],
     terms: Sequence[str],
     k: int = 10,
@@ -98,7 +98,7 @@ def search_bm25_topk(
     pushdown on the token column when persisted), explode the matched
     segments, join document lengths, score per (doc, term) and sum in
     a FIXED term order (conditional sum per term — the same
-    order-pinned arithmetic as relevance_bm25), then distributed
+    order-pinned arithmetic as bm25_relevance), then distributed
     top-k (TakeOrderedAndProject). Only documents containing at least
     one query term are ever touched.
     """

@@ -69,7 +69,7 @@ LEFT JOIN hits h ON a.doc_id = h.doc_id
 
 
 @register(
-    "testset_decontam",
+    "decontam_testset",
     covers="training-pipeline extension: benchmark decontamination — "
     "word-5-gram overlap of the train split against the held-out test "
     "split (GPT-3 appendix-C rule: any shared long n-gram flags the "
@@ -139,7 +139,7 @@ FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
 
 
 @register(
-    "span_dup_coverage",
+    "coverage_dup_spans",
     covers="dedup extension: duplicate-span coverage — fraction of each "
     "document's tokens inside k-token spans occurring in >= 2 documents "
     "(Lee et al. 2022 substring dedup re-expressed as shingle grouping "
@@ -180,15 +180,15 @@ FROM b GROUP BY bucket, shard, batch_id
 
 
 @register(
-    "pad_efficient_batches",
+    "batch_pad_efficient",
     covers="training-pipeline extension: pad-aware length-bucketed "
     "batch formation (inference/fine-tune loader prep — group "
     "similar-length documents into fixed-size batches and account the "
     "padding waste; the dynamic-batching complement of "
-    "sequence_packing's concat-and-chunk)",
+    "batch_sequence_packing's concat-and-chunk)",
     oracle=_PAD_ORACLE,
 )
-def pad_efficient_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def batch_pad_efficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch formation: documents are bucketed by length (16-token
     bands), sharded, and greedily grouped 32-at-a-time in
     (length, id) order; each batch row reports its padded-token waste
@@ -293,7 +293,7 @@ FROM nt LEFT JOIN reb ON nt.doc_id = reb.doc_id
 
 
 @register(
-    "span_dedup_rewrite",
+    "cleanup_span_rewrite",
     covers="dedup extension: duplicate-span REMOVAL — the rewrite step "
     "of Lee et al. 2022 ExactSubstr dedup (keep the globally first "
     "occurrence of every duplicated k-token span, strip the rest, "
@@ -301,7 +301,7 @@ FROM nt LEFT JOIN reb ON nt.doc_id = reb.doc_id
     "argmin, the strip an interval-union + position anti-join",
     oracle=_rewrite_oracle(8),
 )
-def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cleanup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palegislature_spark.operators.contamination import (
         strip_duplicate_spans,
     )
@@ -321,8 +321,8 @@ _K1, _B = str(_K1_NUM), str(_B_NUM)
 
 
 def _bm25_oracle(final: str | None = None) -> str:
-    """Shared builder for the full-scan BM25 SQL (relevance_bm25) and
-    the search oracle (search_bm25_topk) — one definition of the
+    """Shared builder for the full-scan BM25 SQL (bm25_relevance) and
+    the search oracle (bm25_search_topk) — one definition of the
     tf/df/score expressions so the two cannot drift apart. ``final``
     overrides the closing SELECT; ``{comps}`` / ``{any_hit}`` are
     substituted."""
@@ -373,7 +373,7 @@ s AS (
 
 
 @register(
-    "relevance_bm25",
+    "bm25_relevance",
     covers="text-analysis extension: BM25 relevance scoring against a "
     "fixed query (Robertson-Sparck Jones; rational idf variant — the "
     "log-free odds ratio, same ranking — keeps every op an IEEE "
@@ -472,7 +472,7 @@ FROM w CROSS JOIN tot CROSS JOIN den
 
 
 @register(
-    "mixture_domain_weights",
+    "corpus_mixture_weights",
     covers="training-pipeline extension: temperature-scaled domain "
     "mixture weights (alpha = 0.5 token-count reweighting, the "
     "multilingual-sampling rule of mBERT/XLM-R/PaLM data mixing) with "
@@ -610,7 +610,7 @@ FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
 
 
 @register(
-    "tokenizer_bpe_encode",
+    "bpe_encode_corpus",
     covers="text-analysis extension: tokenizer ENCODE — apply the "
     "trained BPE merge table to every document (model-sized merge "
     "list collected once, applied as a chain of JVM-side folds in one "
@@ -618,7 +618,7 @@ FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
     oracle=_bpe_encode_oracle(8),
 )
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train 8 merges (same rounds as ``tokenizer_bpe_merges``), then
+    """Train 8 merges (same rounds as ``bpe_train_merges``), then
     encode the corpus with them. Encoding is shuffle-free: the merge
     table is collected (model-sized — the tokenizer artifact), and
     each document is tokenized by one linear fold chain per merge
@@ -669,7 +669,7 @@ FROM h GROUP BY 1, 2
 
 
 @register(
-    "rollup_cascade_daily",
+    "cascade_rollup_daily",
     covers="training-pipeline/storage extension: continuous-aggregate "
     "rollup cascade (raw -> hourly -> daily, the daily level derived "
     "from the HOURLY table, never raw — TimescaleDB continuous "
@@ -677,7 +677,7 @@ FROM h GROUP BY 1, 2
     "hour-sorted fold so the cascade replays bit-exactly)",
     oracle=_ROLLUP_ORACLE,
 )
-def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cascade_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily level of the rollup cascade. The oracle replays the same
     two-level shape (hourly CTE, then an hour-ordered list_reduce for
     the daily totals — matching the Spark fold's 0.0 init exactly,
@@ -711,7 +711,7 @@ def _search_oracle() -> str:
 
 
 @register(
-    "search_bm25_topk",
+    "bm25_search_topk",
     covers="text-analysis extension: index-SERVED BM25 search — top-k "
     "over the sharded inverted index (build/serve split, the IR "
     "analogue of the IVF index pair; the query touches only the "
@@ -720,10 +720,10 @@ def _search_oracle() -> str:
     "it bit for bit",
     oracle=_search_oracle(),
 )
-def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palegislature_spark.operators.index import (
         build_inverted_index,
-        search_bm25_topk as _search,
+        bm25_search_topk as _search,
     )
 
     docs = load(spark, sf_dir, "documents")
@@ -786,7 +786,7 @@ def _pagerank_oracle(
 
 
 @register(
-    "rank_graph_suppliers",
+    "centrality_rank_suppliers",
     covers="analytics extension: PageRank (3 damped propagation rounds "
     "over the distinct customer->supplier purchase graph — the "
     "weighted-iteration graph case beside connected components; "
@@ -794,7 +794,7 @@ def _pagerank_oracle(
     "default uses a plain map-side-combined sum)",
     oracle=_pagerank_oracle(3),
 )
-def rank_graph_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def centrality_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palegislature_spark.operators.graph import (
         pagerank,
         supplier_purchase_edges,
@@ -830,7 +830,7 @@ FROM (SELECT doc_id, source, n_copies,
 
 
 @register(
-    "mixture_epoch_sample",
+    "corpus_epoch_sample",
     covers="training-pipeline extension: epoch plan materialization — "
     "turn the temperature-mixture repeat factors into an actual "
     "deterministic sampled corpus (floor(r) guaranteed copies + one "
@@ -839,8 +839,8 @@ FROM (SELECT doc_id, source, n_copies,
     "engine-identical double, so the draw replays bit-exactly)",
     oracle=_EPOCH_ORACLE,
 )
-def mixture_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composes mixture_domain_weights with a deterministic per-doc
+def corpus_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes corpus_mixture_weights with a deterministic per-doc
     hash draw: every document appears floor(r_source) times plus one
     extra copy iff its 60-bit md5 draw is below frac(r_source) * 2^60.
     Expected token share per domain equals the temperature share; the
@@ -901,7 +901,7 @@ edges AS (
 
 
 @register(
-    "textrank_keywords",
+    "centrality_textrank_keywords",
     covers="text-analysis extension: TextRank keyword extraction "
     "(Mihalcea & Tarau 2004) — PageRank composed over the corpus word "
     "co-occurrence graph (adjacent-word edges, both directions), "
@@ -914,7 +914,7 @@ edges AS (
         " ORDER BY rank DESC, node LIMIT 20",
     ),
 )
-def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def centrality_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palegislature_spark.operators.graph import pagerank
 
     docs = load(spark, sf_dir, "documents")
@@ -966,13 +966,13 @@ FROM cnt c JOIN tot t ON c.from_type = t.from_type
 
 
 @register(
-    "transition_matrix_events",
+    "chain_markov_transitions",
     covers="analytics extension: first-order Markov transition matrix "
     "over per-user event sequences (lead window + two keyed "
     "aggregations; probabilities stay int/int rational)",
     oracle=_TRANSITION_ORACLE,
 )
-def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chain_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P(next event type | current) estimated from every user's
     (ts, event_id)-ordered event sequence — the behavioral-model
     summary (and the generator for synthetic session data). One
@@ -1001,7 +1001,7 @@ def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "skew_salted_flag_agg",
+    "agg_salted_skew",
     covers="scale-hardening extension: deterministic two-phase salted "
     "aggregation (operators/skew.py salted_agg) over a heavy-hitter "
     "group key — the hot key's rows spread across 32 salt buckets in "
@@ -1017,7 +1017,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
 )
-def skew_salted_flag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate 60k+ rows into a handful of return-flag groups via
     the salted two-phase operator: counts/sums/extrema stay exact
     integers (TPC-H quantities are whole numbers), so two-phase ==

@@ -283,7 +283,7 @@ def value_transitions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "user_funnel_stages",
+    "conversion_funnel_stages",
     covers="analytics extension: ordered funnel analysis "
     "(view -> click -> purchase with strict event-time ordering per "
     "user — the MATCH_RECOGNIZE-lite conversion query every product "
@@ -318,7 +318,7 @@ LEFT JOIN c ON v.user_id = c.user_id
 LEFT JOIN p ON v.user_id = p.user_id
 """,
 )
-def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conversion_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel: first view, first click AFTER that view,
     first purchase AFTER that click. Each stage is one keyed
     aggregation over the events pre-filtered to the stage type — the
@@ -370,7 +370,7 @@ def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "user_retention_cohorts",
+    "cohort_retention",
     covers="analytics extension: cohort retention triangle (users "
     "grouped by first-seen day; distinct active users at each day "
     "offset — two keyed aggregations, integer-exact)",
@@ -390,7 +390,7 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM activity GROUP BY 1, 2
 """,
 )
-def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: cohort = first-seen calendar day; each
     (cohort, day-offset) cell counts the distinct users active that
     many days later. The cohort table is one row per distinct USER —

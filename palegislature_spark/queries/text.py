@@ -420,7 +420,7 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "near_dup_clusters",
+    "cluster_near_dups",
     covers="dedup extension: cluster formation — connected components over "
     "the MinHash near-dup pair graph + representative pick (the corpus-level "
     "detect+merge composition, Q2 machinery reused on documents)",
@@ -467,7 +467,7 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN cc USING (doc_id)
 """,
 )
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: MinHash-LSH pairs (exact-verified, so
     the pair set equals the exact word-3gram Jaccard graph the oracle
     computes) -> min-label connected components (er/components.py,
@@ -559,13 +559,13 @@ def _bpe_oracle(n_merges: int) -> str:
 
 
 @register(
-    "tokenizer_bpe_merges",
+    "bpe_train_merges",
     covers="text-analysis extension: distributed BPE merge training "
     "(tokenizer-training precursor; vocab-sized iterative state, "
     "Sennrich et al. 2016 semantics)",
     oracle=_bpe_oracle(8),
 )
-def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges over the documents corpus. The iteration is
     a driver loop with a one-row argmax per round (model-sized
     decisions, like the Lloyd refinement); the oracle unrolls the same
@@ -596,13 +596,13 @@ FROM documents
 
 
 @register(
-    "sample_splits",
+    "assign_hash_splits",
     covers="training-pipeline extension: deterministic hash-based "
     "train/val/test assignment (repartition- and engine-stable, unlike "
     "randomSplit); hex-prefix comparison keeps it float-free",
     oracle=_split_oracle(),
 )
-def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def assign_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90/5/5 split of the documents corpus keyed on md5('split'||id):
     the draw stays a 15-hex-digit string compared against precomputed
     hex boundaries, so DuckDB replays the assignment exactly — no
@@ -616,7 +616,7 @@ def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ngram_bigram_quality",
+    "bigram_lm_quality",
     covers="text-analysis extension: corpus-LM-lite quality signals — "
     "per-document character-bigram statistics against the corpus bigram "
     "table (rare-bigram gibberish detection, the rational-arithmetic "
@@ -646,7 +646,7 @@ LEFT JOIN topset t ON b.bg = t.bg
 GROUP BY b.doc_id
 """,
 )
-def ngram_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram quality signals: each document's bigrams are
     scored against the corpus-wide bigram frequency table — documents
     full of rare bigrams (mojibake, binary spill, gibberish) surface
@@ -695,7 +695,7 @@ def ngram_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minhash_incremental_pairs",
+    "dedup_minhash_incremental",
     covers="dedup extension: incremental MinHash — batch-vs-corpus near-dup "
     "pairs against a prebuilt band-key index (O(batch + candidates) per "
     "batch, never O(corpus))",
@@ -715,7 +715,7 @@ WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
   AND (id_1 % 5 = 0 OR id_2 % 5 = 0)
 """,
 )
-def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat doc_id % 5 = 0 as the arriving batch and the rest as the
     indexed corpus: the incremental path must return exactly the
     batch-touching subset of the full exact-Jaccard pair set (which is
@@ -734,7 +734,7 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "redact_pii",
+    "cleanup_pii_redact",
     covers="training-pipeline extension: PII scrub — email/phone/IP "
     "detection counts + tagged redaction (RE2-portable patterns, fixed "
     "apply order, one codegen pass)",
@@ -817,13 +817,13 @@ FROM top50 t JOIN est e USING (token)
 
 
 @register(
-    "sketch_heavy_hitters",
+    "cms_heavy_hitters",
     covers="OLAP-sketch extension: count-min frequency estimation "
     "(fixed depth x width state at any corpus size, mergeable across "
     "partitions/batches); md5-bucket construction replayed exactly",
     oracle=_cms_oracle(),
 )
-def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus tokens with their exact counts AND their count-min
     estimates (always >= truth; the test asserts the bound). The true
     counts exist here to VERIFY the sketch — the operator's production
@@ -852,7 +852,7 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sampled_k_per_group",
+    "choose_k_per_group",
     covers="training-pipeline extension: deterministic k-per-group pick "
     "(eval-set construction: same rows every run, engine-independent "
     "hash order, one shuffle on the group key)",
@@ -870,7 +870,7 @@ SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= 5
 """,
 )
-def sampled_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def choose_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five documents per language, hash-ordered: the per-stratum eval
     pick. Output keeps the rank so the oracle pins the exact order,
     not just membership."""
@@ -888,7 +888,7 @@ def sampled_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sequence_packing",
+    "batch_sequence_packing",
     covers="training-pipeline extension: concat-and-chunk sequence packing "
     "(distributed two-phase prefix sum — never a single-partition global "
     "window; integer DIV chunk math exact past 2^53 tokens)",
@@ -910,7 +910,7 @@ SELECT doc_id, n_tokens, start_offset,
 FROM c
 """,
 )
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def batch_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the documents corpus into 512-token training sequences in
     doc_id order: each document's stream offset and the chunk span it
     feeds (documents may span boundaries — the GPT-style
@@ -925,7 +925,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "repetition_stats",
+    "analyze_repetition_stats",
     covers="text-analysis extension: Gopher-style repetition filters — "
     "duplicate 2-/3-gram ratios and most-frequent-token share, the "
     "published repetition gates (Rae et al. 2021), exact int arithmetic",
@@ -967,7 +967,7 @@ LEFT JOIN g3 USING (doc_id)
 JOIN toptok USING (doc_id)
 """,
 )
-def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def analyze_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals, the Gopher quality-filter family
     (Rae et al. 2021 "Scaling Language Models: ... Gopher", app. A):
     documents dominated by repeated n-grams or one token are boilerplate
@@ -1019,7 +1019,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_chunks",
+    "chunk_documents",
     covers="training/RAG-pipeline extension: per-document overlapping "
     "token-window chunking (embedding/RAG prep; one explode, no UDF)",
     oracle="""
@@ -1040,7 +1040,7 @@ SELECT doc_id,
 FROM idx
 """,
 )
-def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 128-token windows with stride 96 (32-token overlap) per
     document — the RAG/embedding chunking layout, as one JVM explode:
     chunk starts come from sequence(); slices via slice(); no UDF and
@@ -1067,7 +1067,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subset_shingle_containment",
+    "containment_shingle_subset",
     covers="dedup extension: asymmetric shingle CONTAINMENT "
     "(|A∩B| / |A| — Broder's containment coefficient; catches a "
     "document quoted/embedded inside a larger one, which symmetric "
@@ -1096,7 +1096,7 @@ FROM j
 WHERE c * 1.0 / (CASE WHEN n1 <= n2 THEN n1 ELSE n2 END) >= 0.9
 """,
 )
-def subset_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_shingle_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs where >= 90% of the smaller document's 3-gram shingles
     appear in the other document — the quote/subset relation. One
     inverted-index self-join on the shingle + per-pair count, then

@@ -259,7 +259,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semantic_dedup",
+    "cluster_semantic_dedup",
     covers="dedup extension: SemDeDup-style semantic near-dup pruning — "
     "k-means clusters (IVF index) confine the quadratic cosine scan to "
     "single clusters; smaller-id-wins, violations-as-data",
@@ -317,7 +317,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "vector_quantize_int8",
+    "compress_embeddings_int8",
     covers="similarity/storage extension: symmetric int8 embedding "
     "quantization (FAISS-SQ8-style) with bit-exact reconstruction error — "
     "floor(x/scale + 0.5) instead of round() so both engines agree on ties",
@@ -345,7 +345,7 @@ SELECT vec_id, scale,
 FROM q
 """,
 )
-def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compress_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize every embedding to int8 and report per-vector scale,
     integer checksums of the quantized vector (exact — arrays are kept
     out of the hash compare) and the reconstruction MSE via an ordered
@@ -402,13 +402,13 @@ FROM hits h
 
 
 @register(
-    "sketch_bloom_prune",
+    "bloom_prune_join",
     covers="OLAP-sketch extension: Bloom-filter set membership — the "
     "explicit, persistable form of pre-shuffle join pruning (bitmap is "
     "sketch-sized and mergeable; false is definite absence)",
     oracle=_bloom_oracle(),
 )
-def sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter over the distinct order custkeys and probe
     every customer: (c_custkey, in_orders truth, might_contain). The
     no-false-negative invariant (in_orders => might_contain) is what

@@ -307,9 +307,9 @@ def test_pad_batching_beats_arrival_order(spark, sf_dir):
     naive arrival-order batches of the same size over the same
     corpus (the whole point of the bucketing)."""
     from palegislature_spark.catalog import load
-    from palegislature_spark.queries.corpus import pad_efficient_batches
+    from palegislature_spark.queries.corpus import batch_pad_efficient
 
-    bucketed = pad_efficient_batches(spark, sf_dir).collect()
+    bucketed = batch_pad_efficient(spark, sf_dir).collect()
     total_padded = sum(r.n_docs * r.max_len for r in bucketed)
     total_real = sum(r.sum_len for r in bucketed)
 
@@ -355,14 +355,14 @@ def test_epoch_sample_copy_counts_track_repeat_factors(spark, sf_dir):
 
     from palegislature_spark.queries.corpus import (
         domain_mixture_weights,
-        mixture_epoch_sample,
+        corpus_epoch_sample,
     )
 
     rf = {
         r.source: r.repeat_factor
         for r in domain_mixture_weights(spark, sf_dir).collect()
     }
-    plan = mixture_epoch_sample(spark, sf_dir).collect()
+    plan = corpus_epoch_sample(spark, sf_dir).collect()
     per_doc: dict = {}
     for r in plan:
         per_doc.setdefault((r.source, r.doc_id), 0)

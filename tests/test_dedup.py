@@ -207,7 +207,7 @@ def test_winnow_impls_bit_identical_property(spark, texts):
 def test_containment_catches_embedded_quote(spark):
     """A short doc fully quoted inside a longer one has containment
     1.0 even though Jaccard is far below the near-dup threshold."""
-    from palegislature_spark.queries.text import subset_shingle_containment  # noqa: F401
+    from palegislature_spark.queries.text import containment_shingle_subset  # noqa: F401
     from palegislature_spark.operators import dedup as D
     from pyspark.sql import functions as F
 

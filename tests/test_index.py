@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from palegislature_spark.catalog import load
 from palegislature_spark.operators.index import (
     build_inverted_index,
-    search_bm25_topk,
+    bm25_search_topk,
 )
 
 TERMS = ("spark", "hash", "window", "merge")
@@ -22,7 +22,7 @@ def test_index_search_equals_fullscan_bm25(spark, sf_dir):
     idx = build_inverted_index(docs, n_shards=4)
     got = [
         (r.doc_id, r.score)
-        for r in search_bm25_topk(idx, TERMS, k=10).collect()
+        for r in bm25_search_topk(idx, TERMS, k=10).collect()
     ]
     scan = bm25_relevance(spark, sf_dir)
     want = [
@@ -72,7 +72,7 @@ def test_search_plan_is_distributed_topk(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     idx = build_inverted_index(docs, n_shards=4)
     plan = (
-        search_bm25_topk(idx, TERMS, k=10)
+        bm25_search_topk(idx, TERMS, k=10)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

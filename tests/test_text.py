@@ -55,7 +55,7 @@ def test_bigram_quality_flags_gibberish(spark, tmp_path):
     """Documents of rare bigrams (mojibake/gibberish) must score far
     below natural-text documents on both signals."""
     import pyspark.sql.functions as F
-    from palegislature_spark.queries.text import ngram_bigram_quality
+    from palegislature_spark.queries.text import bigram_lm_quality
 
     natural = "the cat sat on the mat and the dog ran to the man " * 4
     docs = spark.createDataFrame(
@@ -64,7 +64,7 @@ def test_bigram_quality_flags_gibberish(spark, tmp_path):
     )
     sf = str(tmp_path)
     docs.write.parquet(f"{sf}/documents.parquet")
-    out = {r["doc_id"]: r for r in ngram_bigram_quality(spark, sf).collect()}
+    out = {r["doc_id"]: r for r in bigram_lm_quality(spark, sf).collect()}
     assert out[9]["avg_bigram_freq"] < out[0]["avg_bigram_freq"] / 3
     # coverage saturates on a tiny corpus (< 200 distinct bigrams total);
     # it discriminates only on real-sized corpora — just sanity-bound it
@@ -132,7 +132,7 @@ def test_cms_overestimates_and_merges(spark):
 
 
 def test_repetition_stats_flags_repeats(spark, tmp_path):
-    from palegislature_spark.queries.text import repetition_stats
+    from palegislature_spark.queries.text import analyze_repetition_stats
 
     docs = spark.createDataFrame(
         [
@@ -143,7 +143,7 @@ def test_repetition_stats_flags_repeats(spark, tmp_path):
         "doc_id long, text string",
     )
     docs.write.parquet(f"{tmp_path}/documents.parquet")
-    out = {r["doc_id"]: r for r in repetition_stats(spark, str(tmp_path)).collect()}
+    out = {r["doc_id"]: r for r in analyze_repetition_stats(spark, str(tmp_path)).collect()}
     assert out[1]["top_token_ratio"] == 1.0
     assert out[1]["dup_2gram_ratio"] == 1.0 - 1 / 5
     assert out[2]["dup_2gram_ratio"] > 0.5
@@ -178,7 +178,7 @@ def test_bloom_no_false_negatives_and_merges(spark):
 
 
 def test_text_chunks_cover_and_overlap(spark, tmp_path):
-    from palegislature_spark.queries.text import text_chunks
+    from palegislature_spark.queries.text import chunk_documents
 
     long = " ".join(f"t{i}" for i in range(300))
     docs = spark.createDataFrame(
@@ -186,7 +186,7 @@ def test_text_chunks_cover_and_overlap(spark, tmp_path):
         "doc_id long, text string",
     )
     docs.write.parquet(f"{tmp_path}/documents.parquet")
-    out = text_chunks(spark, str(tmp_path)).collect()
+    out = chunk_documents(spark, str(tmp_path)).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)

@@ -47,7 +47,7 @@ ALLOW_NESTED_LOOP = {
     "knn_ivf",
     # Same IVF centroid attach (vectors x broadcast 8-row centroid
     # set); the within-cluster pair scan itself is a list_id equi-join.
-    "semantic_dedup",
+    "cluster_semantic_dedup",
     # The only NLJ left after the keyed-branch rewrite of the member
     # match (er/member_ingest.py) is the new-member id allocator's
     # crossJoin(broadcast(max(id))) — a 1-row scalar attach, the
@@ -57,13 +57,13 @@ ALLOW_NESTED_LOOP = {
     # aggregate>)) of (N, avgdl, per-term df) / (grand total, sqrt-sum
     # normalizer) onto the per-document/per-domain side — 1-row
     # broadcast, not a data-scale cartesian.
-    "relevance_bm25",
-    "mixture_domain_weights",
+    "bm25_relevance",
+    "corpus_mixture_weights",
     # same 1-row (n_docs, avgdl) stats attach on the index-served path
-    "search_bm25_topk",
-    # inherits mixture_domain_weights' 1-row (grand, denom) attaches
+    "bm25_search_topk",
+    # inherits corpus_mixture_weights' 1-row (grand, denom) attaches
     # through composition
-    "mixture_epoch_sample",
+    "corpus_epoch_sample",
     # grand-total crossJoin(broadcast(<1-row count>)) replacing the
     # former single-partition count(*) OVER () window (VERDICT r5 fix)
     "filter_null_coalesce",

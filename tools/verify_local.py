@@ -34,7 +34,7 @@ def dtype_kind_mismatch(sdf, pdf) -> list[str]:
     through pandas, where HUGEINT (any integer ``sum()``) exports as
     float64 while Spark emits int64 — numerically equal values that
     hash differently (``2978`` vs ``2978.0``).  ``fetchall()`` hides
-    this (HUGEINT -> Python int), which is how ``conditional_agg``
+    this (HUGEINT -> Python int), which is how ``status_conditional_agg``
     stayed locally green through three red driver rounds.  Compare the
     pandas dtype *kind* per column against the Spark schema; flag any
     int-vs-float disagreement on a null-free column (nullable int
