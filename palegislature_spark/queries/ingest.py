@@ -262,3 +262,95 @@ def ingest_member_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         members, obs, chamber=1
     )
     return service_from_observations(obs, member_map, chamber=1)
+
+
+# --------------------------------------------------------------------------
+# Full five-stage crawl lifecycle (S1,S2,Q5; crawl.py:639-738)
+# --------------------------------------------------------------------------
+
+_LIFECYCLE_ORACLE = """
+SELECT * FROM (VALUES
+  ('members',      CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT)),
+  ('roll_calls',   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(201910001 AS BIGINT)),
+  ('service',      CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(16152 AS BIGINT)),
+  ('session_days', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(201906011 AS BIGINT)),
+  ('sessions',     CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(201910 AS BIGINT)),
+  ('votes',        CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(6 AS BIGINT))
+) AS t(table_name, n_rows, n_crawled, checksum)
+"""
+
+
+@register(
+    "crawl_lifecycle_counts",
+    covers="S1,S2,Q5 + §3.1 stages 1-5 orchestration (crawl.py:639-738): "
+    "fetch -> extract -> parse -> merge-upsert over the full five-stage "
+    "work-queue drain; the oracle pins the resulting store contents "
+    "(row counts, crawl-stamp counts, key checksums) per table",
+    oracle=_LIFECYCLE_ORACLE,
+)
+def crawl_lifecycle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays the reference's five-stage crawl (sessions -> days ->
+    rolls -> member lists -> bios, ``crawl.py:639-738``) over the
+    stored-HTML fixture into a fresh parquet store, then summarizes
+    every table: rows, crawl-stamped rows, and a key checksum.
+
+    The oracle is a pinned-values golden (DuckDB cannot parse HTML);
+    what it pins is real: surrogate ids are deterministic functions of
+    natural keys, so the checksums break if any stage mis-parses,
+    mis-keys, or double-upserts. Scale: the lifecycle runs at fixture
+    size by construction — each stage is the same scan->fetch->parse->
+    merge job the S1-S10 queries exercise at data scale.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from palegislature_spark.pipelines import crawl
+    from palegislature_spark.pipelines import fixture_pages as fx
+
+    source = ing.stored_page_source(fx.PAGES)
+    root = tempfile.mkdtemp(prefix="crawl_lifecycle_q_")
+    # the stages execute eagerly on page-sized data; 32-wide shuffles
+    # are pure scheduling overhead here, so pin the width down for the
+    # replay and restore the session conf after (fixture-scale only —
+    # production crawls keep the session default)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        session_urls = spark.createDataFrame([(fx.SESSION_URL,)], "url string")
+        crawl.run_sessions_stage(spark, root, session_urls, source)
+        crawl.run_days_stage(spark, root, source, fx.url_of_day)
+        crawl.run_rolls_stage(spark, root, source, fx.url_of_roll)
+        member_urls = spark.createDataFrame([(fx.CURRENT_URL,)], "url string")
+        crawl.run_member_stage(spark, root, member_urls, source, chamber=1)
+        bio_urls = spark.createDataFrame([(fx.BIO_URL,)], "url string")
+        crawl.run_bio_stage(spark, root, bio_urls, source)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def summary(table: str, checksum_col: str, crawl_col: str | None) -> DataFrame:
+        df = spark.read.parquet(f"{root}/{table}")
+        counted = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.count(crawl_col) if crawl_col else F.lit(0)
+            ).cast("long").alias("n_crawled"),
+            F.coalesce(F.sum(checksum_col), F.lit(0)).cast("long").alias("checksum"),
+        )
+        return counted.select(F.lit(table).alias("table_name"), "*")
+
+    parts = [
+        summary("sessions", "id", "last_crawl"),
+        summary("session_days", "id", "last_crawl"),
+        summary("roll_calls", "id", "last_crawl"),
+        summary("votes", "vote", None),
+        summary("members", "id", "last_crawl"),
+        summary("service", "year", None),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

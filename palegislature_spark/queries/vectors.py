@@ -160,12 +160,7 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_ivf",
-    covers="similarity-search extension: IVF inverted-list approximate top-k "
-    "(the second scale path beside LSH; deterministic centroid pick => "
-    "exact replay oracle, recall asserted in tests)",
-    oracle="""
+_IVF_ORACLE = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 -- mix31(vec_id): the shared 31-bit xorshift-multiply hash
 -- (operators/similarity.py _mix31), replayed as plain SQL.
@@ -184,7 +179,7 @@ picked AS (
 ),
 centroids AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
-  FROM picked WHERE pick <= 8
+  FROM picked WHERE pick <= {n_lists}
 ),
 assign AS (
   SELECT e.vec_id, e.v, c.list_id,
@@ -235,7 +230,21 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= 5
-""",
+"""
+
+# n_lists scaled by corpus size exactly as ivf_assignments(n_lists=None)
+# does: max(8, isqrt(n)) — floor(sqrt()) matches isqrt at these scales.
+_SQRT_LISTS = (
+    "(SELECT GREATEST(8, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM emb)"
+)
+
+
+@register(
+    "knn_ivf",
+    covers="similarity-search extension: IVF inverted-list approximate top-k "
+    "(the second scale path beside LSH; deterministic centroid pick => "
+    "exact replay oracle, recall asserted in tests)",
+    oracle=_IVF_ORACLE.format(n_lists="8"),
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF lists (1 Lloyd iteration, 2 probes).
@@ -251,6 +260,35 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     topk = similarity.ivf_topk(
         emb, queries, k=5, n_lists=8, n_probe=2, refine_iters=1,
+        exact_replay=True,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
+    "ann_ivf_sqrt_lists",
+    covers="similarity-search extension: IVF top-k at the SCALE "
+    "configuration — n_lists = max(8, isqrt(n)), the sizing the "
+    "operator uses when the caller does not pin a list count. The "
+    "pinned n_lists=8 twin (knn_ivf) was the only 100x-replica row "
+    "growing >15x; this registration correctness-pins the sqrt(n) "
+    "configuration itself (VERDICT r5 #7)",
+    oracle=_IVF_ORACLE.format(n_lists=_SQRT_LISTS),
+)
+def ann_ivf_sqrt_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_ivf's oracle twin at n_lists=None (=> max(8, isqrt(n))).
+
+    Same deterministic centroid pick / 1 Lloyd iteration / 2 probes;
+    the oracle derives the list count from the corpus the same way the
+    operator does, so the SCALE configuration — not just the pinned-8
+    test configuration — is hash-checked. Recall vs brute force is
+    asserted in tests/test_ivf.py for the same sqrt sizing."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = similarity.ivf_topk(
+        emb, queries, k=5, n_lists=None, n_probe=2, refine_iters=1,
         exact_replay=True,
     )
     return topk.select(

@@ -11,39 +11,15 @@ from pyspark.sql import functions as F
 
 from palegislature_spark.pipelines import crawl
 from palegislature_spark.pipelines.ingest import stored_page_source
-from tests.test_crawl_lifecycle import (
-    BIO_HTML,
-    CURRENT_HTML,
-    DAY_HTML,
-    DAY_ID,
-    ROLL_HTML,
-    ROLL_ID,
-    SESSION_HTML,
-    SESSION_ID,
-)
-
-PAGES = {
-    "https://x/SessionDays.cfm?Chamber=H": SESSION_HTML,
-    f"https://x/day.cfm?day_id={DAY_ID}": DAY_HTML,
-    f"https://x/roll.cfm?session_id={SESSION_ID}&roll_id={ROLL_ID}": ROLL_HTML,
-    "https://x/mbrList.cfm?body=H&SessYear=2019": CURRENT_HTML,
-    "https://x/bio.cfm?member_id=1&chamber=1": BIO_HTML,
-}
+from palegislature_spark.pipelines.fixture_pages import DAY_ID, PAGES, ROLL_ID
 
 SOURCE = stored_page_source(PAGES)
 
 
-def _url_of_day(col):
-    return F.concat(F.lit("https://x/day.cfm?day_id="), col.cast("string"))
-
-
-def _url_of_roll(sid, rid):
-    return F.concat(
-        F.lit("https://x/roll.cfm?session_id="),
-        sid.cast("string"),
-        F.lit("&roll_id="),
-        rid.cast("string"),
-    )
+from palegislature_spark.pipelines.fixture_pages import (  # noqa: E402
+    url_of_day as _url_of_day,
+    url_of_roll as _url_of_roll,
+)
 
 
 @pytest.fixture(scope="module")

@@ -47,6 +47,20 @@ def test_ivf_topk_schema_and_recall(clustered):
     assert hits >= 32  # >=80% top-1 recall
 
 
+def test_ivf_sqrt_lists_recall(clustered):
+    """The sqrt(n) sizing (n_lists=None => max(8, isqrt(n))) — the
+    scale configuration ann_ivf_sqrt_lists oracle-pins — must keep
+    brute-force-relative recall on clustered data."""
+    got = similarity.ivf_topk(clustered, clustered, k=1, n_lists=None, n_probe=2)
+    ivf = {r["query_id"]: r["neighbor_id"] for r in got.collect()}
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(clustered, clustered, k=1).collect()
+    }
+    hits = sum(1 for q, n in brute.items() if ivf.get(q) == n)
+    assert hits >= 32  # >=80% top-1 recall at 8 lists on 40 vectors
+
+
 def test_ivf_deterministic(clustered):
     a = sorted(map(tuple, similarity.ivf_topk(clustered, clustered, k=1).collect()))
     b = sorted(map(tuple, similarity.ivf_topk(clustered, clustered, k=1).collect()))
