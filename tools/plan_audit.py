@@ -45,6 +45,9 @@ ALLOW_NESTED_LOOP = {
     # cartesian.  The candidate join that dominates at scale is the
     # list_id equi-join.
     "knn_ivf",
+    # same conditionless centroid attach at n_lists=sqrt(n) — the
+    # broadcast side is still index-sized (centroids), not data-scale
+    "ann_ivf_sqrt_lists",
     # Same IVF centroid attach (vectors x broadcast 8-row centroid
     # set); the within-cluster pair scan itself is a list_id equi-join.
     "cluster_semantic_dedup",
@@ -184,6 +187,9 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+AUDIT_ROWS: dict[str, dict] = {}
+
+
 def audit_one(name: str, df, allow: set[str], allow_note: str) -> bool:
     """Audit one DataFrame's physical plan; print a row; True = fail."""
     try:
@@ -217,12 +223,29 @@ def audit_one(name: str, df, allow: set[str], allow_note: str) -> bool:
         f"{name:32s} {a['exchanges']:4d} {a['codegen_spans']:4d} "
         f"{a['pushed_filters']:4d}  {status}"
     )
+    AUDIT_ROWS[name] = {
+        "exchanges": a["exchanges"],
+        "codegen_spans": a["codegen_spans"],
+        "pushed_filters": a["pushed_filters"],
+        "flags": flags,
+        "allowed": name in allow and bool(hard),
+        "failed": failed,
+    }
     return failed
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH writes the per-query audit table as a diffable
+    # artifact (PLANAUDIT_r{N}.json), so exchange-count regressions —
+    # a query suddenly growing a shuffle — show up round-over-round.
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from __spark_entry__ import queries
     from palegislature_spark.session import get_spark
@@ -254,6 +277,17 @@ def main() -> int:
         print(f"\nFLAGGED: {sorted(failures)}")
     else:
         print("\nall plans clean")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "flagged": sorted(failures), "plans": AUDIT_ROWS},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
