@@ -437,37 +437,71 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 6,
     chunks: int = 4,
+    band_chunks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
-    Banded search: the 60-bit signature splits into `chunks` equal
-    chunks; any pair within Hamming distance `chunks - 1` shares at
-    least one exact chunk (pigeonhole), so candidates join on
-    (chunk_idx, chunk_value) instead of all-pairs. For
-    max_hamming >= chunks, `chunks` is raised to max_hamming + 1 to
-    keep the guarantee. Verification computes the exact popcount.
+    Banded search, generalized pigeonhole (Manku et al., WWW'07): the
+    60-bit signature splits into ``m`` chunks; a pair within Hamming
+    distance ``k`` disturbs at most ``k`` chunks, leaving ``m - k``
+    intact — so with band size ``j <= m - k`` every qualifying pair
+    agrees on ALL ``j`` chunks of at least one of the C(m, j) index
+    combinations. Candidates join on (band, chunk values) and the
+    exact popcount verifies, so the OUTPUT is band-invariant; banding
+    only controls candidate density:
+
+    * ``band_chunks=1`` (classic one-chunk bands, m = k+1): few wide
+      bands, but each key is only ~60/(k+1) bits — bucket collision
+      density grows quadratically with the corpus (the 39x second-
+      decade growth VERDICT r5 flagged).
+    * ``band_chunks=2`` (m = k+2): C(m, 2) bands keyed on ~2x the
+      bits — candidate pairs shrink by ~2^width/(m-1) (~30x at k=6)
+      for a (m-1)/2-fold explode increase. The sub-quadratic lever.
+    * ``band_chunks=None``: auto — 1 below ~20k docs (explode cost
+      dominates), 2 above (collision density dominates); one count()
+      action to size it, same policy as ivf_assignments(n_lists=None).
     """
-    need = max(chunks, max_hamming + 1)
-    width = _SIMHASH_BITS // need
+    if band_chunks is None:
+        band_chunks = 1 if df.count() < 20_000 else 2
+    need = max(chunks, max_hamming + band_chunks)
     sig = simhash_signatures(df, id_col, text_col)
+    # uneven chunk widths are fine for the pigeonhole argument; the
+    # first (60 % m) chunks get the extra bit
+    base, extra = divmod(_SIMHASH_BITS, need)
+    widths = [base + (1 if i < extra else 0) for i in range(need)]
+    offsets = [sum(widths[:i]) for i in range(need)]
+
+    def chunk_val(i: int) -> F.Column:
+        return F.expr(f"shiftright(simhash, {offsets[i]}) & {(1 << widths[i]) - 1}")
+
+    if band_chunks == 1:
+        bands = [
+            F.struct(F.lit(i).alias("band"), chunk_val(i).alias("v1"))
+            for i in range(need)
+        ]
+    else:
+        from itertools import combinations
+
+        bands = [
+            F.struct(
+                F.lit(b).alias("band"),
+                chunk_val(i).alias("v1"),
+                chunk_val(i2).alias("v2"),
+            )
+            for b, (i, i2) in enumerate(combinations(range(need), band_chunks))
+        ]
+    key_cols = ["band", "v1"] + (["v2"] if band_chunks > 1 else [])
     chunked = sig.select(
-        id_col,
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(need - 1))).alias("chunk_idx"),
-    ).withColumn(
-        "chunk_val",
-        F.expr(
-            f"shiftright(simhash, CAST(chunk_idx * {width} AS INT)) & {(1 << width) - 1}"
-        ),
-    )
+        id_col, "simhash", F.explode(F.array(*bands)).alias("__b")
+    ).select(id_col, "simhash", "__b.*")
     c1 = chunked.select(
-        F.col(id_col).alias("id_1"), F.col("simhash").alias("h1"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("h1"), *key_cols
     )
     c2 = chunked.select(
-        F.col(id_col).alias("id_2"), F.col("simhash").alias("h2"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("h2"), *key_cols
     )
     cand = (
-        c1.join(c2, ["chunk_idx", "chunk_val"])
+        c1.join(c2, key_cols)
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", "h1", "h2")
         .distinct()

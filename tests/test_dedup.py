@@ -120,6 +120,24 @@ def test_simhash_pigeonhole_guarantee(spark):
         assert banded == brute
 
 
+def test_simhash_band_size_invariant(docs):
+    # band_chunks only shapes candidate generation; the verified pair
+    # set must be identical for 1-chunk and 2-chunk bands (the scale
+    # path past ~20k docs — VERDICT r5 second-decade hardening)
+    for mh in (6, 12):
+        j1 = sorted(
+            map(tuple, dedup.simhash_pairs(
+                docs, "doc_id", "text", max_hamming=mh, band_chunks=1
+            ).collect())
+        )
+        j2 = sorted(
+            map(tuple, dedup.simhash_pairs(
+                docs, "doc_id", "text", max_hamming=mh, band_chunks=2
+            ).collect())
+        )
+        assert j1 == j2
+
+
 def test_winnow_fingerprints_shared_substring(spark):
     # documents sharing a substring of length >= k + w - 1 = 8 must
     # share at least one fingerprint (the winnowing guarantee)
