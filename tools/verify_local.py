@@ -9,7 +9,16 @@ the driver.  Queries must therefore round/cast identically on both
 engines; this gate exists to catch the ones that don't before the
 driver does).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--sampled] [sf_dir] [query ...]
+
+``--sampled`` (replica-scale runs): two queries — embedding_near_dup
+and cluster_semantic_dedup — have corpus-QUADRATIC full oracles
+(all-pairs / within-cluster cosine) that cannot finish at the 10x
+replica's 200k vectors.  With the flag, each gets a BOUNDED oracle
+instead: a deterministic 1-in-stride subset of vectors is recomputed
+against the WHOLE corpus per-row in SQL — so both presence of reported
+pairs/statuses and absence of unreported ones (recall) are checked on
+that slice.  Cost: O(|subset| * n), not O(n^2).
 """
 
 from __future__ import annotations
@@ -72,9 +81,91 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _near_dup_sampled(con, stride: int):
+    """Bounded oracle for embedding_near_dup: every pair touching the
+    1-in-stride vector subset, recomputed per-row against the whole
+    corpus. Returns (sql, spark_row_filter)."""
+    sql = f"""
+WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % {stride} = 0),
+all_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+hits AS (
+  SELECT LEAST(s.vec_id, a.vec_id) AS id_1,
+         GREATEST(s.vec_id, a.vec_id) AS id_2,
+         round(list_cosine_similarity(s.v, a.v), 4) AS cosine
+  FROM sub s JOIN all_v a ON s.vec_id <> a.vec_id
+  WHERE list_cosine_similarity(s.v, a.v) >= 0.45
+)
+SELECT DISTINCT id_1, id_2, cosine FROM hits
+"""
+
+    def keep(row_dict):
+        return row_dict["id_1"] % stride == 0 or row_dict["id_2"] % stride == 0
+
+    return sql, keep
+
+
+def _semantic_sampled(con, stride: int):
+    """Bounded oracle for cluster_semantic_dedup: assignment AND
+    dup-status recomputed for the 1-in-stride subset — each sampled
+    vector scanned against its whole cluster (the quadratic part
+    confined to |subset| * cluster_size)."""
+    sql = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM emb
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked WHERE pick <= 8
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN centroids c
+),
+assignments AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
+sub AS (SELECT * FROM assignments WHERE vec_id % {stride} = 0)
+SELECT s.vec_id,
+       CAST(s.list_id AS BIGINT) AS list_id,
+       CASE WHEN EXISTS (
+              SELECT 1 FROM assignments b
+              WHERE b.list_id = s.list_id AND b.vec_id < s.vec_id
+                AND list_cosine_similarity(b.v, s.v) >= 0.4)
+            THEN 'semantic_dup' ELSE 'kept' END AS status
+FROM sub s
+"""
+
+    def keep(row_dict):
+        return row_dict["vec_id"] % stride == 0
+
+    return sql, keep
+
+
+SAMPLED = {
+    "embedding_near_dup": _near_dup_sampled,
+    "cluster_semantic_dedup": _semantic_sampled,
+}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    sampled_mode = "--sampled" in args
+    if sampled_mode:
+        args.remove("--sampled")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -121,11 +212,22 @@ def main() -> int:
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
             continue
+        oracle_sql_text = oracles[name]
+        tag = ""
+        if sampled_mode and name in SAMPLED:
+            n_vec = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+            stride = max(1, n_vec // 300)
+            oracle_sql_text, keep = SAMPLED[name](con, stride)
+            full = len(s_rows)
+            s_rows = [
+                r for r in s_rows if keep(dict(zip(s_cols, r)))
+            ]
+            tag = f" [sampled 1/{stride}: {len(s_rows)}/{full} spark rows]"
         try:
-            res = con.execute(oracles[name])
+            res = con.execute(oracle_sql_text)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
-            d_pdf = con.execute(oracles[name]).df()
+            d_pdf = con.execute(oracle_sql_text).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
@@ -156,7 +258,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: value mismatch at sorted row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
             continue
-        print(f"ok    {name}: {len(sr)} rows match [{time.time()-t0:.1f}s]")
+        print(f"ok    {name}: {len(sr)} rows match{tag} [{time.time()-t0:.1f}s]")
 
     print(f"\n{n_checked - len(failures)}/{n_checked} checked queries pass")
     return 1 if failures else 0
