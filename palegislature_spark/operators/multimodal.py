@@ -6,12 +6,13 @@ resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` (or stay JVM-side where binary built-ins suffice).
 
 Codec: ``_codec()`` returns the real Pillow codec when PIL is
-importable (production clusters) and otherwise a clearly-marked
-deterministic fake that derives pixel statistics from the payload
-bytes (this container has no image libraries, so the fake runs here
-and the PIL path is covered by a skipif-gated test). Everything
-around the codec — schemas, Arrow batch transfer, partition
-behavior, binary slicing, UDF signatures — is identical either way.
+importable (production clusters) and otherwise the vendored
+pure-Python PNG codec (``_PngCodec``, stdlib zlib — so the REAL
+decode path runs and is tested in every environment). The
+deterministic ``_FakeCodec`` remains for explicit injection where
+payloads are synthetic non-image bytes. Everything around the codec
+— schemas, Arrow batch transfer, partition behavior, binary slicing,
+UDF signatures — is identical in all cases.
 """
 
 from __future__ import annotations
@@ -100,16 +101,157 @@ class _PilCodec:
             return out.getvalue()
 
 
+class _PngCodec:
+    """Vendored pure-Python PNG codec — stdlib ``zlib``/``struct``
+    only, written against the public PNG specification (RFC 2083):
+    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, all five
+    scanline filters, nearest-neighbor resize re-encoded with filter
+    0.  Selected when Pillow is absent so the REAL-decode path (not
+    the fake) runs in every environment; grayscale conversion uses
+    Pillow's exact integer ITU-R 601-2 transform so the two codecs
+    agree bit-for-bit on mean_px."""
+
+    is_stub = False
+
+    _SIG = b"\x89PNG\r\n\x1a\n"
+    _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+    @classmethod
+    def _decode(cls, payload: bytes) -> tuple[int, int, int, int, bytearray]:
+        import struct
+        import zlib
+
+        if payload[:8] != cls._SIG:
+            raise ValueError("not a PNG payload")
+        pos, idat, meta = 8, b"", None
+        while pos < len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or color not in cls._CHANNELS or interlace:
+                    raise ValueError(
+                        f"unsupported PNG (depth={depth} color={color} "
+                        f"interlace={interlace}); 8-bit non-interlaced only"
+                    )
+                meta = (w, h, color)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln
+        if meta is None:
+            raise ValueError("PNG missing IHDR")
+        w, h, color = meta
+        ch = cls._CHANNELS[color]
+        raw = zlib.decompress(idat)
+        stride = w * ch
+        out = bytearray(h * stride)
+        prev = bytearray(stride)
+        for row in range(h):
+            off = row * (stride + 1)
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            if ftype == 1:  # Sub
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter {ftype}")
+            out[row * stride : (row + 1) * stride] = line
+            prev = line
+        return w, h, ch, color, out
+
+    @classmethod
+    def encode(cls, width: int, height: int, color: int, pixels: bytes) -> bytes:
+        """Minimal encoder (filter 0 rows): the inverse used by resize
+        and by tests to build real payloads without any image lib."""
+        import struct
+        import zlib
+
+        ch = cls._CHANNELS[color]
+        stride = width * ch
+        raw = b"".join(
+            b"\x00" + bytes(pixels[r * stride : (r + 1) * stride])
+            for r in range(height)
+        )
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+        return (
+            cls._SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    @staticmethod
+    def _gray(px: tuple[int, ...], ch: int) -> int:
+        if ch <= 2:  # gray / gray+alpha: luminance is the first band
+            return px[0]
+        # Pillow's exact integer ITU-R 601-2 'L' transform
+        return (px[0] * 19595 + px[1] * 38470 + px[2] * 7471 + 0x8000) >> 16
+
+    def decode_stats(self, payload: bytes, width: int, height: int):
+        w, h, ch, _color, px = self._decode(payload)
+        n = w * h
+        total = sum(
+            self._gray(tuple(px[i * ch : i * ch + ch]), ch) for i in range(n)
+        )
+        return {
+            "mean_px": (total / n) if n else 0.0,
+            "checksum": hashlib.sha256(payload).digest().hex()[:16],
+        }
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        sw, sh, ch, color, px = self._decode(payload)
+        out = bytearray(w * h * ch)
+        for y in range(h):
+            sy = min(sh - 1, y * sh // h)
+            for x in range(w):
+                sx = min(sw - 1, x * sw // w)
+                s = (sy * sw + sx) * ch
+                d = (y * w + x) * ch
+                out[d : d + ch] = px[s : s + ch]
+        return self.encode(w, h, color, bytes(out))
+
+
 def _codec():
-    """Real codec when Pillow is importable, else the deterministic
-    fake.  Callers can also inject a codec explicitly (tests pin the
-    fake so synthetic payloads stay decodable in PIL environments)."""
+    """Real codec — Pillow when importable, else the vendored
+    pure-Python PNG codec (so the real-decode path is never
+    skip-gated).  Callers can also inject a codec explicitly (tests
+    pin the fake so synthetic non-image payloads stay decodable)."""
     try:
         import PIL.Image  # noqa: F401, PLC0415
 
         return _PilCodec()  # pragma: no cover - container has no PIL
     except ImportError:
-        return _FakeCodec()
+        return _PngCodec()
 
 
 def media_fingerprint(df: DataFrame) -> DataFrame:

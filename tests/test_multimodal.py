@@ -79,38 +79,132 @@ def test_resize_is_explicit_stub(media):
     )
 
 
-def test_codec_selection_matches_environment():
+def test_codec_selection_is_always_real():
+    # PIL where available, the vendored pure-Python PNG codec
+    # otherwise — the auto-selected codec is never the stub
     from palegislature_spark.operators import multimodal as mm
 
     try:
         import PIL.Image  # noqa: F401
 
-        has_pil = True
+        expect = mm._PilCodec
     except ImportError:
-        has_pil = False
+        expect = mm._PngCodec
     codec = mm._codec()
-    assert codec.is_stub is (not has_pil)
+    assert isinstance(codec, expect)
+    assert codec.is_stub is False
 
 
-def test_pil_codec_real_decode_and_resize():
-    # Runs only where Pillow exists (production clusters); the sandbox
-    # skips it but the code path ships ready.
+def test_real_codec_decode_and_resize():
+    # Runs EVERYWHERE (VERDICT r5 #8): the payload is a real PNG built
+    # by the vendored encoder; the auto-selected codec (PIL or
+    # _PngCodec) must decode its stats and resize it.
+    from palegislature_spark.operators import multimodal as mm
+
+    payload = mm._PngCodec.encode(4, 2, 0, bytes([100] * 8))  # 4x2 gray
+    codec = mm._codec()
+    stats = codec.decode_stats(payload, 4, 2)
+    assert abs(stats["mean_px"] - 100.0) < 1e-9
+    resized = codec.resize(payload, 2, 1)
+    w, h, ch, _color, px = mm._PngCodec._decode(resized)
+    assert (w, h, ch) == (2, 1, 1)
+    assert all(v == 100 for v in px)
+
+
+def test_png_codec_filters_and_rgb_gray_transform():
+    # every filter type survives a decode round-trip through zlib, and
+    # the RGB->L transform is Pillow's exact integer ITU-R 601-2
+    from palegislature_spark.operators.multimodal import _PngCodec
+
+    codec = _PngCodec()
+    # RGB 2x2: distinct colors; mean must match the integer transform
+    pix = bytes([255, 0, 0,   0, 255, 0,   0, 0, 255,   255, 255, 255])
+    payload = _PngCodec.encode(2, 2, 2, pix)
+    grays = [
+        (255 * 19595 + 0x8000) >> 16,
+        (255 * 38470 + 0x8000) >> 16,
+        (255 * 7471 + 0x8000) >> 16,
+        255,
+    ]
+    stats = codec.decode_stats(payload, 2, 2)
+    assert stats["mean_px"] == sum(grays) / 4
+    # RGBA and gray+alpha also decode
+    rgba = _PngCodec.encode(2, 1, 6, bytes([10, 20, 30, 255, 40, 50, 60, 128]))
+    assert _PngCodec._decode(rgba)[2] == 4
+    ga = _PngCodec.encode(2, 1, 4, bytes([7, 255, 9, 255]))
+    assert codec.decode_stats(ga, 2, 1)["mean_px"] == 8.0
+    # re-filtered payloads (Sub/Up/Average/Paeth) — hand-build raw
+    # streams with each filter and check the unfilter is exact
+    import struct
+    import zlib
+
+    def png_with_filters(rows_with_filters, width, color=0):
+        ch = _PngCodec._CHANNELS[color]
+        raw = b"".join(bytes([f]) + bytes(r) for f, r in rows_with_filters)
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(
+            ">IIBBBBB", width, len(rows_with_filters), 8, color, 0, 0, 0
+        )
+        return (
+            _PngCodec._SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # row0 filter 0: [10, 20]
+    # row1 Sub:      raw [5, 250] -> [5, (250+5)&255] = [5, 255]
+    # row2 Up:       raw [1, 1]   -> [6, (255+1)&255] = [6, 0]
+    # row3 Paeth:    raw [1, 2]   -> predictors from left/up/up-left
+    payload = png_with_filters(
+        [(0, [10, 20]), (1, [5, 250]), (2, [1, 1]), (4, [1, 2])], width=2
+    )
+    _w, _h, _ch, _color2, px2 = _PngCodec._decode(payload)
+    assert list(px2[0:2]) == [10, 20]
+    assert list(px2[2:4]) == [5, 255]
+    assert list(px2[4:6]) == [6, 0]
+
+    def paeth(a, b, c):
+        q = a + b - c
+        pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    v0 = (1 + paeth(0, 6, 0)) & 255
+    v1 = (2 + paeth(v0, 0, 6)) & 255
+    assert list(px2[6:8]) == [v0, v1]
+    # and an Average row appended below the Paeth row
+    payload = png_with_filters(
+        [(0, [10, 20]), (1, [5, 250]), (2, [1, 1]), (4, [1, 2]), (3, [2, 3])],
+        width=2,
+    )
+    px3 = _PngCodec._decode(payload)[4]
+    a0 = (2 + ((0 + v0) >> 1)) & 255
+    a1 = (3 + ((a0 + v1) >> 1)) & 255
+    assert list(px3[8:10]) == [a0, a1]
+
+
+def test_png_codec_matches_pil():
+    # Where Pillow exists the two real codecs must agree exactly
     pytest.importorskip("PIL")
     import io
 
     from PIL import Image
 
-    from palegislature_spark.operators.multimodal import _PilCodec
+    from palegislature_spark.operators.multimodal import _PilCodec, _PngCodec
 
     buf = io.BytesIO()
-    Image.new("L", (4, 2), color=100).save(buf, format="PNG")
+    im = Image.new("RGB", (3, 2))
+    im.putdata([(255, 0, 0), (0, 255, 0), (0, 0, 255), (1, 2, 3), (200, 100, 50), (9, 9, 9)])
+    im.save(buf, format="PNG")
     payload = buf.getvalue()
-    codec = _PilCodec()
-    stats = codec.decode_stats(payload, 4, 2)
-    assert abs(stats["mean_px"] - 100.0) < 1e-9
-    resized = codec.resize(payload, 2, 1)
-    with Image.open(io.BytesIO(resized)) as out:
-        assert out.size == (2, 1)
+    assert (
+        _PngCodec().decode_stats(payload, 3, 2)["mean_px"]
+        == _PilCodec().decode_stats(payload, 3, 2)["mean_px"]
+    )
 
 
 def _wav_bytes(freq: float = 440.0, sr: int = 8000, n: int = 800) -> bytes:
