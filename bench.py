@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_simhash",
     "knn_bruteforce",
     "knn_ivf",
+    "ann_ivf_sqrt_lists",
     "fingerprint",
     "analytic_rank_funcs",
     "cube_order_stats",
