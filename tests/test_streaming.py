@@ -513,3 +513,15 @@ def test_cms_stream_merge_equals_batch_sketch(spark, tmp_path):
     )
     drain(q)
     assert rows(spark.read.parquet(table), "row", "bucket", "cnt") == want
+
+    # --- crash between old-aside and staging-promote: live missing but
+    # staging committed (_SUCCESS present) — recovery must prefer the
+    # newer staging copy, and the batch_id stamps then no-op the replay.
+    os.rename(table, table + ".__staging__")
+    shutil.rmtree(table + "_cp")
+    q = streaming.cms_heavy_hitter_stream(
+        streaming.read_stream(spark, str(d), DOC_SCHEMA, max_files_per_trigger=1),
+        table,
+    )
+    drain(q)
+    assert rows(spark.read.parquet(table), "row", "bucket", "cnt") == want
