@@ -174,24 +174,30 @@ def main() -> int:
     from palegislature_spark.session import get_spark
 
     spark = get_spark("verify_local")
-    con = duckdb.connect()
-    # Co-resident with the Spark JVM, DuckDB's default limit (80% of
-    # RAM) intermittently throws bad-alloc OOM on the heavier replays
-    # (replica-scale BPE) even with system RAM free — allocator
-    # interaction, not true exhaustion; the same SQL runs fine in a
-    # pure-DuckDB process. An explicit cap with spill keeps the gate
-    # deterministic.
-    con.execute("SET memory_limit='32GiB'")
-    con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
     import os.path
 
-    for t in STAR_TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            # Spark-written datasets are DIRECTORIES of part files
-            # (e.g. the scalegen_star 10x replica) — glob them
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        # Co-resident with the Spark JVM, DuckDB's default limit (80%
+        # of RAM) intermittently throws bad-alloc OOM on the heavier
+        # replays (replica-scale BPE) even with system RAM free —
+        # allocator interaction, not true exhaustion; the same SQL
+        # runs fine in a pure-DuckDB process. An explicit cap with
+        # spill helps but does not fully suppress it, so queries that
+        # hit OutOfMemoryException retry once on a FRESH connection
+        # (resets the allocator arena).
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GiB'")
+        c.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
+        for t in STAR_TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                # Spark-written datasets are DIRECTORIES of part files
+                # (e.g. the scalegen_star 10x replica) — glob them
+                p = f"{p}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
 
     qs, oracles = queries(), oracle_sql()
     failures = []
@@ -224,10 +230,20 @@ def main() -> int:
             ]
             tag = f" [sampled 1/{stride}: {len(s_rows)}/{full} spark rows]"
         try:
-            res = con.execute(oracle_sql_text)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-            d_pdf = con.execute(oracle_sql_text).df()
+            try:
+                res = con.execute(oracle_sql_text)
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+                d_pdf = con.execute(oracle_sql_text).df()
+            except duckdb.OutOfMemoryException:
+                # spurious allocator bad-alloc (see fresh_con) — one
+                # retry on a brand-new connection
+                con.close()
+                con = fresh_con()
+                res = con.execute(oracle_sql_text)
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+                d_pdf = con.execute(oracle_sql_text).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
