@@ -186,7 +186,13 @@ def main() -> int:
         # hit OutOfMemoryException retry once on a FRESH connection
         # (resets the allocator arena).
         c = duckdb.connect()
-        c.execute("SET memory_limit='24GiB'")
+        # the kernel commit limit (vm.overcommit heuristic: ~50% of
+        # RAM) is the real ceiling here, shared with the Spark JVM —
+        # a generous DuckDB limit makes malloc fail on KB-sized blocks
+        # long before RAM is full. 16GiB + spill + fewer threads keeps
+        # the committed address space inside the limit.
+        c.execute("SET memory_limit='16GiB'")
+        c.execute("SET threads=16")
         c.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
         for t in STAR_TABLES:
             p = f"{sf_dir}/{t}.parquet"
@@ -215,6 +221,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
+        if con is None:  # a prior retry died mid-reconnect
+            con = fresh_con()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
             continue
@@ -236,9 +244,20 @@ def main() -> int:
                 d_rows = res.fetchall()
                 d_pdf = con.execute(oracle_sql_text).df()
             except duckdb.OutOfMemoryException:
-                # spurious allocator bad-alloc (see fresh_con) — one
-                # retry on a brand-new connection
-                con.close()
+                # commit-limit squeeze / allocator bad-alloc (see
+                # fresh_con) — retry on a brand-new connection. Close
+                # defensively and NEVER leave `con` pointing at a dead
+                # connection (that failure mode poisoned every
+                # subsequent query with ConnectionException).
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                import gc
+
+                gc.collect()
+                time.sleep(2)
+                con = None
                 con = fresh_con()
                 res = con.execute(oracle_sql_text)
                 d_cols = [d[0] for d in res.description]
