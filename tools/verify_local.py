@@ -186,12 +186,14 @@ def main() -> int:
         # hit OutOfMemoryException retry once on a FRESH connection
         # (resets the allocator arena).
         c = duckdb.connect()
-        # the kernel commit limit (vm.overcommit heuristic: ~50% of
-        # RAM) is the real ceiling here, shared with the Spark JVM —
-        # a generous DuckDB limit makes malloc fail on KB-sized blocks
-        # long before RAM is full. 16GiB + spill + fewer threads keeps
-        # the committed address space inside the limit.
-        c.execute("SET memory_limit='16GiB'")
+        # two distinct OOM modes to thread between: the replica BPE
+        # replays legitimately need >16GiB of DuckDB budget (KB-sized
+        # bad-allocs fire when the QUERY budget is exhausted on an
+        # unspillable block), while the kernel overcommit heuristic
+        # caps total committed address space at ~50% of RAM shared
+        # with the Spark JVM. 28GiB + spill + capped threads fits
+        # both; the retry below absorbs residual flakes.
+        c.execute("SET memory_limit='28GiB'")
         c.execute("SET threads=16")
         c.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
         for t in STAR_TABLES:
