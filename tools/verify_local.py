@@ -185,6 +185,13 @@ def main() -> int:
         # spill helps but does not fully suppress it, so queries that
         # hit OutOfMemoryException retry once on a FRESH connection
         # (resets the allocator arena).
+        import os
+
+        # DuckDB does NOT create the temp_directory; if it is missing,
+        # spill silently fails and budget-bound replays die with
+        # KB-sized bad-allocs (the r6 replica-gate failure mode — the
+        # dir evaporated with /tmp between rounds)
+        os.makedirs("/tmp/duckdb_verify_spill", exist_ok=True)
         c = duckdb.connect()
         # two distinct OOM modes to thread between: the replica BPE
         # replays legitimately need >16GiB of DuckDB budget (KB-sized
