@@ -159,6 +159,56 @@ SAMPLED = {
 }
 
 
+
+
+_SUBPROC_ORACLE = """
+import pickle, sys, os
+import duckdb
+sql_path, sf_dir, out_path, tables = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4].split(",")
+os.makedirs("/tmp/duckdb_verify_spill", exist_ok=True)
+con = duckdb.connect()
+con.execute("SET memory_limit='48GiB'")
+con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
+for t in tables:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+sql = open(sql_path).read()
+res = con.execute(sql)
+cols = [d[0] for d in res.description]
+rows = res.fetchall()
+pdf = con.execute(sql).df()
+with open(out_path, "wb") as f:
+    pickle.dump({"cols": cols, "rows": rows, "pdf": pdf}, f)
+"""
+
+
+def oracle_in_subprocess(sql: str, sf_dir: str, tables) -> tuple:
+    """Last-resort oracle replay in a CLEAN child process: co-resident
+    with the Spark JVM, the long-lived in-process DuckDB hits
+    budget/commit OOMs on the heaviest replica replays that the same
+    SQL survives easily in a fresh process (measured: 11-42s
+    standalone vs bad-alloc in-process)."""
+    import pickle
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
+        f.write(sql)
+        sql_path = f.name
+    out_path = sql_path + ".out"
+    subprocess.run(
+        [sys.executable, "-c", _SUBPROC_ORACLE, sql_path, sf_dir, out_path,
+         ",".join(tables)],
+        check=True,
+        timeout=1800,
+    )
+    with open(out_path, "rb") as f:
+        d = pickle.load(f)
+    return d["cols"], d["rows"], d["pdf"]
+
+
 def main() -> int:
     args = sys.argv[1:]
     sampled_mode = "--sampled" in args
@@ -253,11 +303,12 @@ def main() -> int:
                 d_rows = res.fetchall()
                 d_pdf = con.execute(oracle_sql_text).df()
             except duckdb.OutOfMemoryException:
-                # commit-limit squeeze / allocator bad-alloc (see
-                # fresh_con) — retry on a brand-new connection. Close
-                # defensively and NEVER leave `con` pointing at a dead
-                # connection (that failure mode poisoned every
-                # subsequent query with ConnectionException).
+                # co-resident budget/commit OOM — rebuild the
+                # connection (never leave `con` dead: that poisoned
+                # every later query with ConnectionException), then
+                # fall back to a CLEAN subprocess replay, which
+                # reliably survives the replays the shared process
+                # cannot.
                 try:
                     con.close()
                 except Exception:  # noqa: BLE001
@@ -268,10 +319,9 @@ def main() -> int:
                 time.sleep(2)
                 con = None
                 con = fresh_con()
-                res = con.execute(oracle_sql_text)
-                d_cols = [d[0] for d in res.description]
-                d_rows = res.fetchall()
-                d_pdf = con.execute(oracle_sql_text).df()
+                d_cols, d_rows, d_pdf = oracle_in_subprocess(
+                    oracle_sql_text, sf_dir, STAR_TABLES
+                )
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
