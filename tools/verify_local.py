@@ -9,7 +9,7 @@ the driver.  Queries must therefore round/cast identically on both
 engines; this gate exists to catch the ones that don't before the
 driver does).
 
-Usage: python tools/verify_local.py [--sampled] [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--sampled] [--subproc] [sf_dir] [query ...]
 
 ``--sampled`` (replica-scale runs): two queries — embedding_near_dup
 and cluster_semantic_dedup — have corpus-QUADRATIC full oracles
@@ -214,6 +214,9 @@ def main() -> int:
     sampled_mode = "--sampled" in args
     if sampled_mode:
         args.remove("--sampled")
+    subproc_mode = "--subproc" in args
+    if subproc_mode:
+        args.remove("--subproc")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -298,6 +301,13 @@ def main() -> int:
             tag = f" [sampled 1/{stride}: {len(s_rows)}/{full} spark rows]"
         try:
             try:
+                if subproc_mode:
+                    # replica-scale co-residency with the JVM makes the
+                    # long-lived in-process DuckDB not just OOM but
+                    # hard-ABORT (std::terminate in a destructor after
+                    # bad_alloc) on the heaviest replays — run every
+                    # replay in its own clean process there
+                    raise duckdb.OutOfMemoryException("routed to subprocess")
                 res = con.execute(oracle_sql_text)
                 d_cols = [d[0] for d in res.description]
                 d_rows = res.fetchall()
@@ -309,16 +319,17 @@ def main() -> int:
                 # fall back to a CLEAN subprocess replay, which
                 # reliably survives the replays the shared process
                 # cannot.
-                try:
-                    con.close()
-                except Exception:  # noqa: BLE001
-                    pass
-                import gc
+                if not subproc_mode:
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    import gc
 
-                gc.collect()
-                time.sleep(2)
-                con = None
-                con = fresh_con()
+                    gc.collect()
+                    time.sleep(2)
+                    con = None
+                    con = fresh_con()
                 d_cols, d_rows, d_pdf = oracle_in_subprocess(
                     oracle_sql_text, sf_dir, STAR_TABLES
                 )
