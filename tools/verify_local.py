@@ -167,7 +167,7 @@ import duckdb
 sql_path, sf_dir, out_path, tables = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4].split(",")
 os.makedirs("/tmp/duckdb_verify_spill", exist_ok=True)
 con = duckdb.connect()
-con.execute("SET memory_limit='48GiB'")
+con.execute("SET memory_limit='24GiB'")
 con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
 for t in tables:
     p = f"{sf_dir}/{t}.parquet"
@@ -198,12 +198,17 @@ def oracle_in_subprocess(sql: str, sf_dir: str, tables) -> tuple:
         f.write(sql)
         sql_path = f.name
     out_path = sql_path + ".out"
-    subprocess.run(
-        [sys.executable, "-c", _SUBPROC_ORACLE, sql_path, sf_dir, out_path,
-         ",".join(tables)],
-        check=True,
-        timeout=1800,
-    )
+    cmd = [sys.executable, "-c", _SUBPROC_ORACLE, sql_path, sf_dir, out_path,
+           ",".join(tables)]
+    try:
+        subprocess.run(cmd, check=True, timeout=1800)
+    except subprocess.CalledProcessError:
+        # transient commit-pressure crash while the Spark side of the
+        # same query still holds memory — settle and retry once
+        import time as _time
+
+        _time.sleep(10)
+        subprocess.run(cmd, check=True, timeout=1800)
     with open(out_path, "rb") as f:
         d = pickle.load(f)
     return d["cols"], d["rows"], d["pdf"]
