@@ -107,6 +107,10 @@ def semantic_dedup_scale(spark, sf_dir: str, sf: float):
     from palegislature_spark.operators.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
+    # expression assignment: at sf0.1 (2k vectors x 44 lists) the
+    # interpreted dot is trivial and the Arrow path's Python worker
+    # round-trips dominate; assign_impl=arrow wins only past ~10^5
+    # vectors (BASELINE second-decade notes: 108s -> 13.8s at 200k)
     return semantic_dedup(emb, n_lists=None, threshold=0.4)
 
 

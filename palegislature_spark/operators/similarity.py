@@ -450,6 +450,7 @@ def ivf_assignments(
     n_lists: int | None = 8,
     refine_iters: int = 0,
     exact_replay: bool = False,
+    assign_impl: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index: (centroids, assignments).
 
@@ -525,6 +526,55 @@ def ivf_assignments(
             .select("__id", "list_id", "__v")
         )
 
+    def assign_arrow(cents: DataFrame) -> DataFrame:
+        """Vectorized assignment: one BLAS matmul per Arrow batch
+        against the broadcast-small centroid matrix, instead of
+        n x n_lists interpreted higher-order dot expressions.  The
+        n_lists=sqrt(n) build is O(n^1.5) pair-scores either way, but
+        numpy turns each score into a fused multiply-add: the 200k x
+        447-list build drops from ~108s (expression) to seconds.
+        Argmax tie-break = first max = smallest list_id (centroid rows
+        sorted), matching the expression path's ORDER BY cos DESC,
+        list_id; last-ulp cosine drift vs the fold-sum is possible, so
+        the ORACLE-pinned queries keep assign_impl='expr'."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rows = sorted(
+            cents.select("list_id", "centroid").collect(),
+            key=lambda r: r["list_id"],
+        )
+        list_ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
+        C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        out_schema = T.StructType(
+            [
+                vecs.schema["__id"],
+                T.StructField("list_id", T.IntegerType()),
+                vecs.schema["__v"],
+            ]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                nrm = np.linalg.norm(V, axis=1, keepdims=True)
+                S = (V @ Cn.T) / np.where(nrm == 0.0, 1.0, nrm)
+                best = np.argmax(S, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"],
+                        "list_id": list_ids[best].astype("int32"),
+                        "__v": pdf["__v"],
+                    }
+                )
+
+        return vecs.select("__id", "__v").mapInPandas(gen, out_schema)
+
     def list_means_exact(assigned: DataFrame) -> DataFrame:
         # Oracle twin: sequential id-ordered fold, bit-reproducible in
         # SQL — but one row per WHOLE inverted list (small-SF only).
@@ -562,13 +612,14 @@ def ivf_assignments(
         )
 
     list_means = list_means_exact if exact_replay else list_means_scale
+    do_assign = assign_arrow if assign_impl == "arrow" else assign
 
-    assigned = assign(centroids)
+    assigned = do_assign(centroids)
     for _ in range(refine_iters):
         centroids = list_means(assigned).withColumn(
             "__cn", _norm(F.col("centroid"))
         )
-        assigned = assign(centroids)
+        assigned = do_assign(centroids)
 
     assignments = assigned.select(
         F.col("__id").alias(id_col), "list_id", F.col("__v").alias("__vec")
@@ -586,6 +637,7 @@ def ivf_topk(
     n_probe: int = 2,
     refine_iters: int = 0,
     exact_replay: bool = False,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: search only the ``n_probe``
     inverted lists whose centroids are closest to each query.
@@ -599,7 +651,8 @@ def ivf_topk(
     :func:`ivf_assignments`).
     """
     centroids, assignments = ivf_assignments(
-        embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay
+        embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay,
+        assign_impl,
     )
     return ivf_probe(centroids, assignments, queries, k, id_col, vec_col, n_probe)
 
@@ -729,6 +782,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     refine_iters: int = 0,
     exact_replay: bool = False,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -750,7 +804,8 @@ def semantic_dedup(
     {'kept', 'semantic_dup'}.
     """
     _, assignments = ivf_assignments(
-        embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay
+        embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay,
+        assign_impl,
     )
     withn = assignments.withColumn("__n", _norm(F.col("__vec")))
     l = withn.select(

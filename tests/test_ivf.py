@@ -61,6 +61,25 @@ def test_ivf_sqrt_lists_recall(clustered):
     assert hits >= 32  # >=80% top-1 recall at 8 lists on 40 vectors
 
 
+def test_ivf_arrow_assign_matches_expression(clustered):
+    """The BLAS-batched assignment (assign_impl='arrow' — one matmul
+    per Arrow batch, the 100 TB build path) must produce the same
+    (id, list_id) assignment as the expression path on tie-free data,
+    with and without Lloyd refinement."""
+    for ri in (0, 2):
+        a = sorted(
+            map(tuple, similarity.ivf_assignments(
+                clustered, n_lists=4, refine_iters=ri
+            )[1].select("vec_id", "list_id").collect())
+        )
+        b = sorted(
+            map(tuple, similarity.ivf_assignments(
+                clustered, n_lists=4, refine_iters=ri, assign_impl="arrow"
+            )[1].select("vec_id", "list_id").collect())
+        )
+        assert a == b
+
+
 def test_ivf_deterministic(clustered):
     a = sorted(map(tuple, similarity.ivf_topk(clustered, clustered, k=1).collect()))
     b = sorted(map(tuple, similarity.ivf_topk(clustered, clustered, k=1).collect()))
