@@ -124,6 +124,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """Per training document: n-gram overlap against the eval set.
 
@@ -133,9 +134,12 @@ def decontaminate(
     the document. ``hit_share`` (distinct shared grams / distinct
     grams) stays int/int rational, so the value is engine-exact.
 
-    The eval n-gram set is broadcast: a benchmark is fixed-size
-    regardless of corpus scale, so the corpus side needs no shuffle
-    beyond the per-doc count aggregation.
+    The eval n-gram set broadcasts while it is benchmark-sized
+    (fixed regardless of corpus scale — then the corpus side needs no
+    shuffle beyond the per-doc count aggregation); if the caller
+    derives the eval side from the corpus itself, the auto policy
+    switches to a shuffle join past ~5M distinct eval grams
+    (``broadcast_eval`` overrides).
     """
     train_grams = (
         _word_ngrams(train, id_col, text_col, n)
@@ -154,8 +158,17 @@ def decontaminate(
     per_doc = train_grams.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )
+    if broadcast_eval is None:
+        # a true benchmark is fixed-size and always broadcasts, but a
+        # caller deriving the eval side from the corpus (e.g. a 5%
+        # split) grows it linearly — past ~5M distinct grams the
+        # broadcast would blow the 8GB torrent limit long before
+        # 100 TB, so fall back to a shuffle join (one count() action
+        # to decide, same policy as the other auto-sized operators)
+        broadcast_eval = eval_grams.count() <= 5_000_000
+    eval_side = F.broadcast(eval_grams) if broadcast_eval else eval_grams
     hits = (
-        train_grams.join(F.broadcast(eval_grams), "gram")
+        train_grams.join(eval_side, "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
