@@ -446,6 +446,31 @@ def stream_upsert_parquet(
     return writer.start()
 
 
+def hourly_rollup_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+) -> "StreamingQuery":
+    """Continuous hourly aggregate: foreachBatch -> refresh_hourly
+    with the batch id plumbed through, so the additive merge is
+    replay-idempotent by construction (ADVICE r5 — a caller wiring
+    refresh_hourly manually and dropping the id would double-count on
+    at-least-once replays; this wrapper makes the safe wiring the
+    library default)."""
+    from palegislature_spark.operators.rollup import refresh_hourly
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        refresh_hourly(batch.sparkSession, path, batch, ts_col, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,

@@ -129,14 +129,9 @@ def test_refresh_hourly_from_real_stream(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, bid: refresh_hourly(spark, table, batch, batch_id=bid)
-        )
-        .option("checkpointLocation", str(tmp_path / "cp_rollup"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    from palegislature_spark.streaming.jobs import hourly_rollup_stream
+
+    q = hourly_rollup_stream(stream, table, str(tmp_path / "cp_rollup"))
     q.awaitTermination(120)
     got = rows(
         spark.read.parquet(table),
