@@ -847,15 +847,19 @@ def save_ivf_index(
     vec_col: str = "embedding",
     n_lists: int | None = None,
     refine_iters: int = 1,
+    assign_impl: str = "expr",
 ) -> None:
     """Build the IVF index and persist it as two Parquet datasets:
     ``centroids/`` (n_lists rows) and ``assignments/`` (one row per
     vector, repartitioned on list_id so each inverted list is
     physically co-located — a probe's candidate join then shuffles
     only the query side). Defaults are the SCALE settings (sqrt-n
-    lists, one Lloyd refinement, parallel per-dimension means)."""
+    lists, one Lloyd refinement, parallel per-dimension means); pass
+    ``assign_impl="arrow"`` for corpora past ~1e5 vectors (BLAS-
+    batched assignment, bitwise-equal — see ivf_assignments)."""
     centroids, assignments = ivf_assignments(
-        embeddings, id_col, vec_col, n_lists, refine_iters
+        embeddings, id_col, vec_col, n_lists, refine_iters,
+        assign_impl=assign_impl,
     )
     base = path.rstrip("/")
     centroids.write.mode("overwrite").parquet(f"{base}/centroids")
