@@ -200,15 +200,18 @@ def oracle_in_subprocess(sql: str, sf_dir: str, tables) -> tuple:
     out_path = sql_path + ".out"
     cmd = [sys.executable, "-c", _SUBPROC_ORACLE, sql_path, sf_dir, out_path,
            ",".join(tables)]
+    # start_new_session: the child must NOT share the driver's process
+    # group — Spark/py4j signal traffic SIGINTs the group mid-replay
+    # and killed the heaviest child deterministically
     try:
-        subprocess.run(cmd, check=True, timeout=1800)
+        subprocess.run(cmd, check=True, timeout=1800, start_new_session=True)
     except subprocess.CalledProcessError:
         # transient commit-pressure crash while the Spark side of the
         # same query still holds memory — settle and retry once
         import time as _time
 
         _time.sleep(10)
-        subprocess.run(cmd, check=True, timeout=1800)
+        subprocess.run(cmd, check=True, timeout=1800, start_new_session=True)
     with open(out_path, "rb") as f:
         d = pickle.load(f)
     return d["cols"], d["rows"], d["pdf"]
