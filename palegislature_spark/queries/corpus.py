@@ -604,7 +604,8 @@ enc AS (
         + """
 SELECT d.doc_id,
        coalesce(enc.n_tokens, 0) AS n_tokens,
-       coalesce(enc.tokens, CAST([] AS VARCHAR[])) AS tokens
+       array_to_string(coalesce(enc.tokens, CAST([] AS VARCHAR[])), ' ')
+         AS tokens
 FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
     )
 
@@ -646,10 +647,13 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see apply_bpe — the default lets AQE choose for open-ended
     # web-scale vocabularies)
     enc = apply_bpe(cleaned, merges, "doc_id", "text", broadcast_vocab=True)
+    # space-joined (not raw array<string>): top-level result columns
+    # must be scalar so downstream canonicalizers can sort/hash them —
+    # enforced repo-wide by tests/test_registry.py's output-schema lint
     return enc.select(
         "doc_id",
         F.size("tokens").cast("long").alias("n_tokens"),
-        "tokens",
+        F.array_join("tokens", " ").alias("tokens"),
     )
 
 
