@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -236,21 +237,47 @@ def main() -> None:
     # when co-resident machine load is recorded alongside the numbers
     # (BASELINE.md documents a ~1.4x swing from load alone).
     la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "cold": colds,
-                "reps": reps,
-                "sf": sf,
-                "loadavg": [la1, la5, la15],
-            }
-        )
-    )
+    full = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "cold": colds,
+        "reps": reps,
+        "sf": sf,
+        "loadavg": [la1, la5, la15],
+    }
+    # The full record (spread/cold included) is ~4 KB — longer than a
+    # harvester capturing only a bounded stdout tail can hold, which
+    # is how BENCH_r05/r06 ended up with parsed:null.  Persist it to a
+    # round-stamped repo file and keep STDOUT to one compact (<2 KB)
+    # line: suite total plus per-query minima at 2dp.  The compact
+    # line is printed LAST so any tail capture ends with complete,
+    # parseable JSON.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if not out_path:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        nxt = (max(rounds) + 1) if rounds else 0
+        out_path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "loadavg": [la1, la5, la15],
+        "full_record": os.path.basename(out_path),
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

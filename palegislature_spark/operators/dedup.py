@@ -463,6 +463,11 @@ def simhash_pairs(
     """
     if band_chunks is None:
         band_chunks = 1 if df.count() < 20_000 else 2
+    if band_chunks not in (1, 2):
+        raise ValueError(
+            f"band_chunks must be 1, 2, or None (auto); got {band_chunks!r}"
+            " — the band-struct builder supports one- and two-chunk keys"
+        )
     need = max(chunks, max_hamming + band_chunks)
     sig = simhash_signatures(df, id_col, text_col)
     # uneven chunk widths are fine for the pigeonhole argument; the

@@ -12,7 +12,10 @@ decode path runs and is tested in every environment). The
 deterministic ``_FakeCodec`` remains for explicit injection where
 payloads are synthetic non-image bytes. Everything around the codec
 — schemas, Arrow batch transfer, partition behavior, binary slicing,
-UDF signatures — is identical in all cases.
+UDF signatures — is identical in all cases; on the pixel level the
+two codecs agree exactly on decode stats (tested) and on resize
+PIXEL SELECTION (both nearest-neighbor), while resized BYTES may
+still differ (Pillow's zlib encoder settings are its own).
 """
 
 from __future__ import annotations
@@ -97,7 +100,12 @@ class _PilCodec:
         with Image.open(io.BytesIO(payload)) as im:
             fmt = im.format or "PNG"
             out = io.BytesIO()
-            im.resize((w, h)).save(out, format=fmt)
+            # nearest-neighbor to match _PngCodec.resize — same pixel
+            # selection in PIL and no-PIL environments (ADVICE r6)
+            nearest = getattr(
+                getattr(Image, "Resampling", Image), "NEAREST"
+            )
+            im.resize((w, h), resample=nearest).save(out, format=fmt)
             return out.getvalue()
 
 

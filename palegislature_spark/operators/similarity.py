@@ -856,7 +856,10 @@ def save_ivf_index(
     only the query side). Defaults are the SCALE settings (sqrt-n
     lists, one Lloyd refinement, parallel per-dimension means); pass
     ``assign_impl="arrow"`` for corpora past ~1e5 vectors (BLAS-
-    batched assignment, bitwise-equal — see ivf_assignments)."""
+    batched assignment — assignment-equivalent on tie-free data, but
+    last-ulp cosine drift vs the expression path is possible; keep
+    ``assign_impl="expr"`` for oracle-pinned or replay-exact builds —
+    see ivf_assignments)."""
     centroids, assignments = ivf_assignments(
         embeddings, id_col, vec_col, n_lists, refine_iters,
         assign_impl=assign_impl,

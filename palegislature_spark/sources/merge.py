@@ -45,12 +45,25 @@ def merge_by_key(
     duplicates — highest wins; without it, update-batch rows beat
     existing rows and within-batch duplicates resolve arbitrarily
     but deterministically (row_number, source-tag order).
+
+    Schema evolution (add-column): update columns absent from
+    ``existing`` are filled with typed NULLs on the existing side, so
+    an upsert that introduces a new column (e.g. the rollup sink's
+    ``last_batch`` stamp against a table written before that column
+    existed) merges instead of failing analysis.  Existing-only
+    columns are still dropped (``select(updates.columns)``) — the
+    update batch defines the output schema.
     """
     keys = list(keys)
     tagged_new = updates.withColumn("__src", F.lit(1))
     if existing is None:
         unioned = tagged_new
     else:
+        for f in updates.schema.fields:
+            if f.name not in existing.columns:
+                existing = existing.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
         unioned = existing.select(updates.columns).withColumn(
             "__src", F.lit(0)
         ).unionByName(tagged_new)

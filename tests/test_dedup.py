@@ -249,3 +249,8 @@ def test_containment_catches_embedded_quote(spark):
         .count()
     )
     assert common == cnt[1]  # containment 1.0
+
+
+def test_simhash_pairs_rejects_unsupported_band_chunks(docs):
+    with pytest.raises(ValueError, match="band_chunks must be 1, 2"):
+        dedup.simhash_pairs(docs, "doc_id", "text", band_chunks=3)

@@ -148,3 +148,38 @@ def test_refresh_hourly_from_real_stream(spark, tmp_path):
         "total_value",
     )
     assert got == want
+
+
+def test_refresh_hourly_into_pre_upgrade_table(spark, tmp_path):
+    """ADVICE r6 (medium): first refresh against a table written BEFORE
+    the last_batch column existed must not fail analysis.  merge_by_key
+    now fills update-side columns missing from the stored table with
+    typed NULLs, so the upgrade happens in-place on first refresh."""
+    ensure_utc(spark)
+    path = str(tmp_path / "hourly_preupgrade")
+    # simulate a pre-upgrade table: the hourly rollup WITHOUT last_batch
+    pre = hourly_rollup(spark.createDataFrame(B1, SCHEMA)).withColumn(
+        "day", F.to_date("hour")
+    )
+    assert "last_batch" not in pre.columns
+    pre.write.partitionBy("day").parquet(path)
+    # first refresh with the stamped schema — used to raise
+    # AnalysisException (cannot resolve 'last_batch')
+    refresh_hourly(spark, path, spark.createDataFrame(B2, SCHEMA), batch_id=7)
+    got = rows(
+        spark.read.parquet(path), "hour", "event_type", "n_events", "total_value"
+    )
+    want = rows(
+        hourly_rollup(spark.createDataFrame(B1 + B2, SCHEMA)),
+        "hour",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    assert got == want
+    # replay of the upgrading batch is still a no-op on touched keys
+    refresh_hourly(spark, path, spark.createDataFrame(B2, SCHEMA), batch_id=7)
+    assert (
+        rows(spark.read.parquet(path), "hour", "event_type", "n_events", "total_value")
+        == got
+    )
