@@ -81,6 +81,213 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _doc_stride(con) -> int:
+    n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    return max(1, n // 300)
+
+
+def _vec_stride(con) -> int:
+    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    return max(1, n // 300)
+
+
+def _jaccard_sampled(con, stride: int):
+    """Bounded oracle for the exact-Jaccard pair family
+    (dedup_minhash_lsh / dedup_ngram_jaccard): every >=0.8 pair
+    touching the 1-in-stride doc subset, with each sampled doc's
+    shingle set joined against the WHOLE corpus inverted list —
+    O(subset-shingles x collision density), not all-pairs.  The
+    direction guard (a < b OR b unsampled) keeps both-sampled pairs
+    from double-counting their shared-shingle tally."""
+    sql = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM pos
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ssh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {stride} = 0),
+common AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_1,
+         GREATEST(a.doc_id, b.doc_id) AS id_2,
+         count(*) AS c
+  FROM ssh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id OR b.doc_id % {stride} <> 0
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       c * 1.0 / (c1.n + c2.n - c) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = id_1
+JOIN cnt c2 ON c2.doc_id = id_2
+WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+"""
+
+    def keep(row_dict):
+        return row_dict["id_1"] % stride == 0 or row_dict["id_2"] % stride == 0
+
+    return sql, keep
+
+
+def _simhash_sampled(con, stride: int):
+    """Bounded oracle for dedup_simhash: signatures for the whole
+    corpus (linear), Hamming scan restricted to pairs touching the
+    1-in-stride subset — O(subset x n) popcounts."""
+    sql = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+toks AS (
+  SELECT doc_id, token, count(*) AS cnt, md5(token) AS hex
+  FROM words GROUP BY doc_id, token
+),
+votes AS (
+  SELECT doc_id, bit_idx,
+         sum(cnt * (2 * (((strpos('0123456789abcdef', substr(hex, (bit_idx // 4) + 1, 1)) - 1)
+                          >> (bit_idx % 4)) & 1) - 1)) AS s
+  FROM toks, (SELECT unnest(generate_series(0, 59)) AS bit_idx)
+  GROUP BY doc_id, bit_idx
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit_idx) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+sub AS (SELECT * FROM sig WHERE doc_id % {stride} = 0)
+SELECT LEAST(a.doc_id, b.doc_id) AS id_1,
+       GREATEST(a.doc_id, b.doc_id) AS id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sub a JOIN sig b
+  ON a.doc_id <> b.doc_id
+ AND (a.doc_id < b.doc_id OR b.doc_id % {stride} <> 0)
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+    def keep(row_dict):
+        return row_dict["id_1"] % stride == 0 or row_dict["id_2"] % stride == 0
+
+    return sql, keep
+
+
+def _decontam_sampled(con, stride: int):
+    """Bounded oracle for decontam_testset: the eval 5-gram set is
+    built from EVERY eval doc (exactly as the full oracle), the train
+    side — tokenize, gram, overlap-count — restricted to the
+    1-in-stride subset."""
+    from palegislature_spark.operators.sampling import (
+        cumulative_hex_boundaries,
+    )
+
+    b_val = dict(
+        cumulative_hex_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    )["val"]
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(5))
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) >= '{b_val}'
+           AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_eval, {gram} AS gram
+  FROM (SELECT doc_id, is_eval, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+        FROM toks
+        WHERE is_eval OR doc_id % {stride} = 0)
+),
+evalg AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+alltrain AS (SELECT doc_id FROM toks WHERE NOT is_eval AND doc_id % {stride} = 0),
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM grams WHERE NOT is_eval GROUP BY doc_id
+),
+hits AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM grams g JOIN evalg e USING (gram)
+  WHERE NOT g.is_eval GROUP BY g.doc_id
+)
+SELECT a.doc_id,
+       coalesce(c.n_grams, 0) AS n_grams,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(c.n_grams, 0) > 0
+            THEN coalesce(h.n_hit, 0) * 1.0 / c.n_grams
+            ELSE 0.0e0 END AS hit_share,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM alltrain a
+LEFT JOIN counts c ON a.doc_id = c.doc_id
+LEFT JOIN hits h ON a.doc_id = h.doc_id
+"""
+
+    def keep(row_dict):
+        return row_dict["doc_id"] % stride == 0
+
+    return sql, keep
+
+
+def _coverage_sampled(con, stride: int):
+    """Bounded oracle for coverage_dup_spans: the duplicated-gram test
+    stays GLOBAL (a sampled doc's span is duplicated if the 8-gram
+    occurs in >=2 docs anywhere in the corpus), but the dup tally is
+    confined to grams the sampled docs actually contain, and the
+    interval-union windows run only over sampled docs."""
+    k = 8
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(k))
+    sql = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+spans AS (
+  SELECT doc_id, i AS s, i + {k - 1} AS e, {gram} AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1})) AS i
+        FROM toks)
+),
+subg AS (SELECT DISTINCT gram FROM spans WHERE doc_id % {stride} = 0),
+dup AS (
+  SELECT gram FROM (
+    SELECT sp.gram, count(DISTINCT sp.doc_id) AS nd
+    FROM spans sp JOIN subg USING (gram)
+    GROUP BY sp.gram
+  ) WHERE nd >= 2
+),
+ds AS (
+  SELECT doc_id, s, e FROM spans JOIN dup USING (gram)
+  WHERE doc_id % {stride} = 0
+),
+w AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM ds
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM w
+),
+cov AS (
+  SELECT doc_id, CAST(sum(extent) AS BIGINT) AS covered_tokens
+  FROM (SELECT doc_id, island, max(e) - min(s) + 1 AS extent
+        FROM isl GROUP BY doc_id, island)
+  GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+       WHERE doc_id % {stride} = 0)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(cov.covered_tokens, 0) AS covered_tokens,
+       coalesce(cov.covered_tokens, 0) * 1.0 / nt.n_tokens AS coverage
+FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
+"""
+
+    def keep(row_dict):
+        return row_dict["doc_id"] % stride == 0
+
+    return sql, keep
+
+
 def _near_dup_sampled(con, stride: int):
     """Bounded oracle for embedding_near_dup: every pair touching the
     1-in-stride vector subset, recomputed per-row against the whole
@@ -153,9 +360,17 @@ FROM sub s
     return sql, keep
 
 
+# name -> (stride_from_table, bounded_oracle_builder); stride targets
+# ~300 sampled entities regardless of corpus scale, so the gate's cost
+# stays O(300 x n) at any replica size
 SAMPLED = {
-    "embedding_near_dup": _near_dup_sampled,
-    "cluster_semantic_dedup": _semantic_sampled,
+    "embedding_near_dup": (_vec_stride, _near_dup_sampled),
+    "cluster_semantic_dedup": (_vec_stride, _semantic_sampled),
+    "dedup_minhash_lsh": (_doc_stride, _jaccard_sampled),
+    "dedup_ngram_jaccard": (_doc_stride, _jaccard_sampled),
+    "dedup_simhash": (_doc_stride, _simhash_sampled),
+    "decontam_testset": (_doc_stride, _decontam_sampled),
+    "coverage_dup_spans": (_doc_stride, _coverage_sampled),
 }
 
 
@@ -299,9 +514,9 @@ def main() -> int:
         oracle_sql_text = oracles[name]
         tag = ""
         if sampled_mode and name in SAMPLED:
-            n_vec = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
-            stride = max(1, n_vec // 300)
-            oracle_sql_text, keep = SAMPLED[name](con, stride)
+            stride_fn, builder = SAMPLED[name]
+            stride = stride_fn(con)
+            oracle_sql_text, keep = builder(con, stride)
             full = len(s_rows)
             s_rows = [
                 r for r in s_rows if keep(dict(zip(s_cols, r)))
