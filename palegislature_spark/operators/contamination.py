@@ -258,58 +258,86 @@ def strip_duplicate_spans(
 
     Returns (id, n_tokens, n_removed, text_clean) for every document.
 
-    Scale shape: canonical election is one window argmin partitioned
-    by the gram key (same shuffle as the occurrence count); interval
-    union is the per-doc running-max-end window; the drop itself
-    explodes covered intervals into positions — linear, since union
-    extents sum to at most the document's token count — and
-    anti-joins on (id, pos). No collects, no quadratic step.
+    Scale shape (r7 second-decade hardening — the r6 form carried a
+    per-gram SORT window for canonical election plus a full
+    position-explode + (id, pos) anti-join + collect_list rebuild,
+    three corpus-token-volume shuffles): canonical election is now
+    pure hash aggregation — per-(gram, doc) min start (map-side
+    combined, docs are partition-local), then per-gram distinct-doc
+    count and argmin-(doc, start) in ONE combined pass — joined back
+    to the span table; no sort anywhere on the gram key.  The strip
+    no longer touches per-token rows at all: merged removable islands
+    aggregate to a per-doc interval ARRAY (island-sized shuffle), and
+    the cleaned text is rebuilt from the packed token array by
+    slicing the GAPS between islands (zip_with of gap starts/ends —
+    O(tokens) JVM-side, no explode).  ``n_removed`` falls out of the
+    disjoint-island extents.  The only full-token-volume stage left
+    is the span explode feeding the gram aggregation — the operator's
+    irreducible core.
     """
     toks = docs.select(
         F.col(id_col),
         F.split(F.col(text_col), " ").alias("tk"),
     )
-    positions = toks.select(
-        id_col,
-        F.posexplode("tk").alias("pos0", "w"),
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "w")
-    n_tokens = toks.select(id_col, F.size("tk").cast("long").alias("n_tokens"))
 
     spans = _spans(docs, id_col, text_col, k)
-    dup_spans = spans.join(
-        _cross_doc_dup_grams(spans, id_col), "gram", "left_semi"
+    # per-(gram, doc): first occurrence start. Map-side combine does
+    # most of the work — a document's spans are partition-local.
+    per_doc = spans.groupBy("gram", id_col).agg(F.min("start").alias("fs"))
+    # per gram: distinct-doc count + global argmin (doc, start); the
+    # struct min IS the lexicographic (doc_id, start) order the
+    # canonical-election window used
+    canon = (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("fs").alias("s"))
+            ).alias("c"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select(
+            "gram",
+            F.col("c.i").alias("__canon_id"),
+            F.col("c.s").alias("__canon_start"),
+        )
     )
-    # canonical occurrence: global argmin (doc_id, start) per gram
-    w_gram = Window.partitionBy("gram").orderBy(id_col, "start")
     removable = (
-        dup_spans.withColumn("rn", F.row_number().over(w_gram))
-        .filter(F.col("rn") > 1)
+        spans.join(canon, "gram")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__canon_id"))
+                & (F.col("start") == F.col("__canon_start"))
+            )
+        )
         .select(id_col, "start", "end")
     )
-    # per-doc interval union of removable spans
+    # per-doc interval union of removable spans, packed to one array
+    # row per affected doc (islands are disjoint and extent-summable)
     islands = _interval_islands(removable, id_col)
-    covered_pos = islands.select(
-        id_col, F.explode(F.sequence("s", "e")).alias("pos")
+    isl_arr = islands.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("rem"),
+        F.sum("extent").cast("long").alias("n_removed"),
     )
-    kept = positions.join(covered_pos, [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("text_clean"),
+    # gap-slice rebuild: kept token ranges are [1, s1-1], [e1+1, s2-1],
+    # ..., [ek+1, n] — slice each gap out of the packed array and join
+    clean = F.expr(
+        "array_join(flatten(zip_with("
+        " concat(array(1), transform(rem, r -> r.e + 1)),"
+        " concat(transform(rem, r -> r.s - 1), array(size(tk))),"
+        " (a, b) -> if(b >= a, slice(tk, a, b - a + 1),"
+        "               CAST(array() AS array<string>))"
+        ")), ' ')"
     )
     return (
-        n_tokens.join(rebuilt, id_col, "left")
+        toks.join(isl_arr, id_col, "left")
+        .withColumn("rem", F.coalesce("rem", F.expr("array()")))
         .select(
             id_col,
-            "n_tokens",
-            (
-                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
-            ).cast("long").alias("n_removed"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            clean.alias("text_clean"),
         )
     )

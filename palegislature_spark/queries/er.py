@@ -453,7 +453,7 @@ SELECT CAST(id AS BIGINT) AS id, v, CAST(x AS DOUBLE) AS x FROM ranked WHERE rn 
 
 
 @register(
-    "merge_upsert",
+    "batch_merge_upsert",
     covers="S7,S8 (crawl.py:77,112,166,206 db.update upsert -> merge-by-key batch write)",
     oracle=_MERGE_ORACLE,
 )

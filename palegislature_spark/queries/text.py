@@ -654,10 +654,17 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of LM-perplexity filtering (CCNet-style) with no float
     log whose libm rounding could diverge across engines.
 
-    Scale shape: one explode pass (linear), one groupBy on the bigram
-    (charset^2-sized table, broadcast back), one per-doc aggregate.
-    The top-200 set is TakeOrderedAndProject (distributed top-k), then
-    both dimension tables broadcast into the per-doc join.
+    Scale shape (r7 second-decade hardening): the corpus-token-volume
+    bigram rows never cross a shuffle — per-(doc, bigram) counts
+    collapse in the map-side combine of the first aggregation (a
+    document's bigrams are partition-local, and distinct bigrams per
+    doc are charset^2-bounded, so the combine is ~100x at scale).
+    Everything downstream runs on the collapsed (doc, bg, cnt) table:
+    the corpus frequency table re-aggregates it (charset^2-sized,
+    broadcast back), the top-200 set is TakeOrderedAndProject
+    (distributed top-k), and the per-doc stats weight the broadcast
+    frequencies by cnt — integer arithmetic throughout, so the values
+    are identical to the per-occurrence form the oracle replays.
     """
     docs = load(spark, sf_dir, "documents")
     chars = docs.select("doc_id", F.split("text", "").alias("cs"))
@@ -673,22 +680,31 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("array()").cast("array<string>"))
         ).alias("bg"),
     )
-    corpus = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    # one explode pass, collapsed immediately: (doc, bg) -> occurrence
+    # count. This is the only stage that sees per-occurrence rows.
+    doc_bg = bigrams.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    corpus = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("freq"))
     topset = (
         corpus.orderBy(F.desc("freq"), "bg")
         .limit(200)
         .select("bg", F.lit(True).alias("__top"))
     )
     return (
-        bigrams.join(F.broadcast(corpus), "bg")
+        doc_bg.join(F.broadcast(corpus), "bg")
         .join(F.broadcast(topset), "bg", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            (F.sum("freq") / F.count(F.lit(1))).alias("avg_bigram_freq"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            # sum(cnt*freq) and sum(cnt) are exact long sums — the
+            # single trailing division matches the oracle bit-for-bit
+            (F.sum(F.col("cnt") * F.col("freq")) / F.sum("cnt")).alias(
+                "avg_bigram_freq"
+            ),
             (
-                F.sum(F.when(F.col("__top"), 1).otherwise(0))
-                / F.count(F.lit(1))
+                F.sum(F.when(F.col("__top"), F.col("cnt")).otherwise(0))
+                / F.sum("cnt")
             ).alias("top_coverage"),
         )
     )
