@@ -668,6 +668,13 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     chars = docs.select("doc_id", F.split("text", "").alias("cs"))
+    # Bigrams ride as PACKED CODEPOINT LONGS (c1 * 2^21 + c2 — 2^21
+    # covers all of Unicode), never as 2-char strings: the explode
+    # allocates no strings, and every downstream hash aggregate keys
+    # on a long. The bigram itself never reaches the output; its only
+    # order-sensitive use is the top-200 tie-break, and packed-code
+    # order equals the oracle's UTF-8 string order (UTF-8 byte order
+    # preserves codepoint order).
     bigrams = chars.select(
         "doc_id",
         F.explode(
@@ -675,25 +682,61 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("cs") >= 2,
                 F.expr(
                     "transform(sequence(1, size(cs) - 1),"
-                    " i -> concat(cs[i-1], cs[i]))"
+                    " i -> CAST(ascii(cs[i-1]) AS BIGINT) * 2097152"
+                    "      + ascii(cs[i]))"
                 ),
-            ).otherwise(F.expr("array()").cast("array<string>"))
+            ).otherwise(F.expr("array()").cast("array<bigint>"))
         ).alias("bg"),
     )
-    # one explode pass, collapsed immediately: (doc, bg) -> occurrence
-    # count. This is the only stage that sees per-occurrence rows.
+    # Corpus frequency table: one explode pass whose hash aggregate
+    # collapses to the charset^2-bounded bigram domain map-side. The
+    # result is MODEL-sized (a few hundred rows on an ASCII corpus),
+    # so it is collected once — the same artifact pattern as the BPE
+    # merge table — and the top-200 election happens driver-side with
+    # the identical (freq DESC, bg) order the oracle's window uses.
+    # Without this, the corpus subtree re-executes per consumer (the
+    # r6 form ran the 196M-row explode three times at the 100x
+    # replica). Guard: a giant charset (CJK web text) could overflow
+    # the collect, so past 200k distinct bigrams fall back to the
+    # fully declarative twin — same values, one more pass.
+    corpus = bigrams.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    # one action: the limited collect IS the size guard (a 200_001th
+    # row means the domain is too big to hold driver-side)
+    corpus_rows = corpus.limit(200_001).collect()
+    if len(corpus_rows) <= 200_000:
+        top = {
+            r["bg"]
+            for r in sorted(corpus_rows, key=lambda r: (-r["freq"], r["bg"]))[
+                :200
+            ]
+        }
+        freq_table = F.broadcast(
+            spark.createDataFrame(
+                [(r["bg"], r["freq"], r["bg"] in top) for r in corpus_rows],
+                "bg long, freq long, __top boolean",
+            )
+        )
+    else:
+        topset = (
+            corpus.orderBy(F.desc("freq"), "bg")
+            .limit(200)
+            .select("bg", F.lit(True).alias("__t"))
+        )
+        freq_table = F.broadcast(
+            corpus.join(topset, "bg", "left").select(
+                "bg", "freq", F.coalesce("__t", F.lit(False)).alias("__top")
+            )
+        )
+    # the single remaining corpus-volume pass: per-(doc, bg) counts
+    # collapse in the map-side combine, then the broadcast probe and
+    # per-doc aggregate run on the collapsed table
     doc_bg = bigrams.groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    corpus = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("freq"))
-    topset = (
-        corpus.orderBy(F.desc("freq"), "bg")
-        .limit(200)
-        .select("bg", F.lit(True).alias("__top"))
-    )
     return (
-        doc_bg.join(F.broadcast(corpus), "bg")
-        .join(F.broadcast(topset), "bg", "left")
+        doc_bg.join(freq_table, "bg")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_bigrams"),
