@@ -288,6 +288,82 @@ FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
     return sql, keep
 
 
+def _rewrite_sampled(con, stride: int):
+    """Bounded oracle for cleanup_span_rewrite: the rewrite of the
+    1-in-stride docs, with the cross-doc-dup test and the canonical
+    (globally first occurrence) election kept GLOBAL — both computed
+    only over grams the sampled docs contain (struct argmin replaces
+    the full oracle's per-gram window; identical (doc, start) order)."""
+    k = 8
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(k))
+    sql = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, tk[i] AS w
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks
+        WHERE doc_id % {stride} = 0)
+),
+spans AS (
+  SELECT doc_id, i AS s, i + {k - 1} AS e, {gram} AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1})) AS i
+        FROM toks)
+),
+subg AS (SELECT DISTINCT gram FROM spans WHERE doc_id % {stride} = 0),
+gstats AS (
+  SELECT sp.gram, count(DISTINCT sp.doc_id) AS nd,
+         min(struct_pack(i := sp.doc_id, s := sp.s)) AS c
+  FROM spans sp JOIN subg USING (gram)
+  GROUP BY sp.gram
+),
+rem AS (
+  SELECT sp.doc_id, sp.s, sp.e
+  FROM spans sp JOIN gstats g USING (gram)
+  WHERE sp.doc_id % {stride} = 0 AND g.nd >= 2
+    AND NOT (sp.doc_id = g.c.i AND sp.s = g.c.s)
+),
+w AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM rem
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM w
+),
+mrg AS (
+  SELECT doc_id, island, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, island
+),
+cpos AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM mrg),
+kept AS (
+  SELECT p.doc_id, p.pos, p.w
+  FROM pos p LEFT JOIN cpos c ON p.doc_id = c.doc_id AND p.pos = c.pos
+  WHERE c.pos IS NULL
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+       WHERE doc_id % {stride} = 0)
+SELECT nt.doc_id, nt.n_tokens,
+       nt.n_tokens - coalesce(reb.n_kept, 0) AS n_removed,
+       coalesce(reb.text_clean, '') AS text_clean
+FROM nt LEFT JOIN reb ON nt.doc_id = reb.doc_id
+"""
+
+    def keep(row_dict):
+        return row_dict["doc_id"] % stride == 0
+
+    return sql, keep
+
+
 def _near_dup_sampled(con, stride: int):
     """Bounded oracle for embedding_near_dup: every pair touching the
     1-in-stride vector subset, recomputed per-row against the whole
@@ -371,6 +447,7 @@ SAMPLED = {
     "dedup_simhash": (_doc_stride, _simhash_sampled),
     "decontam_testset": (_doc_stride, _decontam_sampled),
     "coverage_dup_spans": (_doc_stride, _coverage_sampled),
+    "cleanup_span_rewrite": (_doc_stride, _rewrite_sampled),
 }
 
 
