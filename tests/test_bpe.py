@@ -91,6 +91,26 @@ def test_apply_bpe_tokenizes_with_learned_merges(spark):
     assert "low" in toks[0]
 
 
+def test_apply_bpe_broadcast_paths_agree(spark):
+    """The dictionary join must produce identical tokens whether the
+    word->tokens table is broadcast (small-corpus gate) or left to the
+    optimizer (the replica-scale fallback — a forced broadcast of the
+    corpus-grown vocabulary overflowed at 500k docs)."""
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    mt = bpe_merge_table(docs, n_merges=10)
+    bcast = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe(docs, mt, broadcast_vocab=True).collect()
+    }
+    plain = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe(docs, mt, broadcast_vocab=False).collect()
+    }
+    assert bcast == plain
+
+
 def test_bpe_exhausted_corpus_stops_early(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     mt = bpe_merge_table(docs, n_merges=50).collect()
