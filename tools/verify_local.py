@@ -11,14 +11,19 @@ driver does).
 
 Usage: python tools/verify_local.py [--sampled] [--subproc] [sf_dir] [query ...]
 
-``--sampled`` (replica-scale runs): two queries — embedding_near_dup
-and cluster_semantic_dedup — have corpus-QUADRATIC full oracles
-(all-pairs / within-cluster cosine) that cannot finish at the 10x
-replica's 200k vectors.  With the flag, each gets a BOUNDED oracle
-instead: a deterministic 1-in-stride subset of vectors is recomputed
-against the WHOLE corpus per-row in SQL — so both presence of reported
-pairs/statuses and absence of unreported ones (recall) are checked on
-that slice.  Cost: O(|subset| * n), not O(n^2).
+``--sampled`` (replica-scale runs): the queries in ``SAMPLED`` have
+full oracles that cannot finish at replica scale — corpus-QUADRATIC
+(embedding_near_dup / cluster_semantic_dedup: all-pairs or
+within-cluster cosine), corpus-sized pairwise or span stages (the
+dedup/decontam/span families), or a corpus-sized ordered-list
+reassembly that overflows DuckDB's memory budget (bpe_encode_corpus
+at 500k docs).  With the flag, each gets a BOUNDED oracle instead: a
+deterministic 1-in-stride entity subset is recomputed against the
+WHOLE corpus in SQL — so both presence of reported rows and absence
+of unreported ones (recall) are checked on that slice.  Cost:
+O(|subset| * n), not O(n^2) / O(corpus) peak memory.  At sf0.01
+every stride degenerates to 1 and the sampled oracle reproduces the
+full gate bit-for-bit.
 """
 
 from __future__ import annotations
@@ -364,6 +369,44 @@ FROM nt LEFT JOIN reb ON nt.doc_id = reb.doc_id
     return sql, keep
 
 
+def _bpe_encode_sampled(con, stride: int):
+    """Bounded oracle for bpe_encode_corpus: the merge table is still
+    TRAINED on the whole corpus (the word-frequency scan streams and
+    the fold chain is vocabulary-sized, so both survive any replica),
+    but the corpus-sized encode replay — per-token-position dictionary
+    join + per-doc ordered ``list()`` reassembly — is confined to the
+    1-in-stride doc subset.  The full oracle's reassembly overflows
+    DuckDB's 24GiB budget at the 100x replica's 500k docs; this bounds
+    it to O(subset tokens).  The rewrite is two anchored substitutions
+    on the registered oracle itself (asserted present), so the sampled
+    SQL can never drift from the full oracle's training semantics."""
+    from palegislature_spark.queries.corpus import _bpe_encode_oracle
+
+    sql = _bpe_encode_oracle(8)
+    dtoks_full = (
+        "dtoks AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        " FROM documents)"
+    )
+    dtoks_sub = (
+        "dtoks AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        f" FROM documents WHERE doc_id % {stride} = 0)"
+    )
+    assert dtoks_full in sql, "bpe oracle dtoks CTE changed shape"
+    sql = sql.replace(dtoks_full, dtoks_sub)
+    tail_full = "FROM documents d LEFT JOIN enc"
+    tail_sub = (
+        f"FROM (SELECT * FROM documents WHERE doc_id % {stride} = 0) d"
+        " LEFT JOIN enc"
+    )
+    assert tail_full in sql, "bpe oracle final join changed shape"
+    sql = sql.replace(tail_full, tail_sub)
+
+    def keep(row_dict):
+        return row_dict["doc_id"] % stride == 0
+
+    return sql, keep
+
+
 def _near_dup_sampled(con, stride: int):
     """Bounded oracle for embedding_near_dup: every pair touching the
     1-in-stride vector subset, recomputed per-row against the whole
@@ -448,6 +491,7 @@ SAMPLED = {
     "decontam_testset": (_doc_stride, _decontam_sampled),
     "coverage_dup_spans": (_doc_stride, _coverage_sampled),
     "cleanup_span_rewrite": (_doc_stride, _rewrite_sampled),
+    "bpe_encode_corpus": (_doc_stride, _bpe_encode_sampled),
 }
 
 
