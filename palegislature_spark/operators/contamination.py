@@ -135,28 +135,38 @@ def decontaminate(
     grams) stays int/int rational, so the value is engine-exact.
 
     The eval n-gram set broadcasts while it is benchmark-sized
-    (fixed regardless of corpus scale — then the corpus side needs no
-    shuffle beyond the per-doc count aggregation); if the caller
-    derives the eval side from the corpus itself, the auto policy
-    switches to a shuffle join past ~5M distinct eval grams
-    (``broadcast_eval`` overrides).
+    (fixed regardless of corpus scale); if the caller derives the
+    eval side from the corpus itself, the auto policy switches to a
+    shuffle join past ~5M distinct eval grams (``broadcast_eval``
+    overrides).
+
+    Scale shape (r7): a document's n-grams are ROW-LOCAL, so the
+    per-doc distinct gram set is computed map-side with
+    ``array_distinct`` — no global ``(id, gram)`` distinct shuffle,
+    and ``n_grams`` is a per-row scalar needing no aggregation at
+    all. On the broadcast path the ONLY shuffle in the whole plan is
+    the per-doc count of HIT rows (map-side combined, volume bounded
+    by actual contamination, not corpus size); the shuffle-join
+    fallback still ships corpus grams, but already per-doc-deduped.
+    ``id_col`` must uniquely identify rows (true of every corpus
+    table here); pre-aggregate duplicate-id inputs first.
     """
-    train_grams = (
-        _word_ngrams(train, id_col, text_col, n)
-        .select(id_col, "gram")
-        .distinct()
-    )
+    grams_arr = F.when(
+        F.size("tk") >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> array_join(slice(tk, i, {n}), ' '))"
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    base = train.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
+    ).select(id_col, grams_arr.alias("grams"))
     eval_grams = (
         _word_ngrams(eval_df, id_col, text_col, n)
         .select("gram")
         .distinct()
-    )
-    # anchor on the full training id set, not the gram table: a doc
-    # shorter than n words yields zero n-grams and would otherwise be
-    # silently dropped instead of reported clean
-    all_docs = train.select(id_col).distinct()
-    per_doc = train_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
     )
     if broadcast_eval is None:
         # a true benchmark is fixed-size and always broadcasts, but a
@@ -168,16 +178,19 @@ def decontaminate(
         broadcast_eval = eval_grams.count() <= 5_000_000
     eval_side = F.broadcast(eval_grams) if broadcast_eval else eval_grams
     hits = (
-        train_grams.join(eval_side, "gram")
+        base.select(id_col, F.explode("grams").alias("gram"))
+        .join(eval_side, "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
     return (
-        all_docs.join(per_doc, id_col, "left")
+        base.select(
+            id_col, F.size("grams").cast("long").alias("n_grams")
+        )
         .join(hits, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            "n_grams",
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
         )
         .withColumn(
