@@ -142,14 +142,17 @@ def decontaminate(
 
     Scale shape (r7): a document's n-grams are ROW-LOCAL, so the
     per-doc distinct gram set is computed map-side with
-    ``array_distinct`` — no global ``(id, gram)`` distinct shuffle,
-    and ``n_grams`` is a per-row scalar needing no aggregation at
-    all. On the broadcast path the ONLY shuffle in the whole plan is
-    the per-doc count of HIT rows (map-side combined, volume bounded
-    by actual contamination, not corpus size); the shuffle-join
-    fallback still ships corpus grams, but already per-doc-deduped.
-    ``id_col`` must uniquely identify rows (true of every corpus
-    table here); pre-aggregate duplicate-id inputs first.
+    ``array_distinct`` — no global ``(id, gram)`` distinct shuffle —
+    and the whole corpus side is ONE pass: ``n_grams`` rides along
+    the gram explode, the eval membership test is a broadcast left
+    join, and a single per-doc aggregation (map-side combined — a
+    document's exploded grams are partition-local, so partials
+    collapse to one row per doc before the exchange) produces both
+    counts. The only shuffle on the broadcast path is that per-doc
+    partial exchange. The >5M-gram shuffle-join fallback ships
+    per-doc-deduped grams once. ``id_col`` must uniquely identify
+    rows (true of every corpus table here); pre-aggregate
+    duplicate-id inputs first.
     """
     grams_arr = F.when(
         F.size("tk") >= n,
@@ -160,13 +163,23 @@ def decontaminate(
             )
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    base = train.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
-    ).select(id_col, grams_arr.alias("grams"))
+    # explode_outer keeps zero-gram (shorter than n words) documents
+    # as a single NULL-gram row, so they are reported clean rather
+    # than silently dropped
+    exploded = (
+        train.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tk"))
+        .select(id_col, grams_arr.alias("grams"))
+        .select(
+            id_col,
+            F.size("grams").cast("long").alias("n_grams"),
+            F.explode_outer("grams").alias("gram"),
+        )
+    )
     eval_grams = (
         _word_ngrams(eval_df, id_col, text_col, n)
         .select("gram")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_eval is None:
         # a true benchmark is fixed-size and always broadcasts, but a
@@ -177,21 +190,14 @@ def decontaminate(
         # to decide, same policy as the other auto-sized operators)
         broadcast_eval = eval_grams.count() <= 5_000_000
     eval_side = F.broadcast(eval_grams) if broadcast_eval else eval_grams
-    hits = (
-        base.select(id_col, F.explode("grams").alias("gram"))
-        .join(eval_side, "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
     return (
-        base.select(
-            id_col, F.size("grams").cast("long").alias("n_grams")
-        )
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        exploded.join(eval_side, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
         )
         .withColumn(
             "hit_share",
