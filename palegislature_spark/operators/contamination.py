@@ -36,9 +36,11 @@ sub-document spans, per the north-star extension charter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from palegislature_spark.functions.expr_util import let
 
 
 def _word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -75,12 +77,58 @@ def _spans(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     )
 
 
-def _cross_doc_dup_grams(spans: DataFrame, id_col: str) -> DataFrame:
+def _distinct_grams_col(n: int) -> Column:
+    """Per-row distinct word-n-gram array over a ``tk`` token-array
+    column. A document's n-grams are row-local, so this replaces a
+    global (id, gram) DISTINCT shuffle with a map-side
+    ``array_distinct`` — free at any corpus scale."""
+    return F.when(
+        F.size("tk") >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {n - 1}),"
+                f" i -> array_join(slice(tk, i, {n}), ' '))"
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+def _gram_firsts_col(k: int) -> Column:
+    """Per-row array<struct<gram,start>> holding each distinct
+    k-gram's FIRST occurrence start (1-based). Sort the (gram, start)
+    structs (field-lexicographic, so ties resolve to the smallest
+    start) and keep each gram's first entry — all row-local, no
+    shuffle. The sorted array is let-bound so the filter lambda's
+    previous-element lookup doesn't copy the subtree."""
+    structs = F.expr(
+        f"array_sort(transform(sequence(1, size(tk) - {k - 1}),"
+        f" i -> struct(array_join(slice(tk, i, {k}), ' ') AS gram,"
+        f" i AS start)))"
+    )
+    dedup = let(
+        structs,
+        lambda arr: F.filter(
+            arr,
+            lambda x, i: (i == F.lit(0))
+            | (F.element_at(arr, i)["gram"] != x["gram"]),
+        ),
+    )
+    return F.when(F.size("tk") >= k, dedup).otherwise(
+        F.expr("array()").cast("array<struct<gram:string,start:int>>")
+    )
+
+
+def _cross_doc_dup_grams(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
     """Grams occurring in >= 2 distinct documents (one gram column).
-    One shuffle on the gram key, map-side combined."""
+    ONE exchange total: per-doc dedup is row-local
+    (:func:`_distinct_grams_col`), so every document contributes at
+    most one row per gram to the map-side-combined groupBy(gram)
+    count — the row count IS the distinct-document count."""
     return (
-        spans.select(id_col, "gram")
-        .distinct()
+        docs.select(F.split(F.col(text_col), " ").alias("tk"))
+        .select(F.explode(_distinct_grams_col(k)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
@@ -238,7 +286,7 @@ def duplicate_span_coverage(
     )
     spans = _spans(docs, id_col, text_col, k)
     dup_spans = spans.join(
-        _cross_doc_dup_grams(spans, id_col), "gram", "left_semi"
+        _cross_doc_dup_grams(docs, id_col, text_col, k), "gram", "left_semi"
     )
     covered = (
         _interval_islands(dup_spans, id_col)
@@ -300,9 +348,12 @@ def strip_duplicate_spans(
     )
 
     spans = _spans(docs, id_col, text_col, k)
-    # per-(gram, doc): first occurrence start. Map-side combine does
-    # most of the work — a document's spans are partition-local.
-    per_doc = spans.groupBy("gram", id_col).agg(F.min("start").alias("fs"))
+    # per-(gram, doc): first occurrence start — row-local (a doc's
+    # grams live in its own row, :func:`_gram_firsts_col`), so the
+    # canon aggregation below is the ONLY exchange on the gram key
+    per_doc = toks.select(
+        id_col, F.explode(_gram_firsts_col(k)).alias("g")
+    ).select(id_col, F.col("g.gram").alias("gram"), F.col("g.start").alias("fs"))
     # per gram: distinct-doc count + global argmin (doc, start); the
     # struct min IS the lexicographic (doc_id, start) order the
     # canonical-election window used
