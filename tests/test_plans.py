@@ -91,3 +91,34 @@ def test_vocab_topk_is_distributed_topk(spark, sf_dir):
     # token-count table — 1e8+ distinct tokens at corpus scale
     plan = plan_of(spark, sf_dir, "corpus_vocab_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    # standalone shuffle Exchange nodes only — \bExchange\b does not
+    # match the Exchange inside BroadcastExchange (no word boundary
+    # after 't'); formatted plans mention each node twice (tree +
+    # detail section), so counts here are 2x the node count
+    import re
+
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+@pytest.mark.parametrize(
+    ("name", "max_mentions"),
+    [
+        # late-r7 fusions: per-doc gram work is row-local, so these
+        # plans carry exactly TWO shuffle exchanges (4 mentions) —
+        # eval-gram distinct + per-doc hit partials for decontam; the
+        # gram-key aggregation + doc-key island window for the span
+        # ops. A third shuffle appearing here means the corpus-wide
+        # (id, gram) DISTINCT crept back in.
+        ("decontam_testset", 4),
+        ("coverage_dup_spans", 4),
+        ("cleanup_span_rewrite", 4),
+    ],
+)
+def test_fused_gram_ops_shuffle_budget(spark, sf_dir, name, max_mentions):
+    plan = plan_of(spark, sf_dir, name)
+    assert _shuffle_exchanges(plan) <= max_mentions, (
+        f"{name}: shuffle-exchange count grew past the fused budget"
+    )
