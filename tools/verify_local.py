@@ -96,14 +96,16 @@ def _vec_stride(con) -> int:
     return max(1, n // 300)
 
 
-def _jaccard_sampled(con, stride: int):
+def _jaccard_sampled(con, stride: int, extra_where: str = ""):
     """Bounded oracle for the exact-Jaccard pair family
     (dedup_minhash_lsh / dedup_ngram_jaccard): every >=0.8 pair
     touching the 1-in-stride doc subset, with each sampled doc's
     shingle set joined against the WHOLE corpus inverted list —
     O(subset-shingles x collision density), not all-pairs.  The
     direction guard (a < b OR b unsampled) keeps both-sampled pairs
-    from double-counting their shared-shingle tally."""
+    from double-counting their shared-shingle tally.  ``extra_where``
+    lets variants narrow the pair set further (the incremental
+    query's batch-touching predicate)."""
     sql = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 pos AS (
@@ -128,13 +130,24 @@ SELECT id_1, id_2,
 FROM common
 JOIN cnt c1 ON c1.doc_id = id_1
 JOIN cnt c2 ON c2.doc_id = id_2
-WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8{extra_where}
 """
 
     def keep(row_dict):
         return row_dict["id_1"] % stride == 0 or row_dict["id_2"] % stride == 0
 
     return sql, keep
+
+
+def _incremental_sampled(con, stride: int):
+    """dedup_minhash_incremental's oracle is the batch-touching subset
+    of the exact-Jaccard pair set (batch = doc_id % 5 = 0), so its
+    bounded form is the sampled Jaccard oracle with that predicate
+    appended; the Spark side still runs the full incremental
+    index-probe at corpus scale."""
+    return _jaccard_sampled(
+        con, stride, extra_where="\n  AND (id_1 % 5 = 0 OR id_2 % 5 = 0)"
+    )
 
 
 def _simhash_sampled(con, stride: int):
@@ -487,6 +500,7 @@ SAMPLED = {
     "cluster_semantic_dedup": (_vec_stride, _semantic_sampled),
     "dedup_minhash_lsh": (_doc_stride, _jaccard_sampled),
     "dedup_ngram_jaccard": (_doc_stride, _jaccard_sampled),
+    "dedup_minhash_incremental": (_doc_stride, _incremental_sampled),
     "dedup_simhash": (_doc_stride, _simhash_sampled),
     "decontam_testset": (_doc_stride, _decontam_sampled),
     "coverage_dup_spans": (_doc_stride, _coverage_sampled),
