@@ -139,6 +139,76 @@ WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8{extra_where}
     return sql, keep
 
 
+def _funnel_sampled(con, stride: int):
+    """Bounded oracle for the composed curation funnel: quality gate,
+    exact-dup rank and the survivor table are LINEAR corpus passes and
+    stay global (they are not the cost center); only the all-pairs
+    shingle self-join is confined — sampled survivors' shingles probe
+    the full inverted list, which is exactly the pair set deciding a
+    sampled doc's near_dup status (the funnel suppresses id_2, the
+    larger id, so pairs with id_2 = sampled are sufficient).  Output
+    is the full status row for every 1-in-stride document — presence
+    AND absence of each suppression reason on the slice."""
+    sql = f"""
+WITH q0 AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+q AS (
+  SELECT doc_id, text,
+         len(tk) AS n_words,
+         len(list_filter(tk, w -> w IN ('the', 'a', 'of', 'and'))) * 1.0 / len(tk) AS stop_ratio,
+         len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio
+  FROM q0
+),
+gated AS (
+  SELECT *, COALESCE(n_words >= 12 AND stop_ratio <= 0.21 AND distinct_ratio >= 0.35, FALSE) AS q_ok
+  FROM q
+),
+exdup AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM gated WHERE q_ok
+),
+surv AS (
+  SELECT g.doc_id, g.text FROM gated g JOIN exdup e USING (doc_id) WHERE e.rn = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM surv),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM pos
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ssh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {stride} = 0),
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT DISTINCT id_2 AS doc_id
+  FROM common
+  JOIN cnt c1 ON c1.doc_id = id_1
+  JOIN cnt c2 ON c2.doc_id = id_2
+  WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+)
+SELECT g.doc_id,
+       CASE WHEN NOT g.q_ok THEN 'low_quality'
+            WHEN e.rn > 1 THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CAST(g.n_words AS BIGINT) AS n_words
+FROM gated g
+LEFT JOIN exdup e USING (doc_id)
+LEFT JOIN nd USING (doc_id)
+WHERE g.doc_id % {stride} = 0
+"""
+
+    def keep(row_dict):
+        return row_dict["doc_id"] % stride == 0
+
+    return sql, keep
+
+
 def _incremental_sampled(con, stride: int):
     """dedup_minhash_incremental's oracle is the batch-touching subset
     of the exact-Jaccard pair set (batch = doc_id % 5 = 0), so its
@@ -501,6 +571,7 @@ SAMPLED = {
     "dedup_minhash_lsh": (_doc_stride, _jaccard_sampled),
     "dedup_ngram_jaccard": (_doc_stride, _jaccard_sampled),
     "dedup_minhash_incremental": (_doc_stride, _incremental_sampled),
+    "curation_funnel": (_doc_stride, _funnel_sampled),
     "dedup_simhash": (_doc_stride, _simhash_sampled),
     "decontam_testset": (_doc_stride, _decontam_sampled),
     "coverage_dup_spans": (_doc_stride, _coverage_sampled),
