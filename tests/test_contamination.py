@@ -67,6 +67,33 @@ def test_decontaminate_reports_short_docs_clean(spark):
     assert out[2].contaminated
 
 
+def test_decontaminate_shuffle_path_equals_broadcast(spark, sf_dir):
+    """The >5M-gram fallback (broadcast_eval=False) must produce
+    exactly the broadcast path's rows — the left-join restructure has
+    to hold on both join strategies."""
+    from palegislature_spark.catalog import load
+    from palegislature_spark.operators.sampling import hash_split
+    import pyspark.sql.functions as SF
+
+    docs = hash_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(SF.col("split") != "test")
+    eval_df = docs.filter(SF.col("split") == "test")
+    a = sorted(
+        tuple(r)
+        for r in decontaminate(train, eval_df, n=5, broadcast_eval=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in decontaminate(train, eval_df, n=5, broadcast_eval=False).collect()
+    )
+    assert a == b
+    assert any(r[4] for r in a)  # the fixture really has contamination
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     train = _docs(spark, [(1, "a b c d e f")])
     eval_df = _docs(spark, [(9, "a b c d e")])
