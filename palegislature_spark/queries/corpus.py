@@ -521,6 +521,90 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_source_gate",
+    covers="training-pipeline extension: SOURCE-level curation gate "
+    "(domain filtering a la C4/RefinedWeb blocklists) — per-source "
+    "aggregate quality stats decide keep/suppress for every document "
+    "of the source; both ratios are int-sum/int-sum single divisions, "
+    "engine-exact",
+    oracle="""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+d AS (
+  SELECT doc_id, source, len(tk) AS nw,
+         len(list_filter(tk, w -> w IN ('the', 'a', 'of', 'and'))) AS stops
+  FROM t
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS source_docs,
+         sum(CASE WHEN nw < 12 THEN 1 ELSE 0 END) * 1.0 / count(*) AS short_share,
+         sum(stops) * 1.0 / sum(nw) AS source_stop_rate
+  FROM d GROUP BY source
+)
+SELECT d.doc_id, d.source, s.source_docs, s.short_share, s.source_stop_rate,
+       (s.short_share <= 0.02 AND s.source_stop_rate <= 0.07) AS source_kept
+FROM d JOIN s USING (source)
+""",
+)
+def source_level_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: a web pipeline suppresses whole SOURCES
+    (domains) whose aggregate quality is bad, not just individual
+    documents — the blocklist stage of C4/RefinedWeb. Every document
+    comes back with its source's aggregate stats and the keep/suppress
+    verdict (violations-as-data, the house pattern).
+
+    Scale shape: per-doc signals are row-local expressions; ONE
+    map-side-combined shuffle collapses them to the source table
+    (dimension-sized — domains number ~1e6-1e8 even at web scale);
+    the verdict joins back broadcast below 5M sources, shuffle above
+    (same count-gate policy as decontaminate / ivf_assignments).
+    Float discipline: short_share and source_stop_rate are each ONE
+    long/long division (no float accumulations), so the gate
+    comparison sees identical doubles on both engines.
+    """
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tk", F.split("text", " ")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size("tk").alias("nw"),
+        F.size(
+            F.filter(F.col("tk"), lambda w: w.isin("the", "a", "of", "and"))
+        ).alias("stops"),
+    )
+    src = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("source_docs"),
+            F.sum(F.when(F.col("nw") < 12, 1).otherwise(0)).alias("short"),
+            F.sum("stops").alias("s_stops"),
+            F.sum("nw").alias("s_words"),
+        )
+        .select(
+            "source",
+            "source_docs",
+            (F.col("short") / F.col("source_docs")).alias("short_share"),
+            (F.col("s_stops") / F.col("s_words")).alias("source_stop_rate"),
+        )
+        .withColumn(
+            "source_kept",
+            (F.col("short_share") <= 0.02)
+            & (F.col("source_stop_rate") <= 0.07),
+        )
+    )
+    gate = F.broadcast(src) if src.count() <= 5_000_000 else src
+    return per_doc.select("doc_id", "source").join(gate, "source").select(
+        "doc_id",
+        "source",
+        "source_docs",
+        "short_share",
+        "source_stop_rate",
+        "source_kept",
+    )
+
+
 def _bpe_encode_oracle(n_merges: int) -> str:
     """Unrolled DuckDB replay of train-then-encode: the same
     boundary-wrapped string-replace merge chain as ``_bpe_oracle`` in

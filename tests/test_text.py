@@ -204,3 +204,27 @@ def test_text_chunks_cover_and_overlap(spark, tmp_path):
     assert toks == long.split()
     assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
     assert 3 not in by_doc  # empty text yields no chunks
+
+
+def test_source_gate_suppresses_bad_domain(spark, tmp_path):
+    """Planted sources: one clean, one full of short docs, one
+    stopword-stuffed — the gate must suppress exactly the bad two,
+    and every document must carry its source's verdict."""
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = (
+        [(i, good, "en", "clean", len(good)) for i in range(4)]
+        + [(10 + i, "too short", "en", "shorty", 9) for i in range(4)]
+        + [(20 + i, "the a of and " * 3 + good, "en", "stuffed", 1) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    from palegislature_spark.queries.corpus import source_level_gate
+
+    out = {r.doc_id: r for r in source_level_gate(spark, str(tmp_path)).collect()}
+    assert len(out) == 12
+    assert all(out[i].source_kept for i in range(4))
+    assert not out[10].source_kept  # short_share = 1.0
+    assert not out[20].source_kept  # stop rate 12/24 = 0.5
+    assert out[10].source_docs == 4 and out[10].short_share == 1.0
