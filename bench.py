@@ -58,6 +58,7 @@ HEADLINE = [
     "centrality_rank_suppliers",
     "bm25_relevance",
     "bpe_encode_corpus",
+    "corpus_source_gate",
 ]
 
 
