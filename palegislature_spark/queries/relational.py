@@ -304,7 +304,7 @@ def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "status_conditional_agg",
+    "agg_conditional_status",
     covers="A4,A10 (pa_legislature.py:82-93 derived status; match_names.py:163 pct)",
     oracle="""
 SELECT o_orderpriority,
@@ -315,7 +315,7 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority
 """,
 )
-def status_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_conditional_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional counts + ratio — the crawl-status report shape.
 
     pct_open (hundredths of a percent) is derived entirely in INTEGER
@@ -344,7 +344,7 @@ def status_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "exists_bool_any",
+    "agg_bool_any",
     covers="A9 (dump.py:51 any(missing stamp); match_names.py:113-117 all-members flag)",
     oracle="""
 SELECT o_custkey,
@@ -353,7 +353,7 @@ SELECT o_custkey,
 FROM orders GROUP BY o_custkey
 """,
 )
-def exists_bool_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_bool_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANY/ALL-style boolean aggregation via max/min of indicator."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
@@ -363,7 +363,7 @@ def exists_bool_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "group_count_distinct",
+    "agg_count_distinct",
     covers="A5 (distinct cardinalities per group)",
     oracle="""
 SELECT c_mktsegment,
@@ -373,7 +373,7 @@ SELECT c_mktsegment,
 FROM customer GROUP BY c_mktsegment
 """,
 )
-def group_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
@@ -383,7 +383,7 @@ def group_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "group_collect_sorted",
+    "agg_collect_sorted",
     covers="A8 (match_names.py:80-83 votes-per-roll grouping, as deterministic list)",
     oracle="""
 SELECT o_custkey,
@@ -392,7 +392,7 @@ SELECT o_custkey,
 FROM orders GROUP BY o_custkey
 """,
 )
-def group_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set made deterministic via sort + join (hashable output)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
