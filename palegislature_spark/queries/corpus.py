@@ -559,6 +559,16 @@ def source_level_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dimension-sized — domains number ~1e6-1e8 even at web scale);
     the verdict joins back broadcast below 5M sources, shuffle above
     (same count-gate policy as decontaminate / ivf_assignments).
+    The source table is eagerly ``localCheckpoint``-ed before the
+    gate: the corpus aggregation runs EXACTLY ONCE, the gate count is
+    a free count of the materialized (dimension-sized) result, and the
+    returned plan joins the checkpoint back to the corpus — one corpus
+    pass total, not two (the r7 gate counted ``src`` straight off its
+    lineage, executing the full corpus aggregation once for the gate
+    and again in the returned plan). Trade-off: a localCheckpoint is
+    unreplicated, so an executor loss during the join re-runs the
+    query rather than recomputing a partition — acceptable for a
+    gate-scoped, dimension-sized intermediate.
     Float discipline: short_share and source_stop_rate are each ONE
     long/long division (no float accumulations), so the gate
     comparison sees identical doubles on both engines.
@@ -594,6 +604,7 @@ def source_level_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("source_stop_rate") <= 0.07),
         )
     )
+    src = src.localCheckpoint(eager=True)
     gate = F.broadcast(src) if src.count() <= 5_000_000 else src
     return per_doc.select("doc_id", "source").join(gate, "source").select(
         "doc_id",

@@ -122,3 +122,25 @@ def test_fused_gram_ops_shuffle_budget(spark, sf_dir, name, max_mentions):
     assert _shuffle_exchanges(plan) <= max_mentions, (
         f"{name}: shuffle-exchange count grew past the fused budget"
     )
+
+
+def test_source_gate_single_corpus_pass(spark, sf_dir):
+    """corpus_source_gate must scan the documents table EXACTLY ONCE.
+
+    The broadcast-vs-shuffle count-gate used to count ``src`` straight
+    off its lineage, executing the full corpus aggregation once for the
+    gate and again in the returned plan (VERDICT r7 nit #2) — at 100 TB
+    that is one extra corpus pass. The source table is now eagerly
+    localCheckpoint-ed, so the returned physical plan joins a
+    materialized RDD scan back to the single corpus scan.
+    """
+    import re
+
+    plan = plan_of(spark, sf_dir, "corpus_source_gate")
+    doc_scans = len(re.findall(r"documents\.parquet", plan))
+    assert doc_scans == 1, f"expected 1 documents scan, saw {doc_scans}"
+    # the gate side must come from the checkpoint, not a re-aggregation
+    assert "Scan ExistingRDD" in plan
+    # and the surviving corpus scan must be the narrow join-back
+    # (doc_id + source), never a second full-text read
+    assert "text" not in plan
