@@ -647,6 +647,12 @@ GROUP BY b.doc_id
 """,
 )
 def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bigram_lm_quality(spark, sf_dir)
+
+
+def _bigram_lm_quality(
+    spark: SparkSession, sf_dir: str, collect_guard: int = 200_000
+) -> DataFrame:
     """Character-bigram quality signals: each document's bigrams are
     scored against the corpus-wide bigram frequency table — documents
     full of rare bigrams (mojibake, binary spill, gibberish) surface
@@ -702,10 +708,14 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = bigrams.groupBy("bg").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
     )
-    # one action: the limited collect IS the size guard (a 200_001th
-    # row means the domain is too big to hold driver-side)
-    corpus_rows = corpus.limit(200_001).collect()
-    if len(corpus_rows) <= 200_000:
+    # one action: the limited collect IS the size guard (a guard+1th
+    # row means the domain is too big to hold driver-side).
+    # ``collect_guard`` exists so tests can force the declarative
+    # fallback on a small corpus and assert it is bit-identical to the
+    # collected path (tests/test_text.py) — production always uses the
+    # 200k default.
+    corpus_rows = corpus.limit(collect_guard + 1).collect()
+    if len(corpus_rows) <= collect_guard:
         top = {
             r["bg"]
             for r in sorted(corpus_rows, key=lambda r: (-r["freq"], r["bg"]))[

@@ -228,3 +228,78 @@ def test_source_gate_suppresses_bad_domain(spark, tmp_path):
     assert not out[10].source_kept  # short_share = 1.0
     assert not out[20].source_kept  # stop rate 12/24 = 0.5
     assert out[10].source_docs == 4 and out[10].short_share == 1.0
+
+
+def test_bigram_fallback_equals_collected(spark, tmp_path):
+    """The >200k-distinct-bigram declarative fallback must be
+    bit-identical to the collected-broadcast path (VERDICT r7 #2).
+
+    The corpus is built so the top-200 election CUTS THROUGH A TIE
+    PLATEAU (hundreds of distinct bigrams at freq=1), so any tie-break
+    divergence between the driver-side sort (-freq, bg) and the
+    declarative orderBy(desc freq, bg) window changes top_coverage —
+    and includes non-ASCII codepoints so packed-code ordering is
+    exercised, not just ASCII."""
+    from palegislature_spark.queries.text import _bigram_lm_quality
+
+    # ~26*26 unique-once bigrams (tie plateau) + repeated natural text
+    # + non-ASCII (Latin-1 accents, CJK) docs
+    plateau = " ".join(
+        chr(ord("a") + i) + chr(ord("a") + j)
+        for i in range(26)
+        for j in range(26)
+    )
+    rows = (
+        [(0, plateau)]
+        + [(i, "the cat sat on the mat ") for i in range(1, 5)]
+        + [(5, "éèêëàâäüöß éèa 中文字 中中")]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    collected = sorted(
+        _bigram_lm_quality(spark, sf).collect(), key=lambda r: r["doc_id"]
+    )
+    fallback = sorted(
+        _bigram_lm_quality(spark, sf, collect_guard=0).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in collected] == [tuple(r) for r in fallback]
+    # the plateau really is wider than the top-200 cut
+    assert len(plateau.split()) > 200
+
+
+def test_bigram_packed_codes_nonascii(spark):
+    """ADVICE r7: the packed-bigram rewrite assumes split(text, '')
+    splits on CODEPOINTS and ascii() returns the full Unicode
+    codepoint (not the first byte / UTF-16 unit). Pin both on
+    non-ASCII input: packed codes must be injective over distinct
+    bigrams and ordered exactly like Python's codepoint (== UTF-8
+    byte) string order, which is what the oracle's string sort uses."""
+    import pyspark.sql.functions as F
+
+    # astral plane (surrogate pair in UTF-16) + CJK + Latin-1 + ASCII
+    chars = ["a", "z", "é", "è", "ß", "中", "文", "\U0001F600"]
+    bigrams = sorted({c1 + c2 for c1 in chars for c2 in chars})
+    df = spark.createDataFrame([(b,) for b in bigrams], "bg string")
+    got = (
+        df.withColumn("cs", F.split("bg", ""))
+        .withColumn(
+            "code",
+            F.expr(
+                "CAST(ascii(cs[0]) AS BIGINT) * 2097152 + ascii(cs[1])"
+            ),
+        )
+        .select("bg", "code", F.size("cs").alias("n"))
+        .collect()
+    )
+    # split on codepoints: every 2-codepoint bigram yields exactly 2 cells
+    assert {r["n"] for r in got} == {2}
+    code_of = {r["bg"]: r["code"] for r in got}
+    # injective over distinct bigrams
+    assert len(set(code_of.values())) == len(bigrams)
+    # packed-code order == codepoint string order (the oracle's order)
+    assert sorted(bigrams, key=lambda b: code_of[b]) == bigrams
+    # and ascii() really returns full codepoints, not first bytes
+    assert code_of["中文"] == ord("中") * 2097152 + ord("文")
