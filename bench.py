@@ -258,6 +258,11 @@ def main() -> None:
     # parseable JSON.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if not out_path:
+        # round number comes from the driver family (BENCH_r*.json:
+        # max+1 == the round in progress); the suffix loop below
+        # guarantees a second local run in the same round never
+        # silently overwrites the first (ADVICE r7) — it lands in
+        # BENCH_LOCAL_r{n}-a.json, -b.json, ...
         here = os.path.dirname(os.path.abspath(__file__))
         rounds = [
             int(m.group(1))
@@ -266,6 +271,12 @@ def main() -> None:
         ]
         nxt = (max(rounds) + 1) if rounds else 0
         out_path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}.json")
+        suffix = ord("a")
+        while os.path.exists(out_path):
+            out_path = os.path.join(
+                here, f"BENCH_LOCAL_r{nxt:02d}-{chr(suffix)}.json"
+            )
+            suffix += 1
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")

@@ -202,15 +202,7 @@ def decontaminate(
     rows (true of every corpus table here); pre-aggregate
     duplicate-id inputs first.
     """
-    grams_arr = F.when(
-        F.size("tk") >= n,
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, size(tk) - {n - 1}),"
-                f" i -> array_join(slice(tk, i, {n}), ' '))"
-            )
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    grams_arr = _distinct_grams_col(n)
     # explode_outer keeps zero-gram (shorter than n words) documents
     # as a single NULL-gram row, so they are reported clean rather
     # than silently dropped
@@ -277,6 +269,12 @@ def duplicate_span_coverage(
     running-max-end window (one shuffle on the doc id) -> covered =
     sum of merged-island extents. No step is ever worse than linear
     in corpus tokens, and no state is driver-sized.
+
+    ``id_col`` must uniquely identify rows: the cross-doc dup-gram
+    count treats each row as one document (row count == distinct-doc
+    count after the row-local gram dedup), so a duplicate-id input
+    silently inflates the >= 2 threshold — pre-aggregate duplicate-id
+    inputs first (same contract as :func:`decontaminate`).
     """
     toks = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tk")
@@ -341,6 +339,12 @@ def strip_duplicate_spans(
     disjoint-island extents.  The only full-token-volume stage left
     is the span explode feeding the gram aggregation — the operator's
     irreducible core.
+
+    ``id_col`` must uniquely identify rows: the per-gram distinct-doc
+    count counts one row per (gram, doc) after the row-local first-
+    occurrence dedup, so a duplicate-id input silently inflates it —
+    pre-aggregate duplicate-id inputs first (same contract as
+    :func:`decontaminate`).
     """
     toks = docs.select(
         F.col(id_col),

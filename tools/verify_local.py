@@ -728,6 +728,18 @@ def main() -> int:
                 r for r in s_rows if keep(dict(zip(s_cols, r)))
             ]
             tag = f" [sampled 1/{stride}: {len(s_rows)}/{full} spark rows]"
+            if full > 0 and not s_rows:
+                # vacuous-pass guard (ADVICE r7): if the ids are not
+                # dense/divisible by the stride (offset or multiplied
+                # ids), the keep() subset collapses to zero rows and
+                # the gate would pass on 0-vs-0 — fail loudly instead.
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: sampled subset empty "
+                    f"(full result had {full} rows; stride {stride} "
+                    "matches no spark rows — non-dense ids?)"
+                )
+                continue
         try:
             try:
                 if subproc_mode:
@@ -765,6 +777,17 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        if sampled_mode and name in SAMPLED and s_rows and not d_rows:
+            # mirror of the vacuous-pass guard on the oracle side: a
+            # sampled replay that returns nothing while spark kept
+            # rows means the oracle's stride predicate went stale
+            failures.append(name)
+            print(
+                f"FAIL  {name}: sampled oracle returned 0 rows while "
+                f"spark kept {len(s_rows)}"
+            )
             continue
 
         dt_bad = dtype_kind_mismatch(sdf, d_pdf)
