@@ -33,7 +33,7 @@ HEADLINE = [
     "session_windows",
     "events_tumbling_hourly",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "banded_simhash_dedup",
     "knn_bruteforce",
     "knn_ivf",
     "ann_ivf_sqrt_lists",

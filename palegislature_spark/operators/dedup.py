@@ -457,16 +457,31 @@ def simhash_pairs(
     * ``band_chunks=2`` (m = k+2): C(m, 2) bands keyed on ~2x the
       bits — candidate pairs shrink by ~2^width/(m-1) (~30x at k=6)
       for a (m-1)/2-fold explode increase. The sub-quadratic lever.
+    * ``band_chunks=j >= 3`` (m = k+j): the same pigeonhole scheme at
+      any rung — a pair within Hamming ``k`` leaves ``m - k >= j``
+      chunks intact, so SOME j-subset of chunks matches exactly and
+      the C(m, j) band keys (~j*60/m bits each) catch it. Each rung
+      up multiplies the explode by ~(m-1)/j but divides bucket
+      collision density by another ~2^(60/m) — the knob a 10^9-doc
+      corpus turns when C(m, 2) candidate density rises again
+      (Manku et al. §3: the index-combination count is a tunable).
     * ``band_chunks=None``: auto — 1 below ~20k docs (explode cost
-      dominates), 2 above (collision density dominates); one count()
-      action to size it, same policy as ivf_assignments(n_lists=None).
+      dominates), 2 to ~1M docs, 3 above (collision density per
+      j=2 key ~ n^2 * C(k+2,2) / 2^(2*60/(k+2)) passes ~10^9
+      candidates near a million docs at k=6 — thresholds derived in
+      BASELINE.md "SimHash banding rungs"); one count() action to
+      size it, same policy as ivf_assignments(n_lists=None).
+
+    ``band_chunks`` must satisfy ``band_chunks + max_hamming <= 60``
+    (every chunk needs at least one bit).
     """
     if band_chunks is None:
-        band_chunks = 1 if df.count() < 20_000 else 2
-    if band_chunks not in (1, 2):
+        n_docs = df.count()
+        band_chunks = 1 if n_docs < 20_000 else (2 if n_docs < 1_000_000 else 3)
+    if band_chunks < 1 or band_chunks + max_hamming > _SIMHASH_BITS:
         raise ValueError(
-            f"band_chunks must be 1, 2, or None (auto); got {band_chunks!r}"
-            " — the band-struct builder supports one- and two-chunk keys"
+            f"band_chunks must be >= 1 with band_chunks + max_hamming <= "
+            f"{_SIMHASH_BITS}, or None (auto); got {band_chunks!r}"
         )
     need = max(chunks, max_hamming + band_chunks)
     sig = simhash_signatures(df, id_col, text_col)
@@ -479,23 +494,16 @@ def simhash_pairs(
     def chunk_val(i: int) -> F.Column:
         return F.expr(f"shiftright(simhash, {offsets[i]}) & {(1 << widths[i]) - 1}")
 
-    if band_chunks == 1:
-        bands = [
-            F.struct(F.lit(i).alias("band"), chunk_val(i).alias("v1"))
-            for i in range(need)
-        ]
-    else:
-        from itertools import combinations
+    from itertools import combinations
 
-        bands = [
-            F.struct(
-                F.lit(b).alias("band"),
-                chunk_val(i).alias("v1"),
-                chunk_val(i2).alias("v2"),
-            )
-            for b, (i, i2) in enumerate(combinations(range(need), band_chunks))
-        ]
-    key_cols = ["band", "v1"] + (["v2"] if band_chunks > 1 else [])
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[chunk_val(ix).alias(f"v{t + 1}") for t, ix in enumerate(combo)],
+        )
+        for b, combo in enumerate(combinations(range(need), band_chunks))
+    ]
+    key_cols = ["band"] + [f"v{t + 1}" for t in range(band_chunks)]
     chunked = sig.select(
         id_col, "simhash", F.explode(F.array(*bands)).alias("__b")
     ).select(id_col, "simhash", "__b.*")

@@ -92,7 +92,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_simhash",
+    "banded_simhash_dedup",
     covers="J5/J7 extension: SimHash near-dup pairs (md5 hash family, banded Hamming search)",
     oracle="""
 WITH words AS (
@@ -120,7 +120,7 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """,
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def banded_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs at Hamming distance <= 6 over a 60-bit signature."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6).select(

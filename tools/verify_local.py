@@ -221,7 +221,7 @@ def _incremental_sampled(con, stride: int):
 
 
 def _simhash_sampled(con, stride: int):
-    """Bounded oracle for dedup_simhash: signatures for the whole
+    """Bounded oracle for banded_simhash_dedup: signatures for the whole
     corpus (linear), Hamming scan restricted to pairs touching the
     1-in-stride subset — O(subset x n) popcounts."""
     sql = f"""
@@ -572,7 +572,7 @@ SAMPLED = {
     "dedup_ngram_jaccard": (_doc_stride, _jaccard_sampled),
     "dedup_minhash_incremental": (_doc_stride, _incremental_sampled),
     "curation_funnel": (_doc_stride, _funnel_sampled),
-    "dedup_simhash": (_doc_stride, _simhash_sampled),
+    "banded_simhash_dedup": (_doc_stride, _simhash_sampled),
     "decontam_testset": (_doc_stride, _decontam_sampled),
     "coverage_dup_spans": (_doc_stride, _coverage_sampled),
     "cleanup_span_rewrite": (_doc_stride, _rewrite_sampled),
