@@ -99,12 +99,19 @@ def upsert_parquet(
     whole-dataset otherwise).  The live data is never deleted before
     its replacement is durable — a crash mid-job leaves the previous
     dataset intact, and a crash mid-swap leaves every partition at
-    either its old or its new complete state.  This also removes the
+    either its old or its new complete state.  Crash RECOVERY is
+    automatic under the single-writer convention: every call first
+    runs :func:`_repair_interrupted_swap`, which finishes a crashed
+    predecessor's publish (complete staging + missing live dir, or
+    partially swapped partition leaves) or discards an incomplete
+    staging — so no crash window leaves the dataset unreadable or
+    half-merged for the next writer/reader.  This also removes the
     read-then-overwrite-same-path cycle, so no checkpoint barrier is
     needed at all (the r1 design localCheckpoint'ed and overwrote in
     place: executor loss or mid-write failure could destroy the
     dataset — see ADVICE r1).
     """
+    _repair_interrupted_swap(spark, path)
     try:
         existing = spark.read.parquet(path)
         exists = True
@@ -145,6 +152,70 @@ def upsert_parquet(
         fs.rename(HPath(base), HPath(trash))
         fs.rename(HPath(staging), HPath(base))
         fs.delete(HPath(trash), True)
+
+
+def _repair_interrupted_swap(spark: SparkSession, path: str) -> None:
+    """Finish (or discard) the publish of a crashed previous
+    ``upsert_parquet`` call — run automatically at the start of every
+    call, making the swap protocol crash-recoverable under the
+    single-writer convention:
+
+    * staging absent: nothing to do (a leftover ``.__old__`` trash dir
+      from a crash after the final rename is deleted lazily by the
+      next swap).
+    * staging present WITHOUT ``_SUCCESS``: the crash hit mid-write —
+      the staged merge is incomplete and the live dataset was never
+      touched; discard staging.
+    * staging present WITH ``_SUCCESS``: the staged merge is complete,
+      so the crash hit the swap window. Whole-dataset mode (live dir
+      missing — the crash fell between ``rename(live -> trash)`` and
+      ``rename(staging -> live)``): finish by renaming staging in and
+      deleting trash. Partitioned mode (staging holds ``col=value``
+      leaves; already-swapped leaves were MOVED out of staging, so
+      the remainder is exactly the unfinished set): re-run the leaf
+      swaps idempotently, which also heals a leaf caught between its
+      delete and rename. A reader therefore never observes a
+      half-merged table: each partition (or the whole dataset) is
+      always at its complete old or complete new state, and the
+      repair converges it to the new one.
+    """
+    base = path.rstrip("/")
+    staging = base + ".__staging__"
+    fs, HPath = _hadoop_fs(spark, base)
+    if not fs.exists(HPath(staging)):
+        return
+    if not fs.exists(HPath(staging + "/_SUCCESS")):
+        fs.delete(HPath(staging), True)
+        return
+    leaves = [
+        st
+        for st in fs.listStatus(HPath(staging))
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    if leaves:
+        depth = 1
+        probe = leaves[0].getPath().toString()
+        while True:
+            subs = [
+                st
+                for st in fs.listStatus(HPath(probe))
+                if st.isDirectory() and "=" in st.getPath().getName()
+            ]
+            if not subs:
+                break
+            depth += 1
+            probe = subs[0].getPath().toString()
+        _swap_partitions(fs, HPath, staging, base, depth)
+        fs.delete(HPath(staging), True)
+        return
+    trash = base + ".__old__"
+    if not fs.exists(HPath(base)):
+        fs.rename(HPath(staging), HPath(base))
+        fs.delete(HPath(trash), True)
+    else:
+        # live dir intact: the crash hit before the first rename —
+        # the staged output is stale relative to the upcoming merge
+        fs.delete(HPath(staging), True)
 
 
 def _swap_partitions(fs, HPath, staging: str, live: str, depth: int) -> None:
@@ -251,6 +322,21 @@ def upsert_parquet_rowlevel(
     readers.  Single-writer convention (as with any file-format table
     without a locking catalog).
 
+    Interrupted-commit safety (r8, VERDICT r7 #6): the commit's file
+    list is the MANIFEST-TO-MANIFEST DELTA (previous committed set
+    minus superseded plus this merge's published names), never a
+    directory scan — files published by a crashed attempt that died
+    before its commit can NEVER leak into a later generation as
+    duplicates; they are swept at the start of the next merge
+    (anything on disk outside committed ∪ pending-retire). A legacy
+    directory without a manifest is bootstrapped (its as-found file
+    set committed) BEFORE anything is published, closing the same
+    window for the first managed merge. Whatever the crash point —
+    mid-staging, mid-publish, between publish and commit, or
+    mid-retire — ``read_snapshot`` observes either the complete old
+    generation or the complete new one (tests/test_pipelines.py
+    interrupted-commit tests).
+
     Raises ValueError on a hive-partitioned target (partition values
     live in directory names there — rewriting those rows into root
     files would corrupt the layout; use ``upsert_parquet``, whose
@@ -264,17 +350,14 @@ def upsert_parquet_rowlevel(
     keys = list(keys)
     base = path.rstrip("/")
     manifest = _read_manifest(spark, base)
-    if manifest is not None:
-        # snapshot-resolved target: pending-retire files on disk are
-        # NOT part of the dataset
-        tgt = spark.read.parquet(*[f"{base}/{f}" for f in manifest["files"]])
-        exists = True
-    else:
+    if manifest is None:
         try:
-            tgt = spark.read.parquet(path)
+            spark.read.parquet(path)
             exists = True
         except Exception:  # noqa: BLE001 — first write: no dataset yet
             exists = False
+    else:
+        exists = True
     if not exists:
         deduped = merge_by_key(None, updates, keys, version_col)
         deduped.write.mode("overwrite").parquet(path)
@@ -286,14 +369,36 @@ def upsert_parquet_rowlevel(
             "generation": 0,
         }
 
-    fs0, HPath0 = _hadoop_fs(spark, path.rstrip("/"))
-    for st in fs0.listStatus(HPath0(path.rstrip("/"))):
+    fs0, HPath0 = _hadoop_fs(spark, base)
+    for st in fs0.listStatus(HPath0(base)):
         if st.isDirectory() and "=" in st.getPath().getName():
             raise ValueError(
                 f"{path} is hive-partitioned ({st.getPath().getName()}/): "
                 "row-level rewrite would publish partition columns as data "
                 "columns in root files. Use upsert_parquet(partition_cols=...)."
             )
+    if manifest is None:
+        # legacy directory (plain Spark write, no manifest yet):
+        # BOOTSTRAP a manifest of the as-found file set before
+        # publishing anything — from here on every commit is a
+        # manifest-to-manifest delta, so a crash mid-publish can
+        # never leak uncommitted files into a later generation
+        _commit_manifest(spark, base)
+        manifest = _read_manifest(spark, base)
+    else:
+        # crashed-publish orphan sweep (single-writer convention):
+        # any part- file on disk outside the committed set and the
+        # pending-retire list was published by an interrupted merge
+        # and never committed — remove it before it can confuse a
+        # directory-level consumer
+        known = set(manifest["files"]) | set(manifest.get("retire", []))
+        for st in fs0.listStatus(HPath0(base)):
+            name = st.getPath().getName()
+            if name.startswith("part-") and name not in known:
+                fs0.delete(st.getPath(), False)
+    # snapshot-resolved target: pending-retire files on disk are
+    # NOT part of the dataset
+    tgt = spark.read.parquet(*[f"{base}/{f}" for f in manifest["files"]])
     if set(tgt.columns) != set(updates.columns):
         raise ValueError(
             "target/updates column mismatch: "
@@ -339,24 +444,31 @@ def upsert_parquet_rowlevel(
 
     # 1. the PREVIOUS merge's retire list has aged one full
     #    generation: physically remove it now
-    if manifest is not None:
-        for name in manifest.get("retire", []):
-            fs.delete(HPath(f"{base}/{name}"), False)
+    for name in manifest.get("retire", []):
+        fs.delete(HPath(f"{base}/{name}"), False)
     # 2. publish new files (uuid part names cannot collide) — invisible
     #    to manifest readers until the commit below
+    published = set()
     for st in fs.listStatus(HPath(staging)):
         name = st.getPath().getName()
         if name.startswith("part-"):
             fs.rename(st.getPath(), HPath(f"{base}/{name}"))
+            published.add(name)
     fs.delete(HPath(staging), True)
-    # 3. COMMIT: atomically publish the new complete file set (old
-    #    minus affected plus published). The affected originals stay
-    #    on disk as this manifest's retire list — excluded from
-    #    "files" so no reader mixes them with their replacements, kept
-    #    so a reader mid-scan on the previous generation finishes.
+    # 3. COMMIT: atomically publish the new complete file set as the
+    #    MANIFEST-TO-MANIFEST DELTA (previous committed set minus
+    #    affected plus published) — never a directory scan, which
+    #    would sweep a crashed prior attempt's orphans in as
+    #    duplicates. The affected originals stay on disk as this
+    #    manifest's retire list — excluded from "files" so no reader
+    #    mixes them with their replacements, kept so a reader
+    #    mid-scan on the previous generation finishes.
     affected_names = {f.rsplit("/", 1)[-1] for f in affected}
     generation = _commit_manifest(
-        spark, base, exclude=affected_names, retire=affected_names
+        spark,
+        base,
+        files=(set(manifest["files"]) - affected_names) | published,
+        retire=affected_names,
     )
 
     return {
@@ -376,10 +488,22 @@ def _commit_manifest(
     generation: int | None = None,
     exclude: set[str] | None = None,
     retire: set[str] | None = None,
+    files: set[str] | None = None,
 ) -> int:
-    """Atomically publish the current live ``part-`` files — minus
-    ``exclude`` (superseded originals awaiting retirement) — as the
-    next snapshot generation.
+    """Atomically publish a snapshot generation.
+
+    ``files`` (the crash-safe form, r8): commit EXACTLY these names —
+    the manifest-to-manifest delta the caller computed (previous
+    committed set minus superseded plus freshly published). A crashed
+    previous attempt may have left published-but-uncommitted ``part-``
+    files in the directory; a directory scan would sweep those
+    orphans into the new generation as duplicate rows, so every
+    post-bootstrap commit passes ``files`` explicitly.
+
+    Without ``files``: scan the directory for ``part-`` files minus
+    ``exclude`` — only safe when no uncommitted orphan can exist
+    (first write; legacy-directory bootstrap, which commits BEFORE
+    anything is published).
 
     Protocol: write ``_MANIFEST.tmp`` fully, then ``rename`` it to the
     fresh name ``_MANIFEST-<gen>`` — a rename to a non-existent
@@ -396,17 +520,18 @@ def _commit_manifest(
     prev = _read_manifest(spark, base)
     if generation is None:
         generation = (prev["generation"] + 1) if prev else 1
-    skip = exclude or set()
-    files = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(HPath(base))
-        if st.getPath().getName().startswith("part-")
-        and st.getPath().getName() not in skip
-    )
+    if files is None:
+        skip = exclude or set()
+        files = {
+            st.getPath().getName()
+            for st in fs.listStatus(HPath(base))
+            if st.getPath().getName().startswith("part-")
+            and st.getPath().getName() not in skip
+        }
     payload = json.dumps(
         {
             "generation": generation,
-            "files": files,
+            "files": sorted(files),
             "retire": sorted(retire or ()),
         }
     ).encode()
@@ -534,7 +659,7 @@ def vacuum(spark: SparkSession, path: str) -> int:
     fs, HPath = _hadoop_fs(spark, base)
     for name in m["retire"]:
         fs.delete(HPath(f"{base}/{name}"), False)
-    _commit_manifest(spark, base)
+    _commit_manifest(spark, base, files=set(m["files"]))
     return len(m["retire"])
 
 
@@ -565,14 +690,14 @@ def compact_files(
     base = path.rstrip("/")
     fs, HPath = _hadoop_fs(spark, base)
     manifest = _read_manifest(spark, base)
-    if manifest is not None:
-        live = set(manifest["files"])
-    else:
-        live = {
-            st.getPath().getName()
-            for st in fs.listStatus(HPath(base))
-            if st.getPath().getName().startswith("part-")
-        }
+    if manifest is None:
+        # same legacy bootstrap as the row-level merge: commit the
+        # as-found file set BEFORE publishing, so a crash mid-publish
+        # can never leak uncommitted compaction output into a later
+        # scan-based generation
+        _commit_manifest(spark, base)
+        manifest = _read_manifest(spark, base)
+    live = set(manifest["files"])
     small = [
         st.getPath().getName()
         for st in fs.listStatus(HPath(base))
@@ -600,16 +725,21 @@ def compact_files(
     if manifest is not None:
         for name in manifest.get("retire", []):
             fs.delete(HPath(f"{base}/{name}"), False)
-    written = 0
+    published = set()
     for st in fs.listStatus(HPath(staging)):
         name = st.getPath().getName()
         if name.startswith("part-"):
             fs.rename(st.getPath(), HPath(f"{base}/{name}"))
-            written += 1
+            published.add(name)
     fs.delete(HPath(staging), True)
+    # same manifest-to-manifest delta commit as the row-level merge
     generation = _commit_manifest(
-        spark, base, exclude=set(small), retire=set(small)
+        spark,
+        base,
+        files=(live - set(small)) | published,
+        retire=set(small),
     )
+    written = len(published)
     return {
         "files_compacted": len(small),
         "files_written": written,
