@@ -562,10 +562,80 @@ FROM sub s
     return sql, keep
 
 
+def _node_stride(con) -> int:
+    n = con.execute("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    n += con.execute("SELECT count(DISTINCT l_suppkey) FROM lineitem").fetchone()[0]
+    return max(1, n // 300)
+
+
+def _pagerank_sampled(con, stride: int):
+    """Bounded oracle for centrality_rank_suppliers: per-sampled-node
+    rank vs a CONFINED replay of the order-pinned exact_replay fold.
+
+    Confinement is exact for THIS graph because it is bipartite with
+    edges only customer -> supplier: a customer never appears as a
+    dst, so its rank is the closed-form (1 - d) from iteration 1 on,
+    independent of any supplier's rank; and a supplier never appears
+    as a src, so an unsampled supplier's (wrong, unpropagated) rank in
+    the confined r{i} tables feeds nothing. Restricting every c{i}
+    propagation join to sampled dst nodes therefore reproduces the
+    full replay bit-for-bit on the sampled slice, at O(sampled
+    in-edges) per round instead of O(E)."""
+    edges = """edges AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+    ctes = [
+        edges,
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"""samp AS (SELECT node FROM nodes
+        WHERE CAST(substr(node, 2) AS BIGINT) % {stride} = 0)""",
+        """deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       FROM edges GROUP BY src)""",
+        "r0 AS (SELECT node, 1.0e0 AS rank FROM nodes)",
+    ]
+    for i in range(1, 4):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst, e.src, r.rank / d.deg AS c
+  FROM edges e
+  JOIN samp sm ON sm.node = e.dst
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT dst, CAST(list_reduce(list(c ORDER BY src), (a, b) -> a + b)
+              AS DOUBLE) AS s
+  FROM c{i} GROUP BY dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         (1.0e0 - 0.85e0) + 0.85e0 * coalesce(s.s, 0.0e0) AS rank
+  FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node
+)"""
+        )
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT r.node, r.rank FROM r3 r JOIN samp USING (node)"
+    )
+
+    def keep(row_dict):
+        return int(row_dict["node"][1:]) % stride == 0
+
+    return sql, keep
+
+
 # name -> (stride_from_table, bounded_oracle_builder); stride targets
 # ~300 sampled entities regardless of corpus scale, so the gate's cost
 # stays O(300 x n) at any replica size
 SAMPLED = {
+    "centrality_rank_suppliers": (_node_stride, _pagerank_sampled),
     "embedding_near_dup": (_vec_stride, _near_dup_sampled),
     "cluster_semantic_dedup": (_vec_stride, _semantic_sampled),
     "dedup_minhash_lsh": (_doc_stride, _jaccard_sampled),
