@@ -1208,3 +1208,72 @@ def containment_shingle_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.9)
     )
+
+
+@register(
+    "quality_classifier_score",
+    covers="text-analysis extension: learned-quality scoring via a "
+    "hashing-trick linear classifier (fastText-style) — per-token "
+    "hashed feature -> integer milliweight, document score is ONE "
+    "long/long division over the milliweight sum; engine-exact "
+    "because both engines hash with md5 and accumulate in int64",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(tk,
+             w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 2001 - 1000
+         )) AS BIGINT) AS score_milli
+  FROM t
+)
+SELECT doc_id, n_tokens, score_milli,
+       score_milli / CAST(1000 * n_tokens AS DOUBLE) AS score,
+       score_milli * 100 >= 1000 * n_tokens AS kept
+FROM s
+""",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring with the hashing trick: the
+    production pattern is a fastText/logistic model whose weight
+    vector is hashed-feature indexed (Joulin et al. 2016), applied at
+    corpus scale as a pure scan. Here the "pretrained" weight table is
+    a deterministic function of the feature hash itself (md5 -> int32
+    -> milliweight in [-1000, 1000]), which keeps the query
+    self-contained and bit-exact on both engines while exercising the
+    exact production plan shape.
+
+    Scale shape: ZERO exchanges. Tokenize, per-token weight lookup,
+    and the document sum are all row-local (``transform`` +
+    ``aggregate`` higher-order functions over the token array — no
+    explode, no shuffle, no weight-table join: the hashing trick turns
+    the embedding/weight lookup into arithmetic). At 100 TB this is a
+    single map-only pass over the corpus; with a real trained model
+    the milliweight expression becomes a broadcast model-sized array
+    lookup (`weights[bucket]`), same plan.
+
+    Float discipline: the accumulator is int64 (milliweights), so
+    accumulation order cannot drift; `score` is ONE long/long
+    division and `kept` compares integers (score >= 0.01 rewritten as
+    100*sum >= 1000*n), so both engines see identical values.
+    """
+    docs = load(spark, sf_dir, "documents").withColumn("tk", F.split("text", " "))
+    milliweight = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % 2001 - 1000
+    )
+    s = docs.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "tk", F.lit(0).cast("long"), lambda acc, w: acc + milliweight(w)
+        ).alias("score_milli"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score_milli",
+        (F.col("score_milli") / (F.lit(1000) * F.col("n_tokens")).cast("double")).alias(
+            "score"
+        ),
+        (F.col("score_milli") * 100 >= F.lit(1000) * F.col("n_tokens")).alias("kept"),
+    )

@@ -303,3 +303,40 @@ def test_bigram_packed_codes_nonascii(spark):
     assert sorted(bigrams, key=lambda b: code_of[b]) == bigrams
     # and ascii() really returns full codepoints, not first bytes
     assert code_of["中文"] == ord("中") * 2097152 + ord("文")
+
+
+def test_quality_classifier_known_weights(spark, tmp_path):
+    """Hand-checked milliweights: score_milli is the exact sum of the
+    per-token hashed weights, `kept` is the integer-rewritten
+    score >= 0.01 comparison, and the plan is map-only (zero shuffle
+    exchanges) — the hashing trick must not introduce a join."""
+    import hashlib
+
+    def milli(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    rows = [
+        (1, "hello a b", "en", "s", 9),
+        (2, "hello hello hello", "en", "s", 17),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    from palegislature_spark.queries.text import quality_classifier_score
+
+    res = quality_classifier_score(spark, str(tmp_path))
+    out = {r.doc_id: r for r in res.collect()}
+    exp1 = milli("hello") + milli("a") + milli("b")
+    assert out[1].score_milli == exp1
+    assert out[1].score == exp1 / 3000.0
+    assert out[1].kept == (exp1 * 100 >= 3000)
+    assert out[2].score_milli == 3 * milli("hello")
+    # milli("hello") = 467 > 10 per token, so doc 2 clears tau = 0.01
+    assert out[2].kept
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert not re.findall(r"\bExchange\b", plan), "classifier scan must be map-only"
