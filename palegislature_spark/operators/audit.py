@@ -1,0 +1,126 @@
+"""Declarative data-quality audit (Deequ-style constraint suites).
+
+A training-data pipeline gates every ingest batch on a suite of
+declared constraints — completeness, value domains, ranges, key
+uniqueness, referential integrity (reference parity: the rulebook
+validation pass in apply_edits.py and the crawl completeness gate in
+crawl.py:678 both hand-roll this per table; here it is one generic
+operator). The design point for 100 TB is pass-minimization:
+
+- every ROW-LOCAL constraint (not-null / in-set / range / regex /
+  arbitrary predicate) compiles to one conditional-sum column inside a
+  SINGLE whole-stage-codegen aggregate, so N constraints cost exactly
+  one scan of the table, not N;
+- key-uniqueness rides the SAME aggregate via count(distinct),
+  which Spark plans as an Expand + two-level partial agg (map-side
+  combined, no extra scan);
+- referential integrity is the only constraint class that needs a
+  second relation: a LEFT ANTI join on the key (broadcast when the
+  parent side is dimension-sized, shuffled otherwise — Catalyst/AQE
+  picks from stats).
+
+Results come back violations-as-data (the house pattern): one row per
+constraint ``(constraint, violations, total, passed)`` — never an
+exception — so the gate composes with joins/filters downstream and a
+100-table audit is itself just a union of DataFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCHEMA_COLS = ("constraint", "violations", "total", "passed")
+
+
+@dataclass(frozen=True)
+class Violation:
+    """A row-local constraint: ``predicate`` marks a VIOLATING row."""
+
+    name: str
+    predicate: Column
+
+
+def audit_scalar(df: DataFrame, checks: list[Violation],
+                 unique_keys: dict[str, list[str]] | None = None) -> DataFrame:
+    """Evaluate all row-local checks (and optional key-uniqueness
+    checks) in ONE aggregate pass over ``df``.
+
+    Returns the long-format result table ``(constraint, violations,
+    total, passed)``, one row per check, built by exploding the single
+    1-row aggregate — driver never sees the data, and the explode is
+    over a constraint-count-sized array.
+    """
+    unique_keys = unique_keys or {}
+    # internal aliases are positional (constraint names like
+    # "orders.orderkey_unique" contain dots, which F.col would parse
+    # as struct access); the user-facing name only ever appears as a
+    # string literal in the output
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for i, c in enumerate(checks):
+        aggs.append(
+            F.sum(F.when(c.predicate, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+        )
+    for i, cols in enumerate(unique_keys.values()):
+        # duplicate rows = total - distinct keys (0 when the key is unique)
+        aggs.append(F.count_distinct(*[F.col(c) for c in cols]).alias(f"_d{i}"))
+    one = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c.name).alias("constraint"),
+            F.col(f"_v{i}").alias("violations"),
+        )
+        for i, c in enumerate(checks)
+    ] + [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            (F.col("_total") - F.col(f"_d{i}")).cast("long").alias("violations"),
+        )
+        for i, name in enumerate(unique_keys)
+    ]
+    return (
+        one.select(F.col("_total"), F.explode(F.array(*entries)).alias("e"))
+        .select(
+            F.col("e.constraint").alias("constraint"),
+            F.col("e.violations").alias("violations"),
+            F.col("_total").alias("total"),
+            (F.col("e.violations") == 0).alias("passed"),
+        )
+    )
+
+
+def audit_foreign_key(name: str, child: DataFrame, child_col: str,
+                      parent: DataFrame, parent_col: str) -> DataFrame:
+    """Referential-integrity check: rows of ``child`` whose key has no
+    match in ``parent`` (NULL child keys are completeness's job, not
+    FK's — they are excluded, matching ANSI FK semantics).
+
+    One LEFT ANTI join; at scale the parent side is usually the
+    dimension (broadcast), else AQE shuffles both on the key.
+    """
+    non_null = child.filter(F.col(child_col).isNotNull())
+    orphans = non_null.join(
+        parent.select(F.col(parent_col).alias(child_col)).distinct(),
+        child_col,
+        "left_anti",
+    )
+    return (
+        orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .crossJoin(non_null.agg(F.count(F.lit(1)).cast("long").alias("total")))
+        .select(
+            F.lit(name).alias("constraint"),
+            "violations",
+            "total",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+
+
+def audit_union(*parts: DataFrame) -> DataFrame:
+    """Stack audit result tables into one suite report, sorted by
+    constraint name (deterministic output order for gating/diffing)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*_SCHEMA_COLS).orderBy("constraint")

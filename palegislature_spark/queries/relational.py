@@ -753,3 +753,71 @@ def year_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.select(
         "custkey", F.explode(F.sequence("y0", "y1")).alias("year")
     )
+
+
+@register(
+    "constraint_quality_audit",
+    covers="training-pipeline extension: declarative data-quality "
+    "audit (Deequ-style constraint suite) — all row-local checks "
+    "fused into ONE aggregate scan, key-uniqueness in the same pass, "
+    "referential integrity as a LEFT ANTI join; violations-as-data "
+    "(reference parity: apply_edits.py validation pass, "
+    "crawl.py:678 completeness gate)",
+    oracle="""
+WITH scalar AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_complete,
+    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique
+  FROM orders
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey IS NOT NULL
+),
+long_fmt AS (
+  SELECT 'orders.custkey_complete' AS "constraint", v_complete AS violations, total FROM scalar
+  UNION ALL
+  SELECT 'orders.status_domain', v_domain, total FROM scalar
+  UNION ALL
+  SELECT 'orders.totalprice_positive', v_range, total FROM scalar
+  UNION ALL
+  SELECT 'orders.orderkey_unique', v_unique, total FROM scalar
+  UNION ALL
+  SELECT 'lineitem.orderkey_fk', violations, total FROM fk
+)
+SELECT "constraint", violations, total, violations = 0 AS passed
+FROM long_fmt ORDER BY "constraint"
+""",
+)
+def constraint_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate a batch on a declared constraint suite: completeness,
+    value domain, range, key uniqueness (orders), plus lineitem ->
+    orders referential integrity. The four orders-side checks cost
+    ONE scan (operators/audit.py fuses them into a single aggregate);
+    the FK check is the only second relation touched.
+    """
+    from palegislature_spark.operators import audit
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    scalar = audit.audit_scalar(
+        o,
+        [
+            audit.Violation("orders.custkey_complete", F.col("o_custkey").isNull()),
+            audit.Violation(
+                "orders.status_domain", ~F.col("o_orderstatus").isin("O", "F", "P")
+            ),
+            audit.Violation("orders.totalprice_positive", F.col("o_totalprice") <= 0),
+        ],
+        unique_keys={"orders.orderkey_unique": ["o_orderkey"]},
+    )
+    fk = audit.audit_foreign_key(
+        "lineitem.orderkey_fk", li, "l_orderkey", o, "o_orderkey"
+    )
+    return audit.audit_union(scalar, fk)

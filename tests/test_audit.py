@@ -1,0 +1,102 @@
+"""Declarative data-quality audit (operators/audit.py)."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from palegislature_spark.operators import audit
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, status string, price double")
+
+
+def test_audit_counts_planted_violations(spark):
+    df = _mk(
+        spark,
+        [
+            (1, "O", 10.0),
+            (2, "F", -5.0),   # range violation
+            (2, "X", 20.0),   # domain violation + duplicate key
+            (None, "O", 0.0),  # null key + range violation (price <= 0)
+        ],
+    )
+    res = audit.audit_scalar(
+        df,
+        [
+            audit.Violation("t.k_complete", F.col("k").isNull()),
+            audit.Violation("t.status_domain", ~F.col("status").isin("O", "F")),
+            audit.Violation("t.price_positive", F.col("price") <= 0),
+        ],
+        unique_keys={"t.k_unique": ["k"]},
+    )
+    out = {r.constraint: r for r in res.collect()}
+    assert out["t.k_complete"].violations == 1
+    assert out["t.status_domain"].violations == 1
+    assert out["t.price_positive"].violations == 2
+    # 4 rows, distinct keys {1, 2, NULL->not counted by count_distinct}
+    # => 4 - 2 = 2 "duplicate" rows (the NULL-key row is completeness's
+    # finding, and it also shows up here — acceptable: a table with
+    # NULL keys is not unique-keyed)
+    assert out["t.k_unique"].violations == 2
+    assert all(r.total == 4 for r in out.values())
+    assert not out["t.k_complete"].passed
+    assert set(out) == {
+        "t.k_complete", "t.status_domain", "t.price_positive", "t.k_unique"
+    }
+
+
+def test_audit_all_green_passes(spark):
+    df = _mk(spark, [(1, "O", 10.0), (2, "F", 5.0)])
+    res = audit.audit_scalar(
+        df,
+        [audit.Violation("t.price_positive", F.col("price") <= 0)],
+        unique_keys={"t.k_unique": ["k"]},
+    )
+    assert all(r.passed and r.violations == 0 for r in res.collect())
+
+
+def test_audit_fk_orphans_and_null_exclusion(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    res = audit.audit_foreign_key("c.fk", child, "fk", parent, "pk").collect()
+    assert len(res) == 1
+    r = res[0]
+    # the NULL-fk row is excluded (ANSI FK semantics); 99 is the orphan
+    assert r.total == 3 and r.violations == 1 and not r.passed
+
+
+def test_audit_scalar_is_single_scan(spark):
+    """All row-local checks + uniqueness must compile to one aggregate
+    over one scan — N constraints may not cost N passes. count_distinct
+    adds an Expand inside the same scan, never a second file read."""
+    df = _mk(spark, [(1, "O", 10.0)])
+    res = audit.audit_scalar(
+        df,
+        [
+            audit.Violation("a", F.col("k").isNull()),
+            audit.Violation("b", F.col("price") <= 0),
+        ],
+        unique_keys={"u": ["k"]},
+    )
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    # "(n) Scan ..." headers appear once per node in the tree section
+    scans = re.findall(r"\(\d+\) (?:Scan|LocalTableScan)", plan)
+    assert len(scans) == 1, plan
+
+
+def test_audit_union_sorted(spark):
+    a = spark.createDataFrame(
+        [("z.last", 0, 1, True)], "constraint string, violations long, total long, passed boolean"
+    )
+    b = spark.createDataFrame(
+        [("a.first", 2, 3, False)], "constraint string, violations long, total long, passed boolean"
+    )
+    rows = audit.audit_union(a, b).collect()
+    assert [r.constraint for r in rows] == ["a.first", "z.last"]
