@@ -878,3 +878,46 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{base}/centroids"),
         spark.read.parquet(f"{base}/assignments"),
     )
+
+
+def max_cosine_vs_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_vectors: list[list[float]],
+    max_eval: int = 100_000,
+) -> DataFrame:
+    """Max cosine of every corpus vector against a MODEL-SIZED eval
+    set, as a map-only scan (semantic decontamination: Lee et al.
+    "Deduplicating Training Data", benchmark-leak variant).
+
+    The eval set is inlined as literal vectors — each corpus row
+    computes all eval dot products in one codegen stage, so the plan
+    has ZERO exchanges: at 100 TB this is a single pass over the
+    corpus, embarrassingly parallel. That only holds while the eval
+    side is model-sized (benchmarks are 1e2..1e5 vectors); past
+    ``max_eval`` this raises rather than silently building a
+    megabyte-scale expression tree — use the IVF/LSH join paths for
+    corpus-vs-corpus scale.
+
+    Returns ``(id_col, eval_cos_max)`` with the max cosine in double
+    precision (un-rounded; callers round at the comparison seam).
+    """
+    if len(eval_vectors) > max_eval:
+        raise ValueError(
+            f"eval set has {len(eval_vectors)} vectors (> {max_eval}); "
+            "inlined scan is for model-sized eval sets — use ivf_topk"
+        )
+    if not eval_vectors:
+        raise ValueError("eval set is empty")
+    import math
+
+    x = _as_double(vec_col)
+    norm_x = _norm(x)
+    cos_exprs = []
+    for vec in eval_vectors:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        norm_e = math.sqrt(math.fsum(float(v) * float(v) for v in vec))
+        cos_exprs.append(_dot(x, lit) / (norm_x * F.lit(norm_e)))
+    cos_max = cos_exprs[0] if len(cos_exprs) == 1 else F.greatest(*cos_exprs)
+    return df.select(F.col(id_col), cos_max.alias("eval_cos_max"))

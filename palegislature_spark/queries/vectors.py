@@ -472,3 +472,50 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(hits, "c_custkey").select(
         "c_custkey", "in_orders", "might_contain"
     )
+
+
+@register(
+    "semantic_decontam",
+    covers="training-pipeline extension: embedding-space "
+    "decontamination — drop training vectors semantically close to a "
+    "model-sized benchmark/eval set (the embedding twin of the n-gram "
+    "decontam_testset); eval side inlined, map-only corpus pass",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 24
+),
+t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 24
+),
+m AS (
+  SELECT t.vec_id, max(list_cosine_similarity(t.v, e.v)) AS mc
+  FROM t CROSS JOIN e GROUP BY t.vec_id
+)
+SELECT vec_id, round(mc, 6) AS eval_cos_max,
+       round(mc, 6) >= 0.42 AS contaminated
+FROM m
+""",
+)
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in embedding space: every training
+    vector's max cosine against the eval set (vec_id < 24 plays the
+    benchmark), flagged at 0.42. The eval set is collected (it is
+    model-sized by definition — guarded in max_cosine_vs_eval) and
+    inlined, so the corpus side is ONE map-only pass: zero exchanges,
+    plan-asserted in tests/test_similarity.py. Cosines are compared
+    at 6dp on both engines (the knn_bruteforce rounding seam)."""
+    emb = load(spark, sf_dir, "embeddings")
+    eval_vecs = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 24)
+        .select("embedding")
+        .collect()
+    ]
+    scored = similarity.max_cosine_vs_eval(
+        emb.filter(F.col("vec_id") >= 24), "vec_id", "embedding", eval_vecs
+    )
+    return scored.select(
+        "vec_id",
+        F.round("eval_cos_max", 6).alias("eval_cos_max"),
+        (F.round("eval_cos_max", 6) >= 0.42).alias("contaminated"),
+    )

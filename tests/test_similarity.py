@@ -302,3 +302,47 @@ def test_grid_key_selectivity_compounds_low_dim(spark):
     }
     assert counts[2] <= 0.8 * counts[1], counts
     assert counts[3] <= 0.8 * counts[2], counts
+
+
+def test_max_cosine_vs_eval_flags_planted(spark):
+    """A planted copy of an eval vector scores cosine 1; an orthogonal
+    vector scores 0; the corpus scan is map-only (zero exchanges)."""
+    import re
+
+    from palegislature_spark.operators.similarity import max_cosine_vs_eval
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]),   # colinear with e1 -> cos 1
+         (101, [0.0, 0.0, 3.0, 0.0]),   # orthogonal to both -> cos 0
+         (102, [1.0, 1.0, 0.0, 0.0])],  # 45 deg to each -> cos ~0.7071
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.eval_cos_max
+           for r in max_cosine_vs_eval(corpus, "vec_id", "embedding", [e1, e2]).collect()}
+    assert abs(out[100] - 1.0) < 1e-12
+    assert abs(out[101]) < 1e-12
+    assert abs(out[102] - 2 ** -0.5) < 1e-12
+
+    res = max_cosine_vs_eval(corpus, "vec_id", "embedding", [e1, e2])
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    assert not re.findall(r"\bExchange\b", plan), "decontam scan must be map-only"
+
+
+def test_max_cosine_vs_eval_guards(spark):
+    import pytest
+
+    from palegislature_spark.operators.similarity import max_cosine_vs_eval
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        max_cosine_vs_eval(corpus, "vec_id", "embedding", [])
+    with pytest.raises(ValueError, match="model-sized"):
+        max_cosine_vs_eval(
+            corpus, "vec_id", "embedding", [[1.0, 0.0]] * 3, max_eval=2
+        )
