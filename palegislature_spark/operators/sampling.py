@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HEX_DIGITS = 15  # 60 bits of the md5 — plenty below float precision loss
 
@@ -154,4 +155,63 @@ def sample_k_per_group(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    n_buckets_hex_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order permutation (the "shuffle
+    each epoch" a data loader needs), with exact 1-based global
+    positions computed WITHOUT a single-partition sort.
+
+    Every row draws a reshuffle key ``md5(seed || id)``; the global
+    rank in key order is assembled as range-bucket prefix sums (the
+    packing.py two-phase pattern):
+
+    1. bucket = first ``n_buckets_hex_chars`` hex chars of the key
+       (256 buckets at the default — uniform by construction, raise
+       to 3-4 chars past ~1e10 rows so per-bucket sorts stay in
+       memory);
+    2. within-bucket rank: ``row_number`` over a window PARTITIONED by
+       bucket (distributed sort, never one partition);
+    3. bucket offsets: one map-side-combined count per bucket, prefix
+       sum over the 256-row bucket table (the only unpartitioned
+       window, bounded by construction), broadcast back.
+
+    position = offset(bucket) + within. Ordering ties on the full key
+    break by ``id_col``, so the permutation is total and reproducible
+    on any engine.
+    """
+    k = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), k.alias("shuffle_key")).withColumn(
+        "bucket", F.substring("shuffle_key", 1, n_buckets_hex_chars)
+    )
+    within = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("shuffle_key", id_col)
+    )
+    ranked = keyed.withColumn("within", within)
+    offsets = (
+        keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("n")
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        F.col(id_col),
+        "shuffle_key",
+        (F.col("offset") + F.col("within")).cast("long").alias("position"),
     )

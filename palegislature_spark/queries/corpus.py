@@ -1159,3 +1159,31 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_qty_min").cast("long").alias("min_qty"),
         F.col("max_qty_max").cast("long").alias("max_qty"),
     )
+
+
+@register(
+    "training_order_epoch",
+    covers="training-pipeline extension: deterministic per-epoch "
+    "global shuffle order (data-loader permutation) — exact global "
+    "positions via range-bucket prefix sums, no single-partition "
+    "sort; engine-exact because the key is md5 and ranks are integer",
+    oracle="""
+SELECT doc_id,
+       md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (
+         ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position
+FROM documents
+""",
+)
+def training_order_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 training order for the documents corpus: a total,
+    reproducible permutation (seeded md5 reshuffle key) with exact
+    global positions. The oracle ranks with one global window; the
+    Spark plan replaces that with 256-way range buckets + prefix-sum
+    offsets (operators/sampling.py epoch_order), so no stage ever
+    sorts more than ~1/256 of the corpus in one task."""
+    from palegislature_spark.operators.sampling import epoch_order
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return epoch_order(docs, "doc_id", "epoch1:")

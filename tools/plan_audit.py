@@ -70,6 +70,10 @@ ALLOW_NESTED_LOOP = {
     # grand-total crossJoin(broadcast(<1-row count>)) replacing the
     # former single-partition count(*) OVER () window (VERDICT r5 fix)
     "filter_null_coalesce",
+    # FK-audit report row: crossJoin of TWO 1-row aggregates
+    # (orphan count x child-row count) — scalar x scalar, not
+    # data-scale (operators/audit.py audit_foreign_key)
+    "constraint_quality_audit",
 }
 
 # Pipeline DataFrames whose only NLJ is a 1-row scalar attach
