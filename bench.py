@@ -59,6 +59,10 @@ HEADLINE = [
     "bm25_relevance",
     "bpe_encode_corpus",
     "corpus_source_gate",
+    "classifier_quality_score",
+    "constraint_quality_audit",
+    "benchmark_decontam_semantic",
+    "corpus_training_order",
 ]
 
 

@@ -1211,7 +1211,7 @@ def containment_shingle_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quality_classifier_score",
+    "classifier_quality_score",
     covers="text-analysis extension: learned-quality scoring via a "
     "hashing-trick linear classifier (fastText-style) — per-token "
     "hashed feature -> integer milliweight, document score is ONE "
@@ -1233,7 +1233,7 @@ SELECT doc_id, n_tokens, score_milli,
 FROM s
 """,
 )
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier scoring with the hashing trick: the
     production pattern is a fastText/logistic model whose weight
     vector is hashed-feature indexed (Joulin et al. 2016), applied at

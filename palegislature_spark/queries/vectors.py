@@ -475,7 +475,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semantic_decontam",
+    "benchmark_decontam_semantic",
     covers="training-pipeline extension: embedding-space "
     "decontamination — drop training vectors semantically close to a "
     "model-sized benchmark/eval set (the embedding twin of the n-gram "
@@ -496,7 +496,7 @@ SELECT vec_id, round(mc, 6) AS eval_cos_max,
 FROM m
 """,
 )
-def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def benchmark_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination in embedding space: every training
     vector's max cosine against the eval set (vec_id < 24 plays the
     benchmark), flagged at 0.42. The eval set is collected (it is

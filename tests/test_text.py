@@ -323,9 +323,9 @@ def test_quality_classifier_known_weights(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     df.write.parquet(f"{tmp_path}/documents.parquet")
-    from palegislature_spark.queries.text import quality_classifier_score
+    from palegislature_spark.queries.text import classifier_quality_score
 
-    res = quality_classifier_score(spark, str(tmp_path))
+    res = classifier_quality_score(spark, str(tmp_path))
     out = {r.doc_id: r for r in res.collect()}
     exp1 = milli("hello") + milli("a") + milli("b")
     assert out[1].score_milli == exp1
