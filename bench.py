@@ -61,6 +61,7 @@ HEADLINE = [
     "corpus_source_gate",
     "classifier_quality_score",
     "constraint_quality_audit",
+    "audit_category_drift",
     "benchmark_decontam_semantic",
     "corpus_training_order",
 ]

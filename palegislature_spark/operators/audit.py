@@ -30,6 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 _SCHEMA_COLS = ("constraint", "violations", "total", "passed")
 
@@ -124,3 +125,59 @@ def audit_union(*parts: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*_SCHEMA_COLS).orderBy("constraint")
+
+
+def category_drift(
+    df: DataFrame,
+    is_current: Column,
+    columns: list[str],
+    threshold: float,
+) -> DataFrame:
+    """Batch-over-batch categorical drift report: for every category of
+    every listed column, the share in the PREVIOUS batch vs the CURRENT
+    batch (rows split by ``is_current``) and whether the absolute shift
+    crosses ``threshold`` — the ingest-gate companion to
+    ``audit_scalar`` (a training pipeline alerts on distribution shift
+    between refreshes, not just on broken rows).
+
+    Scale shape: the N monitored columns are melted row-locally
+    (posexplode of an array literal — no join, no second scan), then
+    ONE map-side-combined aggregate on (column, category) produces the
+    per-batch counts; shares are single long/long divisions against
+    per-column batch totals computed by a window over the
+    dimension-sized counts table — so the whole report is one corpus
+    pass + dimension-sized post-processing.
+    Output is violations-as-data: every (column, category) row comes
+    back, ``drifted`` flags the crossers.
+    """
+    melted = df.select(
+        is_current.alias("_cur"),
+        F.posexplode(F.array(*[F.col(c).cast("string") for c in columns])).alias(
+            "_ci", "category"
+        ),
+    ).select(
+        F.element_at(F.array(*[F.lit(c) for c in columns]), F.col("_ci") + 1).alias(
+            "column"
+        ),
+        "category",
+        "_cur",
+    )
+    counts = melted.groupBy("column", "category").agg(
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_prev"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    w = Window.partitionBy("column")
+    shares = counts.withColumn(
+        "prev_share", F.col("n_prev") / F.sum("n_prev").over(w)
+    ).withColumn("cur_share", F.col("n_cur") / F.sum("n_cur").over(w))
+    return shares.select(
+        "column",
+        "category",
+        "n_prev",
+        "n_cur",
+        "prev_share",
+        "cur_share",
+        (F.abs(F.col("cur_share") - F.col("prev_share")) > threshold).alias(
+            "drifted"
+        ),
+    )

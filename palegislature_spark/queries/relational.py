@@ -821,3 +821,57 @@ def constraint_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem.orderkey_fk", li, "l_orderkey", o, "o_orderkey"
     )
     return audit.audit_union(scalar, fk)
+
+
+@register(
+    "audit_category_drift",
+    covers="training-pipeline extension: batch-over-batch categorical "
+    "drift report (ingest-gate distribution-shift alarm) — columns "
+    "melted row-locally, ONE map-side-combined (column, category) "
+    "aggregate, shares as single long/long divisions; engine-exact",
+    oracle="""
+WITH melted AS (
+  SELECT year(o_orderdate) >= 1997 AS cur,
+         'o_orderstatus' AS "column", o_orderstatus AS category
+  FROM orders
+  UNION ALL
+  SELECT year(o_orderdate) >= 1997, 'o_orderpriority', o_orderpriority
+  FROM orders
+),
+counts AS (
+  SELECT "column", category,
+         CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+         CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM melted GROUP BY 1, 2
+),
+shares AS (
+  SELECT "column", category, n_prev, n_cur,
+         n_prev / CAST(sum(n_prev) OVER (PARTITION BY "column") AS DOUBLE)
+           AS prev_share,
+         n_cur / CAST(sum(n_cur) OVER (PARTITION BY "column") AS DOUBLE)
+           AS cur_share
+  FROM counts
+)
+SELECT "column", category, n_prev, n_cur, prev_share, cur_share,
+       abs(cur_share - prev_share) > 0.005 AS drifted
+FROM shares
+""",
+)
+def audit_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift gate between dataset refreshes: orders before
+    1997 play the previous batch, 1997+ the current one; per-category
+    shares of o_orderstatus / o_orderpriority are compared at a
+    half-point threshold (the synthetic generator draws both columns
+    uniformly, so only sampling-level shifts exist; planted real drift
+    is exercised in tests/test_audit.py). One scan of orders; the
+    share windows run over the (column, category)-sized counts table.
+    """
+    from palegislature_spark.operators import audit
+
+    o = load(spark, sf_dir, "orders")
+    return audit.category_drift(
+        o,
+        F.year("o_orderdate") >= 1997,
+        ["o_orderstatus", "o_orderpriority"],
+        threshold=0.005,
+    )

@@ -100,3 +100,38 @@ def test_audit_union_sorted(spark):
     )
     rows = audit.audit_union(a, b).collect()
     assert [r.constraint for r in rows] == ["a.first", "z.last"]
+
+
+def test_category_drift_flags_shifted_column(spark):
+    """Planted shift: 'status' flips distribution between batches,
+    'prio' stays identical — exactly one column's categories drift.
+    Melt must be single-scan (no self-union: one scan node)."""
+    rows = (
+        [(False, "A", "x")] * 8 + [(False, "B", "y")] * 2   # prev: A 80%
+        + [(True, "A", "x")] * 2 + [(True, "B", "y")] * 8   # cur:  A 20%
+    )
+    df = spark.createDataFrame(rows, "cur boolean, status string, prio string")
+    res = audit.category_drift(df, F.col("cur"), ["status", "prio"], threshold=0.3)
+    out = {(r.column, r.category): r for r in res.collect()}
+    a = out[("status", "A")]
+    assert a.n_prev == 8 and a.n_cur == 2
+    assert a.prev_share == 0.8 and a.cur_share == 0.2
+    assert a.drifted
+    assert out[("status", "B")].drifted
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    scans = re.findall(r"\(\d+\) (?:Scan|LocalTableScan)", plan)
+    assert len(scans) == 1, "melt must not rescan the input per column"
+
+
+def test_category_drift_stable_column_not_flagged(spark):
+    rows = (
+        [(False, "A", "x")] * 5 + [(False, "B", "x")] * 5
+        + [(True, "A", "x")] * 2 + [(True, "B", "x")] * 8
+    )
+    df = spark.createDataFrame(rows, "cur boolean, status string, prio string")
+    res = audit.category_drift(df, F.col("cur"), ["status", "prio"], threshold=0.2)
+    out = {(r.column, r.category): r for r in res.collect()}
+    assert out[("status", "A")].drifted and out[("status", "B")].drifted
+    assert not out[("prio", "x")].drifted  # 100% -> 100%, shift 0
