@@ -921,3 +921,65 @@ def max_cosine_vs_eval(
         cos_exprs.append(_dot(x, lit) / (norm_x * F.lit(norm_e)))
     cos_max = cos_exprs[0] if len(cos_exprs) == 1 else F.greatest(*cos_exprs)
     return df.select(F.col(id_col), cos_max.alias("eval_cos_max"))
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to FIXED centroids — the exact argmax-cosine /
+    list_id tie-break expression the index build uses — returning rows
+    in the assignments schema ``(id_col, list_id, __vec)``.
+
+    One broadcast of the n_lists-row centroid set, O(batch * n_lists)
+    scores, no shuffle beyond the per-id argmax window.
+    """
+    vecs = vectors.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    scored = vecs.join(F.broadcast(centroids)).select(
+        "__id",
+        "__v",
+        "list_id",
+        (
+            _dot(F.col("__v"), F.col("centroid")) / (F.col("__n") * F.col("__cn"))
+        ).alias("__cos"),
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__cos").desc(), "list_id")
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter("__r = 1")
+        .select(F.col("__id").alias(id_col), "list_id", F.col("__v").alias("__vec"))
+    )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: index a NEW vector batch into a
+    saved index (:func:`save_ivf_index`) without rebuilding — assign
+    only the batch against the persisted centroids and append to the
+    assignments dataset. Cost is O(batch * n_lists) + one append
+    write; the corpus already indexed is never touched (the MinHash
+    incremental-index pattern, operators/dedup.py, applied to IVF).
+
+    Centroids are deliberately NOT re-trained per batch (standard IVF
+    serving practice: probes must keep matching the lists existing
+    vectors were filed under; re-cluster offline when list-size skew
+    accumulates — skew is observable from the assignments table).
+    Contract: ids are append-only; the caller dedups a batch that may
+    re-deliver already-indexed ids (e.g. via the merge layer) before
+    appending.
+    """
+    base = path.rstrip("/")
+    cents = spark.read.parquet(f"{base}/centroids")
+    assigned = assign_to_centroids(new_vectors, cents, id_col, vec_col)
+    assigned.repartition("list_id").write.mode("append").parquet(
+        f"{base}/assignments"
+    )

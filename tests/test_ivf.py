@@ -344,3 +344,32 @@ def test_ivf_multiprobe_recall_vs_cost_ladder(skewed_10k, spark):
         .collect())
     )
     assert full == brute
+
+
+def test_ivf_append_equals_frozen_full_assignment(spark, tmp_path, skewed):
+    """Incremental maintenance: index the first 80% then append the
+    rest — the assignments table must equal assigning the FULL corpus
+    against the same frozen centroids (the append files new vectors
+    under exactly the lists a probe will search), and a probe must be
+    able to return appended vectors as neighbors."""
+    base = skewed.filter("vec_id % 5 != 0")
+    batch = skewed.filter("vec_id % 5 = 0")
+    idx = str(tmp_path / "idx")
+    similarity.save_ivf_index(base, idx, n_lists=4, refine_iters=1)
+    cents, _ = similarity.load_ivf_index(spark, idx)
+
+    similarity.ivf_append(spark, idx, batch)
+    _, assigns = similarity.load_ivf_index(spark, idx)
+
+    expected = similarity.assign_to_centroids(skewed, cents)
+    got = sorted((r.vec_id, r.list_id) for r in assigns.collect())
+    want = sorted((r.vec_id, r.list_id) for r in expected.collect())
+    assert got == want
+    assert len(got) == skewed.count()
+
+    # an appended vector must be reachable by a probe
+    some_new = batch.limit(1).collect()[0].vec_id
+    queries = skewed.filter(f"vec_id = {some_new}")
+    cents2, assigns2 = similarity.load_ivf_index(spark, idx)
+    res = similarity.ivf_probe(cents2, assigns2, queries, k=3, n_probe=2)
+    assert res.count() > 0
