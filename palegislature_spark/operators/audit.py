@@ -166,6 +166,35 @@ def category_drift(
         F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_prev"),
         F.sum(F.when(F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
     )
+    return drift_from_counts(counts, threshold)
+
+
+def category_counts(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-batch category histogram ``(column, category, n)`` for the
+    monitored columns — the melt half of :func:`category_drift`, kept
+    separate so a streaming sink can maintain the counts incrementally
+    (additive merge) and diff GENERATIONS of the persisted table with
+    :func:`drift_from_counts` instead of rescanning two corpora."""
+    melted = df.select(
+        F.posexplode(F.array(*[F.col(c).cast("string") for c in columns])).alias(
+            "_ci", "category"
+        )
+    ).select(
+        F.element_at(F.array(*[F.lit(c) for c in columns]), F.col("_ci") + 1).alias(
+            "column"
+        ),
+        "category",
+    )
+    return melted.groupBy("column", "category").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def drift_from_counts(counts: DataFrame, threshold: float) -> DataFrame:
+    """The share/compare half of :func:`category_drift`: input is the
+    dimension-sized ``(column, category, n_prev, n_cur)`` table (from
+    one melt-aggregate pass, or from two persisted count generations
+    full-outer-joined with 0-fill)."""
     w = Window.partitionBy("column")
     shares = counts.withColumn(
         "prev_share", F.col("n_prev") / F.sum("n_prev").over(w)
@@ -181,3 +210,23 @@ def category_drift(
             "drifted"
         ),
     )
+
+
+def drift_between_generations(
+    prev_counts: DataFrame, cur_counts: DataFrame, threshold: float
+) -> DataFrame:
+    """Drift report between two persisted count generations (e.g. the
+    streaming sink's table before and after an ingest window): 0-fill
+    categories absent from one side so appearing/vanishing categories
+    register as drift rather than silently dropping out."""
+    prev = prev_counts.select(
+        "column", "category", F.col("n").alias("n_prev")
+    )
+    cur = cur_counts.select("column", "category", F.col("n").alias("n_cur"))
+    joined = prev.join(cur, ["column", "category"], "full_outer").select(
+        "column",
+        "category",
+        F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    return drift_from_counts(joined, threshold)

@@ -1,6 +1,7 @@
 """Structured Streaming surface (SURVEY §2.10 / M4)."""
 
 from palegislature_spark.streaming.jobs import (
+    category_count_stream,
     cms_heavy_hitter_stream,
     curate_stream,
     decontam_stream,
@@ -17,6 +18,7 @@ from palegislature_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "category_count_stream",
     "cms_heavy_hitter_stream",
     "curate_stream",
     "decontam_stream",

@@ -675,3 +675,72 @@ def cms_heavy_hitter_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def category_count_stream(
+    stream: DataFrame,
+    path: str,
+    columns: list[str],
+) -> "StreamingQuery":
+    """Streaming half of the drift monitor: each micro-batch's
+    category histogram (``operators/audit.py category_counts`` —
+    row-local melt, map-side-combined counts) is ADDITIVELY merged
+    into the persisted ``(column, category, n, last_batch)`` table at
+    ``path``. State stays dimension-sized (categories x columns)
+    however many rows stream through; snapshot the table before/after
+    an ingest window and diff with ``audit.drift_between_generations``
+    for the batch-over-batch report.
+
+    Durability + at-least-once replay discipline are identical to
+    ``cms_heavy_hitter_stream``: staging-promote swap (live renamed
+    aside before promotion, interrupted swaps recovered on entry) and
+    a ``last_batch`` high-water mark that no-ops replayed batch ids —
+    the additive merge stays exactly-once under foreachBatch's
+    at-least-once contract.
+    """
+    from palegislature_spark.operators.audit import category_counts
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        base = path.rstrip("/")
+        staging = base + ".__staging__"
+        trash = base + ".__old__"
+        fs, HPath = _hadoop_fs(spark, base)
+
+        if not fs.exists(HPath(base)):
+            if fs.exists(HPath(staging + "/_SUCCESS")):
+                fs.rename(HPath(staging), HPath(base))
+            elif fs.exists(HPath(trash)):
+                fs.rename(HPath(trash), HPath(base))
+
+        counts = category_counts(batch, columns).withColumn(
+            "last_batch", F.lit(batch_id).cast("bigint")
+        )
+        if fs.exists(HPath(base)):
+            live = spark.read.parquet(base)
+            row = live.agg(F.max("last_batch").alias("m")).collect()[0]
+            if row["m"] is not None and batch_id <= row["m"]:
+                return  # replayed batch already merged
+            counts = (
+                live.unionByName(counts)
+                .groupBy("column", "category")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.max("last_batch").alias("last_batch"),
+                )
+            )
+        fs.delete(HPath(staging), True)
+        counts.write.mode("overwrite").parquet(staging)
+        fs.delete(HPath(trash), True)
+        if fs.exists(HPath(base)):
+            fs.rename(HPath(base), HPath(trash))
+        fs.rename(HPath(staging), HPath(base))
+        fs.delete(HPath(trash), True)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )

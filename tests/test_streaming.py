@@ -530,3 +530,80 @@ def test_cms_stream_merge_equals_batch_sketch(spark, tmp_path):
     )
     drain(q)
     assert rows(spark.read.parquet(table), "row", "bucket", "cnt") == want
+
+
+def test_category_count_stream_and_generation_drift(spark, tmp_path):
+    """Streaming drift monitor: per-batch category histograms merge
+    additively into the persisted counts table (== one-shot batch
+    histogram of the union), a checkpoint-wiped replay no-ops via the
+    last_batch stamp, and diffing two persisted generations with
+    drift_between_generations flags the planted shift — including a
+    category that only exists in the newer generation."""
+    import shutil
+
+    from palegislature_spark.operators.audit import (
+        category_counts,
+        drift_between_generations,
+    )
+
+    schema = "id long, status string, prio string"
+    d = tmp_path / "gen1_stream"
+    b1 = [(1, "A", "x"), (2, "A", "x"), (3, "B", "x")]
+    b2 = [(4, "A", "y"), (5, "B", "y")]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+            str(d)
+        )
+
+    import pyspark.sql.types as T
+
+    sschema = T.StructType.fromDDL(schema)
+    table = str(tmp_path / "cat_counts")
+    q = streaming.category_count_stream(
+        streaming.read_stream(spark, str(d), sschema, max_files_per_trigger=1),
+        table,
+        ["status", "prio"],
+    )
+    drain(q)
+
+    want = rows(
+        category_counts(spark.createDataFrame(b1 + b2, schema), ["status", "prio"]),
+        "column", "category", "n",
+    )
+    got = rows(
+        spark.read.parquet(table).select("column", "category", "n"),
+        "column", "category", "n",
+    )
+    assert got == want
+
+    # at-least-once replay: wipe the checkpoint, same batch ids replay
+    shutil.rmtree(table + "_cp")
+    q = streaming.category_count_stream(
+        streaming.read_stream(spark, str(d), sschema, max_files_per_trigger=1),
+        table,
+        ["status", "prio"],
+    )
+    drain(q)
+    assert rows(
+        spark.read.parquet(table).select("column", "category", "n"),
+        "column", "category", "n",
+    ) == want
+
+    # generation drift: second window shifts status and births prio 'z'
+    gen1 = spark.read.parquet(table).select("column", "category", "n")
+    newer = spark.createDataFrame(
+        [(6, "B", "z"), (7, "B", "z"), (8, "A", "z"), (9, "B", "z")], schema
+    )
+    gen2_counts = category_counts(
+        spark.createDataFrame(b1 + b2, schema).unionByName(newer),
+        ["status", "prio"],
+    )
+    rep = {
+        (r.column, r.category): r
+        for r in drift_between_generations(gen1, gen2_counts, 0.2).collect()
+    }
+    # status: A 3/5 -> 4/9 (shift .155, under), B 2/5 -> 5/9 (.155 under)
+    assert not rep[("status", "A")].drifted
+    # prio z: 0 -> 4/9 = .44 shift, flagged; n_prev 0-filled
+    z = rep[("prio", "z")]
+    assert z.n_prev == 0 and z.drifted
