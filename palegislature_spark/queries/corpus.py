@@ -1187,3 +1187,114 @@ def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return epoch_order(docs, "doc_id", "epoch1:")
+
+
+_URL_CANON_SQL_PARTS = """
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS h,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM dirty
+),
+canon AS (
+  SELECT doc_id, url,
+    s || '://' ||
+    CASE WHEN ends_with(h, CASE WHEN s = 'https' THEN ':443' ELSE ':80' END)
+         THEN substring(h, 1, length(h) - CASE WHEN s = 'https' THEN 4 ELSE 3 END)
+         ELSE h END ||
+    CASE WHEN length(p1) > 1 AND ends_with(p1, '/')
+         THEN substring(p1, 1, length(p1) - 1) ELSE p1 END ||
+    CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canonical_url
+  FROM (
+    SELECT *,
+      CASE WHEN p = '' THEN '/' ELSE p END AS p1,
+      array_to_string(
+        list_sort(list_filter(string_split(q, '&'),
+                              x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+        '&') AS kept
+    FROM parts
+  )
+)
+"""
+
+
+@register(
+    "canonicalize_url_dedup",
+    covers="training-pipeline extension: URL canonicalization + dedup "
+    "(the crawl-frontier stage before content dedup — host case, "
+    "default ports, tracking params, param order, trailing slash, "
+    "fragments all collapse); pure string algebra, engine-exact",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, doc_id // 3 AS article, (doc_id // 3) % 5 AS ref,
+         doc_id % 4 AS v
+  FROM documents
+),
+dirty AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://WWW.News-Site.com/Articles/' || article || '?utm_source=feed&ref=' || ref
+      WHEN 1 THEN 'HTTPS://www.news-site.COM:443/Articles/' || article || '/?ref=' || ref
+      WHEN 2 THEN 'https://www.news-site.com/Articles/' || article || '?ref=' || ref || '&utm_medium=mail#top'
+      ELSE 'https://www.news-site.com/Articles/' || article || '/?utm_c=x&ref=' || ref
+    END AS url
+  FROM raw
+),
+""" + _URL_CANON_SQL_PARTS + """
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY canonical_url
+""",
+)
+def canonicalize_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: every document carries a deterministically
+    messy URL variant (4 spellings per article id — tracking params,
+    port/case noise, trailing slash, fragment); canonicalization
+    (functions/urls.py, let-bound pure expressions) must collapse each
+    article's variants to ONE canonical key. One map pass + one
+    map-side-combined aggregate on the canonical key — exactly the
+    crawl-frontier dedup a web pipeline runs before fetching.
+    """
+    from palegislature_spark.functions.urls import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # integer DIV, not double /: at 1e15+ ids a double quotient is
+    # no longer exact and the article key would fray
+    article = F.expr("doc_id div 3")
+    raw = docs.select(
+        "doc_id",
+        article.alias("article"),
+        (article % 5).alias("ref"),
+        (F.col("doc_id") % 4).alias("v"),
+    )
+    a, r = F.col("article").cast("string"), F.col("ref").cast("string")
+    dirty = raw.select(
+        "doc_id",
+        F.when(F.col("v") == 0,
+               F.concat(F.lit("https://WWW.News-Site.com/Articles/"), a,
+                        F.lit("?utm_source=feed&ref="), r))
+        .when(F.col("v") == 1,
+              F.concat(F.lit("HTTPS://www.news-site.COM:443/Articles/"), a,
+                       F.lit("/?ref="), r))
+        .when(F.col("v") == 2,
+              F.concat(F.lit("https://www.news-site.com/Articles/"), a,
+                       F.lit("?ref="), r, F.lit("&utm_medium=mail#top")))
+        .otherwise(
+            F.concat(F.lit("https://www.news-site.com/Articles/"), a,
+                     F.lit("/?utm_c=x&ref="), r))
+        .alias("url"),
+    )
+    return (
+        dirty.select("doc_id", "url", canonicalize_url(F.col("url")).alias(
+            "canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.count_distinct("url").cast("long").alias("n_distinct_raw"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

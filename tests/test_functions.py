@@ -152,3 +152,35 @@ def test_text_extractors(spark):
     assert (
         one(spark, PF.url_param(F.lit("https://x.y/bio?ID=123&b=2"), "ID")) == "123"
     )
+
+
+def test_canonicalize_url_rules(spark):
+    """Each RFC-3986-flavored rule pinned: case folds only where legal
+    (scheme/host, never path), default ports strip per-scheme, utm_*
+    params drop, survivors sort, fragments drop, trailing slash
+    normalizes, bare host gains '/'."""
+    from palegislature_spark.functions.urls import canonicalize_url
+    import pyspark.sql.functions as F
+
+    cases = {
+        "https://WWW.Example.com/Articles/7?utm_source=f&ref=2":
+            "https://www.example.com/Articles/7?ref=2",
+        "HTTPS://www.example.COM:443/Articles/7/?ref=2":
+            "https://www.example.com/Articles/7?ref=2",
+        "https://www.example.com/Articles/7?ref=2&utm_medium=m#frag":
+            "https://www.example.com/Articles/7?ref=2",
+        "http://Example.com:80/": "http://example.com/",
+        "http://example.com": "http://example.com/",
+        # non-default port survives; path case preserved
+        "http://example.com:8080/CaseSensitive/": "http://example.com:8080/CaseSensitive",
+        # params sort by full k=v text; empty segments drop
+        "https://e.com/p?z=1&a=2&": "https://e.com/p?a=2&z=1",
+        # https URL with :80 is NOT a default port
+        "https://e.com:80/p": "https://e.com:80/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
