@@ -63,7 +63,9 @@ HEADLINE = [
     "constraint_quality_audit",
     "audit_category_drift",
     "benchmark_decontam_semantic",
-    "corpus_training_order",
+    "corpus_epoch_order",
+    "canonicalize_url_dedup",
+    "assign_group_splits",
 ]
 
 

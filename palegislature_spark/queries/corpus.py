@@ -1162,7 +1162,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "corpus_training_order",
+    "corpus_epoch_order",
     covers="training-pipeline extension: deterministic per-epoch "
     "global shuffle order (data-loader permutation) — exact global "
     "positions via range-bucket prefix sums, no single-partition "
@@ -1176,7 +1176,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-1 training order for the documents corpus: a total,
     reproducible permutation (seeded md5 reshuffle key) with exact
     global positions. The oracle ranks with one global window; the

@@ -1277,3 +1277,57 @@ def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("score_milli") * 100 >= F.lit(1000) * F.col("n_tokens")).alias("kept"),
     )
+
+
+def _group_split_oracle() -> str:
+    from palegislature_spark.operators.sampling import cumulative_hex_boundaries
+
+    bounds = dict(
+        cumulative_hex_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    b_train, b_val = bounds["train"], bounds["val"]
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN substr(md5('gsplit' || source), 1, 15) < '{b_train}' THEN 'train'
+              WHEN substr(md5('gsplit' || source), 1, 15) < '{b_val}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT doc_id, source, split,
+       CAST(count(DISTINCT split) OVER (PARTITION BY source) AS BIGINT)
+         AS source_splits
+FROM assigned
+"""
+
+
+@register(
+    "assign_group_splits",
+    covers="training-pipeline extension: GROUP-aware train/val/test "
+    "assignment — the split key is the source (domain), so every "
+    "document of a source lands in one split and near-duplicate pages "
+    "within a domain can never straddle the train/test boundary "
+    "(leakage-safe splitting); same float-free hex-boundary draw as "
+    "assign_hash_splits",
+    oracle=_group_split_oracle(),
+)
+def assign_group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on md5('gsplit'||source): per-DOCUMENT
+    hashing (assign_hash_splits) leaks templated near-duplicates
+    across the eval boundary whenever a domain's pages correlate;
+    keying the draw on the GROUP closes that (the scikit-learn
+    GroupShuffleSplit semantics, distributed). ``source_splits`` is
+    the leakage check as data — 1 for every row by construction,
+    verified rather than assumed (violations-as-data house pattern)."""
+    from palegislature_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    assigned = hash_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="gsplit"
+    )
+    return assigned.withColumn(
+        "source_splits",
+        F.size(F.collect_set("split").over(Window.partitionBy("source"))).cast(
+            "long"
+        ),
+    )

@@ -117,3 +117,24 @@ def test_epoch_order_is_total_permutation(spark):
     got2 = [r.doc_id for r in sorted(out2, key=lambda r: r.position)]
     assert got2 != got  # a different epoch reshuffles
     assert sorted(got2) == sorted(got)  # ... but is still a permutation
+
+
+def test_group_split_never_straddles(spark):
+    """Every id of a group gets the group's split (no straddling), and
+    the assignment matches hashing the group key directly."""
+    from palegislature_spark.operators.sampling import hash_split
+
+    rows = [(i, f"g{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = hash_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt="gsplit").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values())
+    grp_only = hash_split(
+        df.select("grp").distinct(), "grp",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="gsplit",
+    ).collect()
+    want = {r.grp: r.split for r in grp_only}
+    assert all(by_grp[g] == {want[g]} for g in want)
