@@ -101,8 +101,11 @@ def audit_foreign_key(name: str, child: DataFrame, child_col: str,
     dimension (broadcast), else AQE shuffles both on the key.
     """
     non_null = child.filter(F.col(child_col).isNotNull())
+    # no distinct() on the parent keys: LEFT ANTI is an existence
+    # test, so duplicate parent keys cannot multiply rows — deduping
+    # a fact-sized parent first would add a full extra shuffle
     orphans = non_null.join(
-        parent.select(F.col(parent_col).alias(child_col)).distinct(),
+        parent.select(F.col(parent_col).alias(child_col)),
         child_col,
         "left_anti",
     )
