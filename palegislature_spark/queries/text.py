@@ -1318,7 +1318,11 @@ def assign_group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     keying the draw on the GROUP closes that (the scikit-learn
     GroupShuffleSplit semantics, distributed). ``source_splits`` is
     the leakage check as data — 1 for every row by construction,
-    verified rather than assumed (violations-as-data house pattern)."""
+    verified rather than assumed (violations-as-data house pattern).
+    The check column is the only shuffle in the plan (a window keyed
+    on source); the bare assignment itself is a zero-exchange map, so
+    a production job that has already audited a generation drops the
+    check and pays nothing."""
     from palegislature_spark.operators.sampling import hash_split
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
