@@ -66,6 +66,7 @@ HEADLINE = [
     "corpus_epoch_order",
     "canonicalize_url_dedup",
     "assign_group_splits",
+    "cluster_soft_dedup",
 ]
 
 

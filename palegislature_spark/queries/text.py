@@ -1335,3 +1335,86 @@ def assign_group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
+
+
+@register(
+    "cluster_soft_dedup",
+    covers="dedup extension: SOFT dedup — duplicate-aware sampling "
+    "weights (1 / near-dup-cluster size) instead of dropping "
+    "non-representatives; the DataComp/RefinedWeb ablation knob that "
+    "keeps every document but makes each duplicated CONTENT carry unit "
+    "total mass; weight is one long/long division, engine-exact",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM pos
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2
+  FROM common
+  JOIN cnt c1 ON c1.doc_id = id_1
+  JOIN cnt c2 ON c2.doc_id = id_2
+  WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION
+  SELECT id_2 AS a, id_1 AS b FROM pairs
+),
+walk(node, front) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.front
+),
+cc AS (SELECT node AS doc_id, min(front) AS comp FROM walk GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, CAST(COALESCE(cc.comp, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN cc USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       1.0 / count(*) OVER (PARTITION BY cluster_id) AS weight
+FROM assigned
+""",
+)
+def cluster_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document keeps a row, but near-duplicate
+    content is down-weighted so each cluster carries total sampling
+    mass 1 (weight = 1/cluster_size). Hard dedup (cluster_near_dups'
+    is_rep) is the weight-threshold special case; training loaders
+    consume the weight directly (weighted sampling or loss scaling).
+    Plan: the cluster assignment is the cluster_near_dups composition
+    (banded MinHash pairs -> min-label components); sizing adds ONE
+    window keyed on cluster_id — partitioned, dimension-bounded
+    groups, no single-partition stage."""
+    from palegislature_spark.er.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = connected_components(pairs, "id_1", "id_2").withColumnRenamed(
+        "id", "doc_id"
+    )
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    size = F.count(F.lit(1)).over(w).cast("long")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        size.alias("cluster_size"),
+        (F.lit(1.0) / size).alias("weight"),
+    )

@@ -309,3 +309,33 @@ def test_simhash_j3_equals_exact_hamming(spark):
             ).select("id_1", "id_2", "hamming").collect())
         )
         assert gj == exact, f"band_chunks={j} diverged from exact"
+
+
+def test_soft_dedup_weights_unit_mass_per_cluster(spark, tmp_path):
+    """Planted: 3 near-identical docs + 2 singletons. The dup trio
+    forms one cluster with weight 1/3 each; singletons weigh 1; every
+    cluster's total mass is exactly 1."""
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, base, "en", "s", 1),
+        (2, base + " tail", "en", "s", 1),
+        (3, "prefix " + base, "en", "s", 1),
+        (10, " ".join(f"x{i}" for i in range(30)), "en", "s", 1),
+        (11, " ".join(f"y{i}" for i in range(30)), "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    from palegislature_spark.queries.text import cluster_soft_dedup
+
+    out = {r.doc_id: r for r in cluster_soft_dedup(spark, str(tmp_path)).collect()}
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].cluster_size == 3 and out[1].weight == 1.0 / 3
+    assert out[10].cluster_size == 1 and out[10].weight == 1.0
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for r in out.values():
+        mass[r.cluster_id] += r.weight
+    assert all(abs(m - 1.0) < 1e-9 for m in mass.values())
