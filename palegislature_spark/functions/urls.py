@@ -26,7 +26,7 @@ TRACKING_PREFIX = "utm_"
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-QUERY_RE = r"\?([^#]*)"
+QUERY_RE = r"^[^#?]*\?([^#]*)"  # the ? must precede any # — a ? inside the fragment is not a query
 
 
 def canonicalize_url(url: Column) -> Column:

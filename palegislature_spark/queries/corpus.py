@@ -1195,7 +1195,7 @@ parts AS (
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS h,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
-    regexp_extract(url, '\\?([^#]*)', 1) AS q
+    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS q
   FROM dirty
 ),
 canon AS (

@@ -184,3 +184,74 @@ def test_canonicalize_url_rules(spark):
         for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
     }
     assert got == cases
+
+
+def _py_canonicalize_url(u: str) -> str:
+    """Independent reference canonicalizer (urllib parsing, straight
+    Python string rules) for the property test — shares no code with
+    the Column-expression implementation."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(u)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    default = ":443" if scheme == "https" else ":80"
+    if netloc.endswith(default):
+        netloc = netloc[: -len(default)]
+    path = parts.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    params = [p for p in parts.query.split("&") if p and not p.startswith("utm_")]
+    kept = "&".join(sorted(params))
+    return f"{scheme}://{netloc}{path}" + (f"?{kept}" if kept else "")
+
+
+def _url_strategy():
+    from hypothesis import strategies as st
+
+    seg = st.text(alphabet="abcXZ019-_", min_size=1, max_size=5)
+    scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtps"])
+    host = st.builds(
+        lambda a, b: f"{a}.{b}", seg, st.sampled_from(["com", "ORG", "Net"])
+    )
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.builds(
+        lambda segs, slash: ("/" + "/".join(segs) + slash) if segs else "",
+        st.lists(seg, max_size=3),
+        st.sampled_from(["", "/"]),
+    )
+    query = st.builds(
+        lambda kvs: "&".join(f"{k}={v}" for k, v in kvs),
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "utm_x", "utm_src", "Z"]), seg),
+            max_size=4,
+        ),
+    )
+    frag = st.sampled_from(["", "#f", "#x/y?z=1"])
+    return st.builds(
+        lambda s, h, po, pa, q, f: f"{s}://{h}{po}{pa}"
+        + (f"?{q}" if q else "")
+        + f,
+        scheme, host, port, path, query, frag,
+    )
+
+
+@given(urls=st.lists(_url_strategy(), min_size=1, max_size=25, unique=True))
+@settings(max_examples=12, deadline=None, derandomize=True)
+def test_canonicalize_url_matches_python_reference(spark, urls):
+    """Property: the Column-expression canonicalizer equals an
+    independent urllib-based reference on structured URLs covering
+    scheme/host case, default and non-default ports, empty and
+    trailing-slash paths, tracking/sortable params, fragments."""
+    from palegislature_spark.functions.urls import canonicalize_url
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r.url: r.c
+        for r in df.select(
+            "url", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    want = {u: _py_canonicalize_url(u) for u in urls}
+    assert got == want

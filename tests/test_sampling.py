@@ -138,3 +138,32 @@ def test_group_split_never_straddles(spark):
     ).collect()
     want = {r.grp: r.split for r in grp_only}
     assert all(by_grp[g] == {want[g]} for g in want)
+
+
+def test_epoch_order_property_arbitrary_ids(spark):
+    """Property (hypothesis): for ANY set of unique long ids —
+    negative, huge, sparse — epoch_order emits positions 1..n in
+    exactly the (md5 key, id) global order."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from palegislature_spark.operators.sampling import epoch_order
+
+    @given(
+        ids=st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1, max_size=40, unique=True,
+        )
+    )
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    def check(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = epoch_order(df, "doc_id", "e:").collect()
+        assert sorted(r.position for r in out) == list(range(1, len(ids) + 1))
+        got = [r.doc_id for r in sorted(out, key=lambda r: r.position)]
+        want = sorted(ids, key=lambda i: (hashlib.md5(f"e:{i}".encode()).hexdigest(), i))
+        assert got == want
+
+    check()
