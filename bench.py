@@ -117,11 +117,15 @@ def semantic_dedup_scale(spark, sf_dir: str, sf: float):
     from palegislature_spark.operators.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
-    # expression assignment: at sf0.1 (2k vectors x 44 lists) the
-    # interpreted dot is trivial and the Arrow path's Python worker
-    # round-trips dominate; assign_impl=arrow wins only past ~10^5
-    # vectors (BASELINE second-decade notes: 108s -> 13.8s at 200k)
-    return semantic_dedup(emb, n_lists=None, threshold=0.4)
+    # assignment impl sized like a production run would: at sf0.1
+    # (2k vectors x 44 lists) the interpreted dot is trivial and the
+    # Arrow path's Python worker round-trips dominate; past ~10^5
+    # vectors the BLAS-batched assignment wins ~8x (BASELINE
+    # second-decade notes: 108s -> 13.8s at 200k), so the scale row
+    # switches there — the same count-gate policy as decontaminate's
+    # broadcast and bpe's dictionary join
+    impl = "arrow" if emb.count() >= 100_000 else "expr"
+    return semantic_dedup(emb, n_lists=None, threshold=0.4, assign_impl=impl)
 
 
 _IVF_INDEX_CACHE: dict = {}
