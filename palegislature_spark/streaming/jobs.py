@@ -587,6 +587,63 @@ def value_transitions_tws(
     )
 
 
+def _additive_state_sink(path: str, batch_table, merge_tables):
+    """Shared foreachBatch sink for ADDITIVE dimension-sized state
+    (CMS sketches, category histograms): per-batch table merged into
+    the persisted table with the staging-promote swap discipline and
+    the ``last_batch`` high-water mark.
+
+    ``batch_table(batch) -> DataFrame`` builds the per-batch state
+    rows; ``merge_tables(live, new) -> DataFrame`` folds them into the
+    live table (must aggregate ``last_batch`` with max). Durability:
+    live is renamed aside BEFORE staging is promoted, so no crash
+    point leaves zero live copies, and interrupted swaps are recovered
+    on entry. At-least-once replay: a batch id at or below the
+    persisted high-water mark is a no-op, which keeps the additive
+    merge exactly-once under foreachBatch's at-least-once contract.
+    """
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        base = path.rstrip("/")
+        staging = base + ".__staging__"
+        trash = base + ".__old__"
+        fs, HPath = _hadoop_fs(spark, base)
+
+        # Recover an interrupted swap: if live is missing, staging (if
+        # it committed - _SUCCESS present) holds the newest complete
+        # state, else .__old__ holds the previous one.  Never delete a
+        # candidate before a live copy exists.
+        if not fs.exists(HPath(base)):
+            if fs.exists(HPath(staging + "/_SUCCESS")):
+                fs.rename(HPath(staging), HPath(base))
+            elif fs.exists(HPath(trash)):
+                fs.rename(HPath(trash), HPath(base))
+
+        t = batch_table(batch).withColumn(
+            "last_batch", F.lit(batch_id).cast("bigint")
+        )
+        if fs.exists(HPath(base)):
+            live = spark.read.parquet(base)
+            if "last_batch" in live.columns:
+                row = live.agg(F.max("last_batch").alias("m")).collect()[0]
+                if row["m"] is not None and batch_id <= row["m"]:
+                    return  # at-least-once replay of an already-merged batch
+            else:  # pre-upgrade state without the idempotence column
+                live = live.withColumn("last_batch", F.lit(-1).cast("bigint"))
+            t = merge_tables(live, t)
+        fs.delete(HPath(staging), True)
+        t.write.mode("overwrite").parquet(staging)
+        fs.delete(HPath(trash), True)
+        if fs.exists(HPath(base)):
+            fs.rename(HPath(base), HPath(trash))
+        fs.rename(HPath(staging), HPath(base))
+        fs.delete(HPath(trash), True)
+
+    return sink
+
+
 def cms_heavy_hitter_stream(
     stream: DataFrame,
     path: str,
@@ -620,55 +677,26 @@ def cms_heavy_hitter_stream(
     across failure replays.
     """
     from palegislature_spark.operators.sketch import cms_sketch
-    from palegislature_spark.sources.merge import _hadoop_fs
 
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        base = path.rstrip("/")
-        staging = base + ".__staging__"
-        trash = base + ".__old__"
-        fs, HPath = _hadoop_fs(spark, base)
-
-        # Recover an interrupted swap: if live is missing, staging (if
-        # it committed — _SUCCESS present) holds the newest complete
-        # sketch, else .__old__ holds the previous one.  Never delete a
-        # candidate before a live copy exists.
-        if not fs.exists(HPath(base)):
-            if fs.exists(HPath(staging + "/_SUCCESS")):
-                fs.rename(HPath(staging), HPath(base))
-            elif fs.exists(HPath(trash)):
-                fs.rename(HPath(trash), HPath(base))
-
-        sk = cms_sketch(
+    def batch_table(batch: DataFrame) -> DataFrame:
+        return cms_sketch(
             batch.select(
                 F.explode(F.split(F.col(text_col), " ")).alias("token")
             ).filter(F.col("token") != ""),
             "token",
-        ).withColumn("last_batch", F.lit(batch_id).cast("bigint"))
-        if fs.exists(HPath(base)):
-            live = spark.read.parquet(base)
-            if "last_batch" in live.columns:
-                row = live.agg(F.max("last_batch").alias("m")).collect()[0]
-                if row["m"] is not None and batch_id <= row["m"]:
-                    return  # at-least-once replay of an already-merged batch
-            else:  # pre-upgrade sketch without the idempotence column
-                live = live.withColumn("last_batch", F.lit(-1).cast("bigint"))
-            sk = (
-                live.unionByName(sk)
-                .groupBy("row", "bucket")
-                .agg(
-                    F.sum("cnt").alias("cnt"),
-                    F.max("last_batch").alias("last_batch"),
-                )
-            )
-        fs.delete(HPath(staging), True)
-        sk.write.mode("overwrite").parquet(staging)
-        fs.delete(HPath(trash), True)
-        if fs.exists(HPath(base)):
-            fs.rename(HPath(base), HPath(trash))
-        fs.rename(HPath(staging), HPath(base))
-        fs.delete(HPath(trash), True)
+        )
 
+    def merge_tables(live: DataFrame, sk: DataFrame) -> DataFrame:
+        return (
+            live.unionByName(sk)
+            .groupBy("row", "bucket")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.max("last_batch").alias("last_batch"),
+            )
+        )
+
+    sink = _additive_state_sink(path, batch_table, merge_tables)
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", path.rstrip("/") + "_cp")
@@ -699,45 +727,21 @@ def category_count_stream(
     at-least-once contract.
     """
     from palegislature_spark.operators.audit import category_counts
-    from palegislature_spark.sources.merge import _hadoop_fs
 
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        base = path.rstrip("/")
-        staging = base + ".__staging__"
-        trash = base + ".__old__"
-        fs, HPath = _hadoop_fs(spark, base)
+    def batch_table(batch: DataFrame) -> DataFrame:
+        return category_counts(batch, columns)
 
-        if not fs.exists(HPath(base)):
-            if fs.exists(HPath(staging + "/_SUCCESS")):
-                fs.rename(HPath(staging), HPath(base))
-            elif fs.exists(HPath(trash)):
-                fs.rename(HPath(trash), HPath(base))
-
-        counts = category_counts(batch, columns).withColumn(
-            "last_batch", F.lit(batch_id).cast("bigint")
-        )
-        if fs.exists(HPath(base)):
-            live = spark.read.parquet(base)
-            row = live.agg(F.max("last_batch").alias("m")).collect()[0]
-            if row["m"] is not None and batch_id <= row["m"]:
-                return  # replayed batch already merged
-            counts = (
-                live.unionByName(counts)
-                .groupBy("column", "category")
-                .agg(
-                    F.sum("n").cast("long").alias("n"),
-                    F.max("last_batch").alias("last_batch"),
-                )
+    def merge_tables(live: DataFrame, counts: DataFrame) -> DataFrame:
+        return (
+            live.unionByName(counts)
+            .groupBy("column", "category")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.max("last_batch").alias("last_batch"),
             )
-        fs.delete(HPath(staging), True)
-        counts.write.mode("overwrite").parquet(staging)
-        fs.delete(HPath(trash), True)
-        if fs.exists(HPath(base)):
-            fs.rename(HPath(base), HPath(trash))
-        fs.rename(HPath(staging), HPath(base))
-        fs.delete(HPath(trash), True)
+        )
 
+    sink = _additive_state_sink(path, batch_table, merge_tables)
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", path.rstrip("/") + "_cp")
