@@ -1190,13 +1190,37 @@ def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _URL_CANON_SQL_PARTS = """
+pct AS (
+  -- RFC 3986 percent normalization: decode unreserved escapes,
+  -- uppercase the hex of the rest, leave malformed '%' verbatim
+  SELECT doc_id, url,
+    u[1] || array_to_string(
+      list_transform(u[2:], x ->
+        CASE WHEN regexp_extract(x, '^([0-9A-Fa-f]{2})', 1) = ''
+             THEN '%' || x
+             WHEN (TRY_CAST(('0x' || substring(x, 1, 2)) AS INT) BETWEEN 48 AND 57)
+               OR (TRY_CAST(('0x' || substring(x, 1, 2)) AS INT) BETWEEN 65 AND 90)
+               OR (TRY_CAST(('0x' || substring(x, 1, 2)) AS INT) BETWEEN 97 AND 122)
+               OR TRY_CAST(('0x' || substring(x, 1, 2)) AS INT) IN (45, 46, 95, 126)
+             THEN chr(TRY_CAST(('0x' || substring(x, 1, 2)) AS INT)) || substring(x, 3)
+             ELSE '%' || upper(substring(x, 1, 2)) || substring(x, 3)
+        END),
+      '') AS url_n
+  FROM (SELECT doc_id, url, string_split(url, '%') AS u FROM dirty)
+),
 parts AS (
   SELECT doc_id, url,
-    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
-    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS h,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
-    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS q
-  FROM dirty
+    lower(regexp_extract(url_n, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
+    -- lowercase host:port only; userinfo (up to the last @) keeps case
+    substring(h0, 1, length(h0) - length(regexp_extract(h0, '([^@]*)$', 1)))
+      || lower(regexp_extract(h0, '([^@]*)$', 1)) AS h,
+    regexp_extract(url_n, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+    regexp_extract(url_n, '^[^#?]*\\?([^#]*)', 1) AS q
+  FROM (
+    SELECT doc_id, url, url_n,
+      regexp_extract(url_n, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS h0
+    FROM pct
+  )
 ),
 canon AS (
   SELECT doc_id, url,
@@ -1225,7 +1249,8 @@ canon AS (
     covers="training-pipeline extension: URL canonicalization + dedup "
     "(the crawl-frontier stage before content dedup — host case, "
     "default ports, tracking params, param order, trailing slash, "
-    "fragments all collapse); pure string algebra, engine-exact",
+    "fragments, percent-encoding spellings all collapse); pure "
+    "string algebra, engine-exact",
     oracle="""
 WITH raw AS (
   SELECT doc_id, doc_id // 3 AS article, (doc_id // 3) % 5 AS ref,
@@ -1235,10 +1260,10 @@ WITH raw AS (
 dirty AS (
   SELECT doc_id,
     CASE v
-      WHEN 0 THEN 'https://WWW.News-Site.com/Articles/' || article || '?utm_source=feed&ref=' || ref
-      WHEN 1 THEN 'HTTPS://www.news-site.COM:443/Articles/' || article || '/?ref=' || ref
-      WHEN 2 THEN 'https://www.news-site.com/Articles/' || article || '?ref=' || ref || '&utm_medium=mail#top'
-      ELSE 'https://www.news-site.com/Articles/' || article || '/?utm_c=x&ref=' || ref
+      WHEN 0 THEN 'https://WWW.News-Site.com/%41rticles/' || article || '?utm_source=feed&ref=' || ref || '&a=x%2fy'
+      WHEN 1 THEN 'HTTPS://www.news-site.COM:443/Articles/' || article || '/?ref=' || ref || '&a=x%2Fy'
+      WHEN 2 THEN 'https://www.news-site.com/Articles/' || article || '?ref=' || ref || '&a=x%2fy&utm_medium=mail#top'
+      ELSE 'https://www.news-site.com/Articles/' || article || '/?utm_c=x&a=x%2Fy&ref=' || ref
     END AS url
   FROM raw
 ),
@@ -1253,7 +1278,8 @@ FROM canon GROUP BY canonical_url
 def canonicalize_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup: every document carries a deterministically
     messy URL variant (4 spellings per article id — tracking params,
-    port/case noise, trailing slash, fragment); canonicalization
+    port/case noise, trailing slash, fragment, percent-encoding:
+    ``%41rticles``→``Articles``, ``x%2fy``→``x%2Fy``); canonicalization
     (functions/urls.py, let-bound pure expressions) must collapse each
     article's variants to ONE canonical key. One map pass + one
     map-side-combined aggregate on the canonical key — exactly the
@@ -1275,17 +1301,19 @@ def canonicalize_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = raw.select(
         "doc_id",
         F.when(F.col("v") == 0,
-               F.concat(F.lit("https://WWW.News-Site.com/Articles/"), a,
-                        F.lit("?utm_source=feed&ref="), r))
+               F.concat(F.lit("https://WWW.News-Site.com/%41rticles/"), a,
+                        F.lit("?utm_source=feed&ref="), r,
+                        F.lit("&a=x%2fy")))
         .when(F.col("v") == 1,
               F.concat(F.lit("HTTPS://www.news-site.COM:443/Articles/"), a,
-                       F.lit("/?ref="), r))
+                       F.lit("/?ref="), r, F.lit("&a=x%2Fy")))
         .when(F.col("v") == 2,
               F.concat(F.lit("https://www.news-site.com/Articles/"), a,
-                       F.lit("?ref="), r, F.lit("&utm_medium=mail#top")))
+                       F.lit("?ref="), r,
+                       F.lit("&a=x%2fy&utm_medium=mail#top")))
         .otherwise(
             F.concat(F.lit("https://www.news-site.com/Articles/"), a,
-                     F.lit("/?utm_c=x&ref="), r))
+                     F.lit("/?utm_c=x&a=x%2Fy&ref="), r))
         .alias("url"),
     )
     return (

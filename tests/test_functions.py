@@ -177,6 +177,15 @@ def test_canonicalize_url_rules(spark):
         "https://e.com/p?z=1&a=2&": "https://e.com/p?a=2&z=1",
         # https URL with :80 is NOT a default port
         "https://e.com:80/p": "https://e.com:80/p",
+        # RFC 3986 §6.2.2.2: unreserved escapes decode...
+        "https://e.com/%7Efoo/%41rt?x=%31": "https://e.com/~foo/Art?x=1",
+        # ...reserved escapes keep percent form, hex uppercased
+        "https://e.com/a%2fb?x=%3d": "https://e.com/a%2Fb?x=%3D",
+        # malformed escapes pass through verbatim
+        "https://e.com/100%table": "https://e.com/100%table",
+        "https://e.com/50%": "https://e.com/50%",
+        # §6.2.2.1: userinfo keeps case — only host:port folds
+        "https://User:Pw@Example.COM:443/p": "https://User:Pw@example.com/p",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = {
@@ -186,15 +195,33 @@ def test_canonicalize_url_rules(spark):
     assert got == cases
 
 
+_PCT_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _py_pct_normalize(u: str) -> str:
+    """Independent percent-normalization reference: decode unreserved
+    escapes, uppercase the rest, leave malformed '%' verbatim."""
+    import re
+
+    def fix(m):
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _PCT_UNRESERVED else "%" + m.group(1).upper()
+
+    return re.sub(r"%([0-9A-Fa-f]{2})", fix, u)
+
+
 def _py_canonicalize_url(u: str) -> str:
     """Independent reference canonicalizer (urllib parsing, straight
     Python string rules) for the property test — shares no code with
     the Column-expression implementation."""
     from urllib.parse import urlsplit
 
-    parts = urlsplit(u)
+    parts = urlsplit(_py_pct_normalize(u))
     scheme = parts.scheme.lower()
-    netloc = parts.netloc.lower()
+    userinfo, sep, hostport = parts.netloc.rpartition("@")
+    netloc = userinfo + sep + hostport.lower()
     default = ":443" if scheme == "https" else ":80"
     if netloc.endswith(default):
         netloc = netloc[: -len(default)]
@@ -210,20 +237,32 @@ def _url_strategy():
     from hypothesis import strategies as st
 
     seg = st.text(alphabet="abcXZ019-_", min_size=1, max_size=5)
+    # percent escapes: unreserved (decode), reserved (uppercase hex),
+    # malformed (verbatim) — appended to a plain segment
+    pseg = st.builds(
+        lambda a, e: a + e,
+        seg,
+        st.sampled_from(
+            ["", "%7E", "%7e", "%41", "%2F", "%2f", "%3d", "%zz", "%4", "%"]
+        ),
+    )
     scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtps"])
     host = st.builds(
-        lambda a, b: f"{a}.{b}", seg, st.sampled_from(["com", "ORG", "Net"])
+        lambda ui, a, b: f"{ui}{a}.{b}",
+        st.sampled_from(["", "User@", "uSer:PW@"]),
+        seg,
+        st.sampled_from(["com", "ORG", "Net"]),
     )
     port = st.sampled_from(["", ":80", ":443", ":8080"])
     path = st.builds(
         lambda segs, slash: ("/" + "/".join(segs) + slash) if segs else "",
-        st.lists(seg, max_size=3),
+        st.lists(pseg, max_size=3),
         st.sampled_from(["", "/"]),
     )
     query = st.builds(
         lambda kvs: "&".join(f"{k}={v}" for k, v in kvs),
         st.lists(
-            st.tuples(st.sampled_from(["a", "b", "utm_x", "utm_src", "Z"]), seg),
+            st.tuples(st.sampled_from(["a", "b", "utm_x", "utm_src", "Z"]), pseg),
             max_size=4,
         ),
     )
