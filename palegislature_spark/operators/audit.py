@@ -197,11 +197,24 @@ def drift_from_counts(counts: DataFrame, threshold: float) -> DataFrame:
     """The share/compare half of :func:`category_drift`: input is the
     dimension-sized ``(column, category, n_prev, n_cur)`` table (from
     one melt-aggregate pass, or from two persisted count generations
-    full-outer-joined with 0-fill)."""
+    full-outer-joined with 0-fill).
+
+    A column whose ENTIRE previous (or current) generation total is 0
+    — e.g. a newly monitored column fed through
+    :func:`drift_between_generations` — gets share 0.0 on that side
+    rather than NULL, so ``drifted`` stays a real boolean and an
+    all-new / all-vanished column FLAGS instead of silently slipping
+    past a ``filter(drifted)`` gate.
+    """
     w = Window.partitionBy("column")
-    shares = counts.withColumn(
-        "prev_share", F.col("n_prev") / F.sum("n_prev").over(w)
-    ).withColumn("cur_share", F.col("n_cur") / F.sum("n_cur").over(w))
+
+    def share(n: str) -> Column:
+        total = F.sum(n).over(w)
+        return F.when(total == 0, F.lit(0.0)).otherwise(F.col(n) / total)
+
+    shares = counts.withColumn("prev_share", share("n_prev")).withColumn(
+        "cur_share", share("n_cur")
+    )
     return shares.select(
         "column",
         "category",
@@ -212,6 +225,109 @@ def drift_from_counts(counts: DataFrame, threshold: float) -> DataFrame:
         (F.abs(F.col("cur_share") - F.col("prev_share")) > threshold).alias(
             "drifted"
         ),
+    )
+
+
+def numeric_drift(
+    df: DataFrame,
+    is_current: Column,
+    bins: dict[str, tuple[float, float, int]],
+    threshold_milli: int = 100,
+) -> DataFrame:
+    """Batch-over-batch NUMERIC distribution-shift report — the other
+    half of the ingest drift gate (:func:`category_drift` covers
+    categoricals): each monitored column is binned row-locally into a
+    fixed histogram and the two batches (split by ``is_current``) are
+    compared with the binned Kolmogorov–Smirnov statistic
+    ``sup_bin |cdf_prev - cdf_cur|``.
+
+    KS over PSI deliberately: PSI needs a per-column SUM of float log
+    terms (accumulation-order-dependent, not engine-exact), while the
+    KS sup is a MAX over exact integer cross-products —
+    ``|cum_prev * total_cur - cum_cur * total_prev|`` stays in
+    DECIMAL(38,0) integers and only the final reported statistic does
+    ONE double division, so the DuckDB oracle replays it bit-exactly.
+    The drift decision itself never touches floats:
+    ``1000 * max_num > threshold_milli * total_prev * total_cur``
+    (``threshold_milli`` = KS threshold in thousandths).
+
+    ``bins`` maps column -> ``(lo, hi, nbins)``; values clamp into
+    ``[0, nbins-1]`` (out-of-range mass piles into the edge bins, so a
+    range blow-out registers as drift), NULLs get bin -1 — a
+    null-rate change is distribution shift too. A column whose entire
+    previous (or current) batch is empty reports ``ks_stat`` 1.0 /
+    ``drifted`` true (0.0 / false when both sides are empty) instead
+    of NULL, matching :func:`drift_from_counts`'s zero-total rule.
+
+    Scale shape: one row-local melt (explode of an N-entry struct
+    array — no join, no second scan), ONE map-side-combined
+    (column, bin) aggregate, then windows + the final max over the
+    bins-sized table. One corpus pass total.
+    """
+
+    def bin_of(col: str, lo: float, hi: float, n: int) -> Column:
+        width = (hi - lo) / n
+        raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("int")
+        return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(clamped)
+
+    entries = [
+        F.struct(
+            F.lit(col).alias("column"),
+            bin_of(col, lo, hi, n).alias("bin"),
+        )
+        for col, (lo, hi, n) in bins.items()
+    ]
+    melted = df.select(
+        is_current.alias("_cur"), F.explode(F.array(*entries)).alias("e")
+    ).select(F.col("e.column").alias("column"), F.col("e.bin").alias("bin"), "_cur")
+    counts = melted.groupBy("column", "bin").agg(
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_prev"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    w_cum = (
+        Window.partitionBy("column")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("column")
+    dec = "decimal(38,0)"
+    cum = (
+        counts.withColumn("cum_prev", F.sum("n_prev").over(w_cum))
+        .withColumn("cum_cur", F.sum("n_cur").over(w_cum))
+        .withColumn("tp", F.sum("n_prev").over(w_tot))
+        .withColumn("tc", F.sum("n_cur").over(w_tot))
+    )
+    ks = cum.groupBy("column").agg(
+        F.max(
+            F.abs(
+                F.col("cum_prev").cast(dec) * F.col("tc")
+                - F.col("cum_cur").cast(dec) * F.col("tp")
+            )
+        ).alias("max_num"),
+        F.max("tp").alias("tp"),
+        F.max("tc").alias("tc"),
+    )
+    empty_side = (F.col("tp") == 0) | (F.col("tc") == 0)
+    return ks.select(
+        "column",
+        F.col("tp").alias("total_prev"),
+        F.col("tc").alias("total_cur"),
+        F.when(
+            empty_side,
+            F.when(F.col("tp") != F.col("tc"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        .otherwise(
+            F.col("max_num").cast("double")
+            / (F.col("tp").cast("double") * F.col("tc").cast("double"))
+        )
+        .alias("ks_stat"),
+        F.when(empty_side, F.col("tp") != F.col("tc"))
+        .otherwise(
+            F.col("max_num") * 1000
+            > F.col("tp").cast(dec) * F.col("tc") * threshold_milli
+        )
+        .alias("drifted"),
     )
 
 

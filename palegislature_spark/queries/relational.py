@@ -875,3 +875,87 @@ def audit_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus", "o_orderpriority"],
         threshold=0.005,
     )
+
+
+@register(
+    "audit_numeric_drift",
+    covers="training-pipeline extension: batch-over-batch NUMERIC "
+    "distribution-shift gate — fixed-histogram binning (row-local "
+    "melt, one map-side-combined aggregate) + binned "
+    "Kolmogorov-Smirnov statistic; the sup stays in DECIMAL(38,0) "
+    "integer cross-products and the drift decision is an integer "
+    "inequality, so the report is engine-exact (KS chosen over PSI "
+    "precisely because PSI's float log-sum is accumulation-order-"
+    "dependent)",
+    oracle="""
+WITH melted AS (
+  SELECT year(o_orderdate) >= 1997 AS cur, 'o_custkey' AS "column",
+         CASE WHEN o_custkey IS NULL THEN -1
+              ELSE CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - 0.0) / 100000.0), 0), 19) AS INT)
+         END AS bin
+  FROM orders
+  UNION ALL
+  SELECT year(o_orderdate) >= 1997, 'o_totalprice',
+         CASE WHEN o_totalprice IS NULL THEN -1
+              ELSE CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 20000.0), 0), 24) AS INT)
+         END
+  FROM orders
+),
+counts AS (
+  SELECT "column", bin,
+         CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+         CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM melted GROUP BY 1, 2
+),
+cum AS (
+  SELECT "column", n_prev, n_cur,
+         sum(n_prev) OVER (PARTITION BY "column" ORDER BY bin) AS cum_prev,
+         sum(n_cur) OVER (PARTITION BY "column" ORDER BY bin) AS cum_cur,
+         sum(n_prev) OVER (PARTITION BY "column") AS tp,
+         sum(n_cur) OVER (PARTITION BY "column") AS tc
+  FROM counts
+),
+ks AS (
+  SELECT "column",
+         max(abs(CAST(cum_prev AS DECIMAL(38,0)) * tc
+                 - CAST(cum_cur AS DECIMAL(38,0)) * tp)) AS max_num,
+         max(tp) AS tp, max(tc) AS tc
+  FROM cum GROUP BY 1
+)
+SELECT "column",
+       CAST(tp AS BIGINT) AS total_prev,
+       CAST(tc AS BIGINT) AS total_cur,
+       CASE WHEN tp = 0 OR tc = 0
+            THEN CASE WHEN tp <> tc THEN 1.0 ELSE 0.0 END
+            ELSE CAST(max_num AS DOUBLE) / (CAST(tp AS DOUBLE) * CAST(tc AS DOUBLE))
+       END AS ks_stat,
+       CASE WHEN tp = 0 OR tc = 0 THEN tp <> tc
+            ELSE max_num * 1000 > CAST(tp AS DECIMAL(38,0)) * tc * 30
+       END AS drifted
+FROM ks
+""",
+)
+def audit_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric twin of ``audit_category_drift``: orders before 1997
+    play the previous batch, 1997+ the current one; o_totalprice
+    (25 x 20k histogram) and o_custkey (20 x 100k — id-shaped, piles
+    into low bins and clamps at replica scale, a deliberately stable
+    column) are compared with the binned KS statistic at a 0.030
+    threshold. The generator draws both uniformly over time, so only
+    sampling-level shift exists here; planted real drift (and the
+    NULL-bin / empty-batch edges) is exercised in tests/test_audit.py.
+    One scan of orders; everything after the (column, bin) aggregate
+    is histogram-sized.
+    """
+    from palegislature_spark.operators import audit
+
+    o = load(spark, sf_dir, "orders")
+    return audit.numeric_drift(
+        o,
+        F.year("o_orderdate") >= 1997,
+        {
+            "o_custkey": (0.0, 2_000_000.0, 20),
+            "o_totalprice": (0.0, 500_000.0, 25),
+        },
+        threshold_milli=30,
+    )

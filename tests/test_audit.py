@@ -135,3 +135,86 @@ def test_category_drift_stable_column_not_flagged(spark):
     out = {(r.column, r.category): r for r in res.collect()}
     assert out[("status", "A")].drifted and out[("status", "B")].drifted
     assert not out[("prio", "x")].drifted  # 100% -> 100%, shift 0
+
+
+def test_numeric_drift_flags_planted_shift(spark):
+    """Planted numeric shift: 'val' moves from low bins to high bins
+    between batches while 'stable' keeps an identical 80/20 split in
+    both. Binned KS must flag exactly the shifted column, agree with
+    the hand-computed statistic, and stay single-scan."""
+    rows = (
+        [(False, 5.0, 1.0)] * 8 + [(False, 95.0, 9.0)] * 2   # prev: val low-heavy
+        + [(True, 95.0, 1.0)] * 8 + [(True, 5.0, 9.0)] * 2   # cur: val high-heavy
+    )
+    df = spark.createDataFrame(rows, "cur boolean, val double, stable double")
+    res = audit.numeric_drift(
+        df,
+        F.col("cur"),
+        {"val": (0.0, 100.0, 10), "stable": (0.0, 10.0, 10)},
+        threshold_milli=300,
+    )
+    out = {r.column: r for r in res.collect()}
+    v = out["val"]
+    assert v.total_prev == 10 and v.total_cur == 10
+    # val cdf at bin 0: prev 0.8, cur 0.2 -> KS sup = 0.6 > 0.3
+    assert v.ks_stat == 0.6 and bool(v.drifted)
+    s = out["stable"]
+    # stable is 80% bin1 / 20% bin9 in BOTH batches -> KS 0
+    assert s.ks_stat == 0.0 and not s.drifted
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    scans = re.findall(r"\(\d+\) (?:Scan|LocalTableScan)", plan)
+    assert len(scans) == 1, "melt must not rescan the input per column"
+
+
+def test_numeric_drift_null_bin_and_clamping(spark):
+    """NULLs land in bin -1 (a null-rate change IS drift); values
+    outside [lo, hi) clamp into the edge bins instead of vanishing."""
+    rows = (
+        [(False, 5.0)] * 9 + [(False, None)] * 1        # prev: 10% null
+        + [(True, 5.0)] * 4 + [(True, None)] * 4        # cur: 50% null
+        + [(True, -99.0), (True, 999.0)]                # clamp to bins 0, 9
+    )
+    df = spark.createDataFrame(rows, "cur boolean, val double")
+    out = audit.numeric_drift(
+        df, F.col("cur"), {"val": (0.0, 100.0, 10)}, threshold_milli=300
+    ).collect()[0]
+    assert out.total_prev == 10 and out.total_cur == 10
+    # cdf at null bin (-1): prev 0.1, cur 0.4 -> sup begins at 0.3;
+    # at bin 0: prev 1.0, cur 0.9 (4 null + 5 in-bin + 1 clamped low)
+    assert out.ks_stat == 0.3 and not out.drifted  # 0.3 > 0.3 is false
+    assert bool(
+        audit.numeric_drift(
+            df, F.col("cur"), {"val": (0.0, 100.0, 10)}, threshold_milli=299
+        ).collect()[0].drifted
+    )
+
+
+def test_numeric_drift_empty_batch_flags(spark):
+    """A column with an all-empty previous batch reports ks 1.0 /
+    drifted true (not NULL) — the zero-total rule; both-empty would
+    be 0.0/false but cannot occur through the melt (every row lands
+    in some bin)."""
+    df = spark.createDataFrame(
+        [(True, 1.0)] * 4, "cur boolean, val double"
+    )
+    out = audit.numeric_drift(
+        df, F.col("cur"), {"val": (0.0, 10.0, 5)}, threshold_milli=300
+    ).collect()[0]
+    assert out.total_prev == 0 and out.total_cur == 4
+    assert out.ks_stat == 1.0 and bool(out.drifted)
+
+
+def test_drift_from_counts_zero_total_flags(spark):
+    """A newly monitored column (previous generation total 0) must
+    FLAG as drifted, not NULL out of a filter(drifted) gate."""
+    counts = spark.createDataFrame(
+        [("newcol", "A", 0, 7), ("newcol", "B", 0, 3)],
+        "column string, category string, n_prev long, n_cur long",
+    )
+    rows = audit.drift_from_counts(counts, threshold=0.1).collect()
+    for r in rows:
+        assert r.prev_share == 0.0
+        assert r.drifted is True
+    assert audit.drift_from_counts(counts, 0.1).filter("drifted").count() == 2
