@@ -573,57 +573,47 @@ def _pagerank_sampled(con, stride: int):
     rank vs a CONFINED replay of the order-pinned exact_replay fold.
 
     Confinement is exact for THIS graph because it is bipartite with
-    edges only customer -> supplier: a customer never appears as a
-    dst, so its rank is the closed-form (1 - d) from iteration 1 on,
-    independent of any supplier's rank; and a supplier never appears
-    as a src, so an unsampled supplier's (wrong, unpropagated) rank in
-    the confined r{i} tables feeds nothing. Restricting every c{i}
-    propagation join to sampled dst nodes therefore reproduces the
-    full replay bit-for-bit on the sampled slice, at O(sampled
-    in-edges) per round instead of O(E)."""
-    edges = """edges AS (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    edges only customer -> supplier, and that collapses the whole
+    3-round replay to a closed form:
+
+    - a customer never appears as a dst, so its contribution sum is
+      NULL every round and its rank is EXACTLY the double
+      ``(1.0e0 - 0.85e0)`` from round 1 on (bit-exact: the replay
+      computes ``(1-d) + 0.85*coalesce(NULL->0.0)`` and ``x + 0.0 ==
+      x`` for positive x in IEEE);
+    - a supplier never appears as a src, so its round-3 rank depends
+      only on its in-edges' customer ranks at round 2 — all exactly
+      ``(1-d)`` — i.e. ``rank3(s) = (1-d) + d * fold(src-ordered,
+      (1-d)/deg(src))``, the same src-string-ordered float fold the
+      full replay's ``list_reduce(list(c ORDER BY src))`` performs.
+
+    The earlier implementation spelled out the three r{i} rounds over
+    varchar node keys; at the 100x replica DuckDB re-inlined the 60M-
+    row DISTINCT per round and spilled past the disk. The closed form
+    needs ONE materialized integer-keyed distinct + one fold over the
+    sampled suppliers' in-edges, which is also why the math is easy to
+    audit against the docstring's confinement argument."""
+    sql = f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-)"""
-    ctes = [
-        edges,
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        f"""samp AS (SELECT node FROM nodes
-        WHERE CAST(substr(node, 2) AS BIGINT) % {stride} = 0)""",
-        """deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-       FROM edges GROUP BY src)""",
-        "r0 AS (SELECT node, 1.0e0 AS rank FROM nodes)",
-    ]
-    for i in range(1, 4):
-        ctes.append(
-            f"""c{i} AS (
-  SELECT e.dst, e.src, r.rank / d.deg AS c
-  FROM edges e
-  JOIN samp sm ON sm.node = e.dst
-  JOIN r{i - 1} r ON r.node = e.src
-  JOIN deg d ON d.src = e.src
-)"""
-        )
-        ctes.append(
-            f"""s{i} AS (
-  SELECT dst, CAST(list_reduce(list(c ORDER BY src), (a, b) -> a + b)
-              AS DOUBLE) AS s
-  FROM c{i} GROUP BY dst
-)"""
-        )
-        ctes.append(
-            f"""r{i} AS (
-  SELECT n.node,
-         (1.0e0 - 0.85e0) + 0.85e0 * coalesce(s.s, 0.0e0) AS rank
-  FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node
-)"""
-        )
-    sql = (
-        "WITH "
-        + ",\n".join(ctes)
-        + "\nSELECT r.node, r.rank FROM r3 r JOIN samp USING (node)"
-    )
+),
+deg AS (SELECT ck, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY ck),
+samp_c AS (SELECT DISTINCT ck FROM edges WHERE ck % {stride} = 0),
+samp_s AS (SELECT DISTINCT sk FROM edges WHERE sk % {stride} = 0),
+sums AS (
+  SELECT e.sk,
+         CAST(list_reduce(
+           list((1.0e0 - 0.85e0) / d.deg ORDER BY 'c' || CAST(e.ck AS VARCHAR)),
+           (a, b) -> a + b) AS DOUBLE) AS f2
+  FROM edges e JOIN samp_s s ON s.sk = e.sk JOIN deg d ON d.ck = e.ck
+  GROUP BY e.sk
+)
+SELECT 'c' || CAST(ck AS VARCHAR) AS node, (1.0e0 - 0.85e0) AS rank
+FROM samp_c
+UNION ALL
+SELECT 's' || CAST(s.sk AS VARCHAR),
+       (1.0e0 - 0.85e0) + 0.85e0 * coalesce(m.f2, 0.0e0)
+FROM samp_s s LEFT JOIN sums m ON m.sk = s.sk"""
 
     def keep(row_dict):
         return int(row_dict["node"][1:]) % stride == 0
