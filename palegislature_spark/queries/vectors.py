@@ -348,7 +348,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster pair scan — an exact-checkable approximation, like
     knn_ivf."""
     emb = load(spark, sf_dir, "embeddings")
-    out = similarity.semantic_dedup(emb, threshold=0.4, n_lists=8)
+    # assign_impl pinned: this is the ORACLE tier — the auto gate
+    # would switch to the arrow/BLAS assignment at replica scale,
+    # whose last-ulp cosine drift the DuckDB replay can't follow
+    out = similarity.semantic_dedup(
+        emb, threshold=0.4, n_lists=8, assign_impl="expr"
+    )
     return out.select(
         "vec_id", F.col("list_id").cast("long").alias("list_id"), "status"
     )
