@@ -297,6 +297,122 @@ def ann_ivf_sqrt_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_append",
+    covers="similarity-search extension: IVF serving MAINTENANCE — a "
+    "frozen index built on the corpus prefix, a new-arrivals batch "
+    "assigned against the FROZEN centroids (ivf_append's core) and "
+    "appended, then multiprobe serving (n_probe=4) over the merged "
+    "lists; the oracle exploits the append identity (batch-vs-frozen "
+    "assignment == full-corpus assignment against the same centroids) "
+    "that tests/test_ivf.py pins by equality",
+    oracle="""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+prefix AS (SELECT * FROM emb WHERE vec_id % 10 <> 0),
+-- deterministic centroid pick over the PREFIX only (the index
+-- generation that existed before the batch arrived)
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM prefix
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked WHERE pick <= 8
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM prefix e CROSS JOIN centroids c
+),
+assignments AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
+lists AS (
+  SELECT list_id, list(v ORDER BY vec_id) AS vs, CAST(count(*) AS DOUBLE) AS n
+  FROM assignments GROUP BY list_id
+),
+refined AS (
+  SELECT list_id,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+           x -> x / n) AS cvec
+  FROM lists
+),
+-- append identity: the batch assigned against the FROZEN refined
+-- centroids, unioned with the prefix assignments, equals assigning
+-- the WHOLE corpus against those centroids
+assign2 AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN refined c
+),
+assignments2 AS (SELECT vec_id, v, list_id FROM assign2 WHERE r = 1),
+qprobe AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN refined c WHERE e.vec_id % 10 = 0 AND e.vec_id < 200
+),
+probes AS (SELECT query_id, qv, list_id FROM qprobe WHERE r <= 4),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, a.v) AS cos
+  FROM probes p JOIN assignments2 a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF incremental-serving anchor (the registry row for
+    operators/similarity.py ivf_append + multiprobe, previously only
+    equality-tested in tests/test_ivf.py):
+
+    - the index generation is built on the corpus PREFIX (vec_id %
+      10 != 0), 1 Lloyd iteration, exact_replay for the oracle twin;
+    - the new-arrivals batch (vec_id % 10 == 0) is assigned against
+      the FROZEN centroids via assign_to_centroids — exactly what
+      ivf_append does before its parquet append, minus the write —
+      and unioned into the inverted lists;
+    - the batch then probes the merged index at n_probe=4 (multiprobe
+      serving; the recall/candidate-volume ladder over n_probe is
+      pinned in tests/test_ivf.py).
+
+    The DuckDB oracle replays the append through the identity the
+    equality test pins: batch-against-frozen-centroids UNION prefix
+    assignments == whole-corpus assignment against those centroids.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    prefix = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids, assignments = similarity.ivf_assignments(
+        prefix, n_lists=8, refine_iters=1, exact_replay=True
+    )
+    appended = similarity.assign_to_centroids(batch, centroids)
+    index = assignments.unionByName(appended)
+    queries = batch.filter(F.col("vec_id") < 200)
+    topk = similarity.ivf_probe(centroids, index, queries, k=5, n_probe=4)
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
     "cluster_semantic_dedup",
     covers="dedup extension: SemDeDup-style semantic near-dup pruning — "
     "k-means clusters (IVF index) confine the quadratic cosine scan to "
