@@ -297,11 +297,20 @@ def main() -> None:
             if (m := re.match(r"BENCH_r(\d+)\.json$", f))
         ]
         nxt = (max(rounds) + 1) if rounds else 0
-        out_path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}.json")
+        # non-default scale runs (the 10x/100x replicas) get their own
+        # artifact family — BENCH_LOCAL_r{n}_sf1.json, _sf10.json — so
+        # second-decade numbers land as committed raw JSON beside the
+        # sf0.1 records instead of only as BASELINE.md prose (VERDICT
+        # r8 #2); the label derives from the directory basename
+        scale_tag = ""
+        if sf_dir.rstrip("/") != "/root/testdata/sf0.1":
+            label = re.sub(r"[^A-Za-z0-9.]+", "", base.replace("sparkgraft_", ""))
+            scale_tag = f"_{label}" if label else "_alt"
+        out_path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}{scale_tag}.json")
         suffix = ord("a")
         while os.path.exists(out_path):
             out_path = os.path.join(
-                here, f"BENCH_LOCAL_r{nxt:02d}-{chr(suffix)}.json"
+                here, f"BENCH_LOCAL_r{nxt:02d}{scale_tag}-{chr(suffix)}.json"
             )
             suffix += 1
     with open(out_path, "w") as fh:

@@ -1337,15 +1337,10 @@ def assign_group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cluster_soft_dedup",
-    covers="dedup extension: SOFT dedup — duplicate-aware sampling "
-    "weights (1 / near-dup-cluster size) instead of dropping "
-    "non-representatives; the DataComp/RefinedWeb ablation knob that "
-    "keeps every document but makes each duplicated CONTENT carry unit "
-    "total mass; weight is one long/long division, engine-exact",
-    oracle="""
-WITH RECURSIVE toks AS (
+# near-dup clustering replay (3-gram Jaccard >= 0.8 pairs -> min-label
+# connected components), shared by cluster_soft_dedup and the composed
+# cluster_weighted_epoch oracle
+_SOFT_CLUSTER_SQL = """toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
 ),
 pos AS (
@@ -1382,7 +1377,17 @@ cc AS (SELECT node AS doc_id, min(front) AS comp FROM walk GROUP BY node),
 assigned AS (
   SELECT d.doc_id, CAST(COALESCE(cc.comp, d.doc_id) AS BIGINT) AS cluster_id
   FROM documents d LEFT JOIN cc USING (doc_id)
-)
+)"""
+
+
+@register(
+    "cluster_soft_dedup",
+    covers="dedup extension: SOFT dedup — duplicate-aware sampling "
+    "weights (1 / near-dup-cluster size) instead of dropping "
+    "non-representatives; the DataComp/RefinedWeb ablation knob that "
+    "keeps every document but makes each duplicated CONTENT carry unit "
+    "total mass; weight is one long/long division, engine-exact",
+    oracle="WITH RECURSIVE " + _SOFT_CLUSTER_SQL + """
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        1.0 / count(*) OVER (PARTITION BY cluster_id) AS weight
@@ -1417,4 +1422,133 @@ def cluster_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         size.alias("cluster_size"),
         (F.lit(1.0) / size).alias("weight"),
+    )
+
+
+def _mix_cte_parts() -> str:
+    """The mixture-weight CTE block of corpus.py's _MIX_ORACLE (same
+    extraction corpus_epoch_sample's oracle uses), so the composed
+    oracle replays the exact registered repeat-factor algebra."""
+    from palegislature_spark.queries.corpus import _MIX_ORACLE
+
+    return (
+        _MIX_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0]
+        .rstrip().rstrip(",")
+    )
+
+
+_WEIGHTED_EPOCH_ORACLE = f"""
+WITH RECURSIVE {_SOFT_CLUSTER_SQL},
+soft AS (
+  SELECT doc_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM assigned
+),
+{_mix_cte_parts()},
+rf AS (
+  SELECT source, (sw / denom) / (n_tokens * 1.0 / grand) AS repeat_factor
+  FROM w CROSS JOIN tot CROSS JOIN den
+),
+eff AS (
+  SELECT d.doc_id, d.source, s.cluster_size,
+         r.repeat_factor * (1.0e0 / s.cluster_size) AS eff
+  FROM documents d
+  JOIN rf r ON d.source = r.source
+  JOIN soft s ON s.doc_id = d.doc_id
+),
+plan AS (
+  SELECT doc_id, source, cluster_size,
+         CAST(floor(eff) AS BIGINT)
+         + CASE WHEN substr(md5('soft0|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     < lpad(lower(to_hex(
+                         CAST(floor((eff - floor(eff)) * 1152921504606846976.0e0)
+                              AS BIGINT))), 15, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM eff
+)
+SELECT doc_id, source, cluster_size, CAST(i AS BIGINT) AS copy_idx
+FROM (SELECT doc_id, source, cluster_size, n_copies,
+             unnest(generate_series(1, n_copies)) AS i
+      FROM plan)
+"""
+
+
+@register(
+    "cluster_weighted_epoch",
+    covers="training-pipeline extension: the COMPOSED dedup-aware "
+    "mixture epoch (DataComp-style) — soft-dedup cluster weights "
+    "(1/cluster_size) times temperature-mixture domain repeat factors "
+    "feed the deterministic md5 copy draw, so one plan materializes an "
+    "epoch where duplicated CONTENT carries unit mass and domains hit "
+    "their temperature shares; every stage is the already-oracle-green "
+    "registry component, chained",
+    oracle=_WEIGHTED_EPOCH_ORACLE,
+)
+def cluster_weighted_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware mixture epoch in ONE plan (VERDICT r8 #8): each
+    document's effective rate is repeat_factor(source) * (1 /
+    near-dup-cluster size); it appears floor(eff) times plus one more
+    iff its salted 60-bit md5 draw falls under frac(eff) — the
+    corpus_epoch_sample draw applied to the cluster_soft_dedup x
+    corpus_mixture_weights product. Expected token mass per domain
+    matches the temperature share while each duplicate cluster
+    contributes ~unit mass per repeat — the curation_funnel pattern
+    applied to sampling.
+
+    Scale shape: the cluster sizing reuses the banded MinHash pair
+    graph + capped CC (never all-pairs); the domain-factor table is
+    dimension-sized and broadcast; the draw and the copy explode are
+    row-local — no new shuffle beyond the components the stages
+    already pay individually.
+    """
+    from palegislature_spark.queries.corpus import domain_mixture_weights
+
+    rf = domain_mixture_weights(spark, sf_dir).select("source", "repeat_factor")
+    soft = cluster_soft_dedup(spark, sf_dir).select("doc_id", "cluster_size")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    eff = (
+        F.col("repeat_factor") * (F.lit(1.0) / F.col("cluster_size"))
+    ).alias("eff")
+    joined = (
+        docs.join(F.broadcast(rf), "source")
+        .join(soft, "doc_id")
+        .select("doc_id", "source", "cluster_size", eff)
+    )
+    boundary = F.floor(
+        (F.col("eff") - F.floor("eff")) * F.lit(1152921504606846976.0)
+    ).cast("long")
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("soft0|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    plan = joined.select(
+        "doc_id",
+        "source",
+        "cluster_size",
+        (
+            F.floor("eff").cast("long")
+            + F.when(draw < boundary, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard zero-copy docs so they
+    # drop like DuckDB's empty generate_series (corpus_epoch_sample
+    # precedent)
+    copies = F.when(
+        F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies"))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return plan.select(
+        "doc_id",
+        "source",
+        "cluster_size",
+        F.explode(copies).alias("copy_idx"),
+    ).select(
+        "doc_id",
+        "source",
+        "cluster_size",
+        F.col("copy_idx").cast("long").alias("copy_idx"),
     )
