@@ -67,6 +67,9 @@ HEADLINE = [
     "canonicalize_url_dedup",
     "assign_group_splits",
     "cluster_soft_dedup",
+    "audit_numeric_drift",
+    "ann_ivf_append",
+    "cluster_weighted_epoch",
 ]
 
 

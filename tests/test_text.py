@@ -340,3 +340,37 @@ def test_quality_classifier_known_weights(spark, tmp_path):
     import re
 
     assert not re.findall(r"\bExchange\b", plan), "classifier scan must be map-only"
+
+
+def test_weighted_epoch_copies_dense_and_bounded(spark, sf_dir):
+    """cluster_weighted_epoch invariants the oracle hash can't state
+    directly: copy indices are dense 1..n per doc; every doc's copy
+    count is floor(eff) or floor(eff)+1 for eff = repeat_factor *
+    (1/cluster_size); and a doc's copies never exceed its domain's
+    ceil(repeat_factor) (weight <= 1 only shrinks the rate)."""
+    import pyspark.sql.functions as F
+
+    from palegislature_spark.queries.corpus import domain_mixture_weights
+    from palegislature_spark.queries.text import (
+        cluster_soft_dedup,
+        cluster_weighted_epoch,
+    )
+
+    out = cluster_weighted_epoch(spark, sf_dir)
+    per_doc = out.groupBy("doc_id", "cluster_size").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy_idx").alias("mx"),
+        F.min("copy_idx").alias("mn"),
+    )
+    bad_dense = per_doc.filter("n != mx OR mn != 1").count()
+    assert bad_dense == 0
+
+    rf = {r.source: r.repeat_factor
+          for r in domain_mixture_weights(spark, sf_dir).collect()}
+    soft = {r.doc_id: r.cluster_size
+            for r in cluster_soft_dedup(spark, sf_dir).collect()}
+    import math
+    for r in per_doc.join(
+        out.select("doc_id", "source").distinct(), "doc_id"
+    ).collect():
+        eff = rf[r.source] * (1.0 / soft[r.doc_id])
+        assert r.n in (math.floor(eff), math.floor(eff) + 1), (r.doc_id, eff, r.n)
