@@ -67,6 +67,11 @@ ALLOW_NESTED_LOOP = {
     # inherits corpus_mixture_weights' 1-row (grand, denom) attaches
     # through composition
     "corpus_epoch_sample",
+    # same inheritance, through the dedup-aware composition (r9)
+    "cluster_weighted_epoch",
+    # same IVF centroid attach as knn_ivf, on the prefix build + the
+    # frozen-centroid batch assignment (assign_to_centroids)
+    "ann_ivf_append",
     # grand-total crossJoin(broadcast(<1-row count>)) replacing the
     # former single-partition count(*) OVER () window (VERDICT r5 fix)
     "filter_null_coalesce",
