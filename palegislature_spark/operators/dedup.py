@@ -438,6 +438,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     chunks: int = 4,
     band_chunks: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
@@ -470,13 +471,16 @@ def simhash_pairs(
       j=2 key ~ n^2 * C(k+2,2) / 2^(2*60/(k+2)) passes ~10^9
       candidates near a million docs at k=6 — thresholds derived in
       BASELINE.md "SimHash banding rungs"); one count() action to
-      size it, same policy as ivf_assignments(n_lists=None).
+      size it, same policy as ivf_assignments(n_lists=None) — pass
+      ``n_docs`` to skip the count when the cardinality is already
+      known (semantic_dedup's n_vectors precedent).
 
     ``band_chunks`` must satisfy ``band_chunks + max_hamming <= 60``
     (every chunk needs at least one bit).
     """
     if band_chunks is None:
-        n_docs = df.count()
+        if n_docs is None:
+            n_docs = df.count()
         band_chunks = 1 if n_docs < 20_000 else (2 if n_docs < 1_000_000 else 3)
     if band_chunks < 1 or band_chunks + max_hamming > _SIMHASH_BITS:
         raise ValueError(
