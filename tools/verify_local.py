@@ -656,10 +656,14 @@ for t in tables:
         p = f"{p}/*.parquet"
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 sql = open(sql_path).read()
-res = con.execute(sql)
+# materialize ONCE, then read twice: the heavy replays used to run the
+# whole SQL a second time just to get the pandas frame for the
+# dtype-kind check — at replica scale that doubled a multi-minute query
+con.execute("CREATE TEMP TABLE __oracle_result AS " + sql)
+res = con.execute("SELECT * FROM __oracle_result")
 cols = [d[0] for d in res.description]
 rows = res.fetchall()
-pdf = con.execute(sql).df()
+pdf = con.execute("SELECT * FROM __oracle_result").df()
 with open(out_path, "wb") as f:
     pickle.dump({"cols": cols, "rows": rows, "pdf": pdf}, f)
 """
