@@ -265,16 +265,10 @@ def numeric_drift(
     bins-sized table. One corpus pass total.
     """
 
-    def bin_of(col: str, lo: float, hi: float, n: int) -> Column:
-        width = (hi - lo) / n
-        raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
-        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("int")
-        return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(clamped)
-
     entries = [
         F.struct(
             F.lit(col).alias("column"),
-            bin_of(col, lo, hi, n).alias("bin"),
+            _numeric_bin_of(col, lo, hi, n).alias("bin"),
         )
         for col, (lo, hi, n) in bins.items()
     ]
@@ -285,6 +279,22 @@ def numeric_drift(
         F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_prev"),
         F.sum(F.when(F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
     )
+    return _ks_from_bin_counts(counts, threshold_milli)
+
+
+def _numeric_bin_of(col: str, lo: float, hi: float, n: int) -> Column:
+    """Row-local histogram bin: clamp into [0, n-1], NULL -> -1."""
+    width = (hi - lo) / n
+    raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("int")
+    return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(clamped)
+
+
+def _ks_from_bin_counts(counts: DataFrame, threshold_milli: int) -> DataFrame:
+    """The KS half of :func:`numeric_drift`, over a dimension-sized
+    ``(column, bin, n_prev, n_cur)`` table (from the one-pass melt, or
+    from two persisted histogram generations 0-filled by
+    :func:`numeric_drift_between_generations`)."""
     w_cum = (
         Window.partitionBy("column")
         .orderBy("bin")
@@ -329,6 +339,57 @@ def numeric_drift(
         )
         .alias("drifted"),
     )
+
+
+def numeric_bin_counts(
+    df: DataFrame, bins: dict[str, tuple[float, float, int]]
+) -> DataFrame:
+    """One-batch numeric histogram ``(column, bin, n)`` for the
+    monitored columns — the melt half of :func:`numeric_drift`, kept
+    separate so a streaming sink can maintain the histogram
+    incrementally (additive merge, state stays bins-sized however many
+    rows stream through) and diff GENERATIONS of the persisted table
+    with :func:`numeric_drift_between_generations` — the numeric twin
+    of :func:`category_counts`."""
+    entries = [
+        F.struct(
+            F.lit(col).alias("column"),
+            _numeric_bin_of(col, lo, hi, n).alias("bin"),
+        )
+        for col, (lo, hi, n) in bins.items()
+    ]
+    melted = df.select(F.explode(F.array(*entries)).alias("e")).select(
+        F.col("e.column").alias("column"), F.col("e.bin").alias("bin")
+    )
+    return melted.groupBy("column", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def numeric_drift_between_generations(
+    prev_counts: DataFrame, cur_counts: DataFrame, threshold_milli: int = 100
+) -> DataFrame:
+    """Binned-KS drift report between two persisted histogram
+    generations (``numeric_bin_counts`` snapshots, e.g. the streaming
+    sink's table before and after an ingest window): 0-fill bins
+    absent from one side — a bin that appears or vanishes shifts the
+    cdf and registers — then the same integer-exact KS as
+    :func:`numeric_drift`, including its zero-total rule (a column
+    whose entire previous generation is empty flags drifted).
+
+    The bins must come from the SAME ``bins`` spec on both sides —
+    fixed bin edges are what make two independently-collected
+    histograms comparable (the reason the spec is caller-pinned
+    rather than quantile-derived per batch)."""
+    prev = prev_counts.select("column", "bin", F.col("n").alias("n_prev"))
+    cur = cur_counts.select("column", "bin", F.col("n").alias("n_cur"))
+    joined = prev.join(cur, ["column", "bin"], "full_outer").select(
+        "column",
+        "bin",
+        F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    return _ks_from_bin_counts(joined, threshold_milli)
 
 
 def drift_between_generations(

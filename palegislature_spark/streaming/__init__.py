@@ -2,6 +2,7 @@
 
 from palegislature_spark.streaming.jobs import (
     category_count_stream,
+    numeric_bin_count_stream,
     cms_heavy_hitter_stream,
     curate_stream,
     decontam_stream,
@@ -19,6 +20,7 @@ from palegislature_spark.streaming.jobs import (
 
 __all__ = [
     "category_count_stream",
+    "numeric_bin_count_stream",
     "cms_heavy_hitter_stream",
     "curate_stream",
     "decontam_stream",

@@ -748,3 +748,47 @@ def category_count_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def numeric_bin_count_stream(
+    stream: DataFrame,
+    path: str,
+    bins: dict[str, tuple[float, float, int]],
+) -> "StreamingQuery":
+    """Numeric twin of :func:`category_count_stream`: each
+    micro-batch's fixed-edge histogram (``operators/audit.py
+    numeric_bin_counts`` — row-local bin assignment, map-side-combined
+    counts) merges ADDITIVELY into the persisted ``(column, bin, n,
+    last_batch)`` table at ``path``. State stays bins-sized however
+    many rows stream through; snapshot the table before/after an
+    ingest window and diff with
+    ``audit.numeric_drift_between_generations`` for the binned-KS
+    report. Fixed bin edges (caller-pinned ``bins``) are what make
+    histograms from different windows additive and comparable.
+
+    Durability + at-least-once replay discipline are the shared
+    ``_additive_state_sink`` contract (staging-promote swap +
+    ``last_batch`` high-water mark).
+    """
+    from palegislature_spark.operators.audit import numeric_bin_counts
+
+    def batch_table(batch: DataFrame) -> DataFrame:
+        return numeric_bin_counts(batch, bins)
+
+    def merge_tables(live: DataFrame, counts: DataFrame) -> DataFrame:
+        return (
+            live.unionByName(counts)
+            .groupBy("column", "bin")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.max("last_batch").alias("last_batch"),
+            )
+        )
+
+    sink = _additive_state_sink(path, batch_table, merge_tables)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -218,3 +218,42 @@ def test_drift_from_counts_zero_total_flags(spark):
         assert r.prev_share == 0.0
         assert r.drifted is True
     assert audit.drift_from_counts(counts, 0.1).filter("drifted").count() == 2
+
+
+def test_numeric_drift_between_generations_matches_split(spark):
+    """The generation path (two persisted histograms, 0-filled
+    full-outer join) must agree with the one-shot split-based
+    numeric_drift on the same data — and a bin present only in the
+    newer generation must shift the cdf and register."""
+    bins = {"val": (0.0, 100.0, 10)}
+    prev_rows = [(5.0,)] * 8 + [(95.0,)] * 2
+    cur_rows = [(95.0,)] * 8 + [(5.0,)] * 2
+    prev = spark.createDataFrame(prev_rows, "val double")
+    cur = spark.createDataFrame(cur_rows, "val double")
+
+    gen = audit.numeric_drift_between_generations(
+        audit.numeric_bin_counts(prev, bins),
+        audit.numeric_bin_counts(cur, bins),
+        threshold_milli=300,
+    ).collect()[0]
+    both = prev.withColumn("cur", F.lit(False)).unionByName(
+        cur.withColumn("cur", F.lit(True))
+    )
+    split = audit.numeric_drift(
+        both, F.col("cur"), bins, threshold_milli=300
+    ).collect()[0]
+    assert (gen.total_prev, gen.total_cur, gen.ks_stat, gen.drifted) == (
+        split.total_prev, split.total_cur, split.ks_stat, split.drifted
+    )
+    assert gen.ks_stat == 0.6 and bool(gen.drifted)
+
+    # a bin only the newer generation has (value 55 -> bin 5): 0-fill
+    # keeps the prev cdf flat through it, so the sup sees the new mass
+    cur2 = spark.createDataFrame([(55.0,)] * 10, "val double")
+    g2 = audit.numeric_drift_between_generations(
+        audit.numeric_bin_counts(prev, bins),
+        audit.numeric_bin_counts(cur2, bins),
+        threshold_milli=300,
+    ).collect()[0]
+    # cdf at bin 0: prev 0.8, cur 0.0 -> sup 0.8
+    assert g2.ks_stat == 0.8 and bool(g2.drifted)

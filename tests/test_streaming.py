@@ -607,3 +607,83 @@ def test_category_count_stream_and_generation_drift(spark, tmp_path):
     # prio z: 0 -> 4/9 = .44 shift, flagged; n_prev 0-filled
     z = rep[("prio", "z")]
     assert z.n_prev == 0 and z.drifted
+
+
+def test_numeric_bin_count_stream_and_generation_ks(spark, tmp_path):
+    """Numeric twin of the categorical drift monitor: per-batch
+    fixed-edge histograms merge additively into the persisted bin
+    table (== one-shot numeric_bin_counts of the union), a
+    checkpoint-wiped replay no-ops via the last_batch stamp, and
+    diffing two generations with numeric_drift_between_generations
+    reproduces the one-shot split-based KS."""
+    import shutil
+
+    from palegislature_spark.operators.audit import (
+        numeric_bin_counts,
+        numeric_drift,
+        numeric_drift_between_generations,
+    )
+
+    schema = "id long, val double"
+    bins = {"val": (0.0, 100.0, 10)}
+    d = tmp_path / "num_stream"
+    b1 = [(1, 5.0), (2, 5.0), (3, 95.0)]
+    b2 = [(4, 5.0), (5, None)]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+            str(d)
+        )
+
+    import pyspark.sql.types as T
+
+    sschema = T.StructType.fromDDL(schema)
+    table = str(tmp_path / "num_counts")
+    q = streaming.numeric_bin_count_stream(
+        streaming.read_stream(spark, str(d), sschema, max_files_per_trigger=1),
+        table,
+        bins,
+    )
+    drain(q)
+
+    want = rows(
+        numeric_bin_counts(spark.createDataFrame(b1 + b2, schema), bins),
+        "column", "bin", "n",
+    )
+    assert rows(
+        spark.read.parquet(table).select("column", "bin", "n"),
+        "column", "bin", "n",
+    ) == want
+
+    # at-least-once replay: wipe the checkpoint, same batch ids replay
+    shutil.rmtree(table + "_cp")
+    q = streaming.numeric_bin_count_stream(
+        streaming.read_stream(spark, str(d), sschema, max_files_per_trigger=1),
+        table,
+        bins,
+    )
+    drain(q)
+    assert rows(
+        spark.read.parquet(table).select("column", "bin", "n"),
+        "column", "bin", "n",
+    ) == want
+
+    # generation KS: a high-bin-heavy second window; the generation
+    # diff must equal the one-shot split computation on the same data
+    gen1 = spark.read.parquet(table).select("column", "bin", "n")
+    newer = [(6, 95.0), (7, 95.0), (8, 95.0), (9, 5.0)]
+    gen2 = numeric_bin_counts(
+        spark.createDataFrame(b1 + b2 + newer, schema), bins
+    )
+    got = numeric_drift_between_generations(gen1, gen2, 300).collect()[0]
+    both = (
+        spark.createDataFrame(b1 + b2, schema).withColumn("c", F.lit(False))
+        .unionByName(
+            spark.createDataFrame(b1 + b2 + newer, schema).withColumn(
+                "c", F.lit(True)
+            )
+        )
+    )
+    ref = numeric_drift(both, F.col("c"), bins, 300).collect()[0]
+    assert (got.total_prev, got.total_cur, got.ks_stat, got.drifted) == (
+        ref.total_prev, ref.total_cur, ref.ks_stat, ref.drifted
+    )
