@@ -451,6 +451,7 @@ def ivf_assignments(
     refine_iters: int = 0,
     exact_replay: bool = False,
     assign_impl: str = "expr",
+    n_vectors: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index: (centroids, assignments).
 
@@ -490,7 +491,13 @@ def ivf_assignments(
     if n_lists is None:
         import math
 
-        n_lists = max(8, math.isqrt(embeddings.count()))
+        # one count() action to size sqrt-n lists; pass n_vectors to
+        # skip it when the cardinality is already known (the
+        # semantic_dedup / simhash_pairs hint convention)
+        n_lists = max(
+            8,
+            math.isqrt(embeddings.count() if n_vectors is None else n_vectors),
+        )
     ranked = embeddings.select(
         F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
     ).withColumn("__rk", _mix31_col(F.col("__cid")))
@@ -638,6 +645,7 @@ def ivf_topk(
     refine_iters: int = 0,
     exact_replay: bool = False,
     assign_impl: str = "expr",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: search only the ``n_probe``
     inverted lists whose centroids are closest to each query.
@@ -646,13 +654,14 @@ def ivf_topk(
     probing are linear passes against a broadcast centroid set; the
     candidate join shuffles on list_id, so per-query work is
     ~ corpus * n_probe / n_lists; ``n_lists=None`` sizes the index by
-    √n.  ``exact_replay`` selects the bit-reproducible sequential-fold
+    √n (``n_vectors`` skips the sizing count when known).
+    ``exact_replay`` selects the bit-reproducible sequential-fold
     refinement used only by the ``knn_ivf`` oracle query (see
     :func:`ivf_assignments`).
     """
     centroids, assignments = ivf_assignments(
         embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay,
-        assign_impl,
+        assign_impl, n_vectors,
     )
     return ivf_probe(centroids, assignments, queries, k, id_col, vec_col, n_probe)
 
@@ -818,11 +827,12 @@ def semantic_dedup(
     callers pin ``"expr"``).
     """
     if assign_impl is None:
-        n = embeddings.count() if n_vectors is None else n_vectors
-        assign_impl = "arrow" if n >= 100_000 else "expr"
+        if n_vectors is None:
+            n_vectors = embeddings.count()
+        assign_impl = "arrow" if n_vectors >= 100_000 else "expr"
     _, assignments = ivf_assignments(
         embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay,
-        assign_impl,
+        assign_impl, n_vectors,
     )
     withn = assignments.withColumn("__n", _norm(F.col("__vec")))
     l = withn.select(
