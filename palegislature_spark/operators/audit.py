@@ -341,6 +341,48 @@ def _ks_from_bin_counts(counts: DataFrame, threshold_milli: int) -> DataFrame:
     )
 
 
+def derive_bins(
+    df: DataFrame,
+    columns: list[str],
+    nbins: int = 20,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    accuracy: int = 10_000,
+) -> dict[str, tuple[float, float, int]]:
+    """Derive a fixed-width ``bins`` spec for :func:`numeric_drift` /
+    :func:`numeric_bin_counts` from a REFERENCE batch: the histogram
+    range is the robust [p01, p99] span (``percentile_approx``, one
+    map-side-combined aggregate for ALL columns — a single scan
+    however many are monitored), so outliers land in the edge bins by
+    the clamping rule instead of stretching the bin width to
+    uselessness.
+
+    The spec is derived ONCE from the reference generation and then
+    PINNED — both generations must be binned with the same edges for
+    histograms to be comparable (numeric_drift_between_generations'
+    contract). Degenerate columns are handled: all-NULL derives a
+    (0, 1) placeholder range (every value is the NULL bin anyway);
+    a constant column widens to +1 so the width is nonzero. The
+    collect is 2 doubles per column — driver-sized."""
+    aggs = [
+        F.percentile_approx(
+            F.col(c).cast("double"), F.array(F.lit(lo_q), F.lit(hi_q)), accuracy
+        ).alias(f"_q{i}")
+        for i, c in enumerate(columns)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, tuple[float, float, int]] = {}
+    for i, c in enumerate(columns):
+        qs = row[f"_q{i}"]
+        lo, hi = (qs[0], qs[1]) if qs is not None else (None, None)
+        if lo is None or hi is None:
+            lo, hi = 0.0, 1.0
+        if hi <= lo:
+            hi = lo + 1.0
+        out[c] = (float(lo), float(hi), nbins)
+    return out
+
+
 def numeric_bin_counts(
     df: DataFrame, bins: dict[str, tuple[float, float, int]]
 ) -> DataFrame:

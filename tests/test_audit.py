@@ -257,3 +257,40 @@ def test_numeric_drift_between_generations_matches_split(spark):
     ).collect()[0]
     # cdf at bin 0: prev 0.8, cur 0.0 -> sup 0.8
     assert g2.ks_stat == 0.8 and bool(g2.drifted)
+
+
+def test_derive_bins_robust_range_and_degenerates(spark):
+    """derive_bins: robust [p01,p99] span from one aggregate pass;
+    constant and all-NULL columns get usable placeholder specs; the
+    derived spec feeds numeric_drift end-to-end and still flags a
+    planted shift (outliers clamp into edge bins instead of
+    stretching the width)."""
+    rows = [(float(i % 100), 7.0, None, 1e9 if i == 0 else float(i % 10))
+            for i in range(1, 401)]
+    df = spark.createDataFrame(
+        rows, "val double, const double, nul double, outlier double"
+    )
+    bins = audit.derive_bins(df, ["val", "const", "nul", "outlier"], nbins=10)
+    lo, hi, n = bins["val"]
+    assert n == 10 and 0.0 <= lo <= 5.0 and 95.0 <= hi <= 99.0
+    clo, chi, _ = bins["const"]
+    assert clo == 7.0 and chi == 8.0            # constant widens by +1
+    assert bins["nul"][:2] == (0.0, 1.0)        # all-NULL placeholder
+    olo, ohi, _ = bins["outlier"]
+    assert ohi <= 9.0                           # the 1e9 outlier is OUTSIDE the span
+
+    # derived spec -> planted shift still flags through numeric_drift
+    shifted = (
+        df.withColumn("cur", F.lit(False))
+        .unionByName(
+            spark.createDataFrame(
+                [(95.0, 7.0, None, 5.0)] * 400,
+                "val double, const double, nul double, outlier double",
+            ).withColumn("cur", F.lit(True))
+        )
+    )
+    rep = {r.column: r for r in audit.numeric_drift(
+        shifted, F.col("cur"), bins, threshold_milli=300
+    ).collect()}
+    assert bool(rep["val"].drifted)
+    assert not rep["const"].drifted and not rep["nul"].drifted
