@@ -294,3 +294,53 @@ def test_derive_bins_robust_range_and_degenerates(spark):
     ).collect()}
     assert bool(rep["val"].drifted)
     assert not rep["const"].drifted and not rep["nul"].drifted
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_bin(x, lo, hi, n):
+    """Independent binning reference (pure python float semantics —
+    python floats ARE IEEE doubles, same arithmetic Spark runs)."""
+    import math
+
+    if x is None:
+        return -1
+    raw = math.floor((x - lo) / ((hi - lo) / n))
+    return int(min(max(raw, 0), n - 1))
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.sampled_from([0.0, -0.0, 10.0, 99.999999999, 100.0, -1e-12]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    spec=st.sampled_from([(0.0, 100.0, 10), (-50.0, 50.0, 7), (0.0, 1.0, 3)]),
+)
+@settings(max_examples=10, deadline=None, derandomize=True)
+def test_numeric_bin_property_vs_python(spark, vals, spec):
+    """Property: the Column-expression bin assignment equals the
+    python-double reference on arbitrary values including bin-edge
+    and signed-zero cases — the engine-exactness seam the KS oracle
+    replay rests on (one spark call per example, batched)."""
+    from palegislature_spark.operators.audit import _numeric_bin_of
+
+    lo, hi, n = spec
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, val double")
+    got = {
+        r.i: r.b
+        for r in df.select("i", _numeric_bin_of("val", lo, hi, n).alias("b"))
+        .collect()
+    }
+    want = {i: _py_bin(v, lo, hi, n) for i, v in enumerate(vals)}
+    assert got == want
