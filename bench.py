@@ -70,6 +70,7 @@ HEADLINE = [
     "audit_numeric_drift",
     "ann_ivf_append",
     "cluster_weighted_epoch",
+    "benchmark_eval_overlap",
 ]
 
 

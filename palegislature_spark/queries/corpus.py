@@ -95,6 +95,95 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, eval_df, "doc_id", "text", n=5)
 
 
+def _eval_overlap_oracle() -> str:
+    from palegislature_spark.operators.sampling import cumulative_hex_boundaries
+
+    b_val = dict(
+        cumulative_hex_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    )["val"]
+    gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(5))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) >= '{b_val}'
+           AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_eval, {gram} AS gram
+  FROM (SELECT doc_id, is_eval, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+        FROM toks)
+),
+traing AS (SELECT DISTINCT gram FROM grams WHERE NOT is_eval),
+alleval AS (SELECT doc_id FROM toks WHERE is_eval),
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM grams WHERE is_eval GROUP BY doc_id
+),
+hits AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM grams g JOIN traing t USING (gram)
+  WHERE g.is_eval GROUP BY g.doc_id
+)
+SELECT a.doc_id,
+       coalesce(c.n_grams, 0) AS n_grams,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(c.n_grams, 0) > 0
+            THEN coalesce(h.n_hit, 0) * 1.0 / c.n_grams
+            ELSE 0.0e0 END AS hit_share,
+       coalesce(h.n_hit, 0) > 0 AS contaminated,
+       (coalesce(c.n_grams, 0) > 0
+        AND coalesce(h.n_hit, 0) * 2 >= coalesce(c.n_grams, 0))
+         AS high_overlap
+FROM alleval a
+LEFT JOIN counts c ON a.doc_id = c.doc_id
+LEFT JOIN hits h ON a.doc_id = h.doc_id
+"""
+
+
+@register(
+    "benchmark_eval_overlap",
+    covers="training-pipeline extension: EVAL-side contamination rate "
+    "— the reverse direction of decontam_testset (GPT-3 appendix C / "
+    "Llama eval-hygiene reports score the BENCHMARK: what fraction of "
+    "each eval example's n-grams already appears in training data); "
+    "per-eval-doc dirty share plus a majority-overlap flag as an "
+    "integer inequality (2*n_hit >= n_grams), engine-exact",
+    oracle=_eval_overlap_oracle(),
+)
+def benchmark_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene report: for every held-out test-split document,
+    the share of ITS distinct 5-grams found anywhere in the training
+    split — the contamination-rate table an eval release publishes
+    (the train-side twin, decontam_testset, flags training docs for
+    REMOVAL; this one scores the benchmark itself).
+
+    Implementation IS the symmetric composition: the same
+    ``decontaminate`` operator with the roles swapped — which also
+    exercises its other scale regime: the broadcast side here is the
+    TRAIN gram set, corpus-sized, so past ~5M distinct grams the
+    operator's count-gate flips the membership test to a shuffle join
+    automatically (at sf0.01 it still broadcasts). One corpus pass
+    either way; ``high_overlap`` (majority of grams dirty — the
+    strictest published exclusion tier) never touches floats.
+    """
+    from palegislature_spark.operators.contamination import decontaminate
+    from palegislature_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(F.col("split") != "test")
+    eval_df = docs.filter(F.col("split") == "test")
+    rep = decontaminate(eval_df, train, "doc_id", "text", n=5)
+    return rep.withColumn(
+        "high_overlap",
+        (F.col("n_grams") > 0) & (F.col("n_hit") * 2 >= F.col("n_grams")),
+    )
+
+
 def _span_oracle(k: int) -> str:
     gram = " || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(k))
     return f"""

@@ -449,3 +449,54 @@ def test_decontaminate_matches_bruteforce(spark, train_texts, eval_texts):
         for r in decontaminate(train, eval_df, n=3).collect()
     }
     assert got == _py_decontam(texts, eval_texts, 3)
+
+
+def test_eval_side_overlap_reversed_roles(spark):
+    """benchmark_eval_overlap's composition: decontaminate() with the
+    roles swapped scores the EVAL side — a fully-leaked eval doc gets
+    hit_share 1.0, a clean doc reports 0 without dropping, a
+    single-gram leak flags contaminated but not high_overlap, and the
+    exactly-half case flags high_overlap (2*n_hit >= n_grams is
+    inclusive)."""
+    import pyspark.sql.functions as F
+
+    from palegislature_spark.operators.contamination import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h"),          # 4 grams, all in train
+            (11, "a b c d e z y x w"),        # 5 grams, exactly 1 hit? no:
+                                              # grams: abcde(hit) bcdez cdezy dezyx ezyxw -> 1/5
+            (12, "q r s t u v w x"),          # clean
+        ],
+        "doc_id long, text string",
+    )
+    rep = decontaminate(evals, train, "doc_id", "text", n=5).withColumn(
+        "high_overlap",
+        (F.col("n_grams") > 0) & (F.col("n_hit") * 2 >= F.col("n_grams")),
+    )
+    out = {r.doc_id: r for r in rep.collect()}
+    assert out[10].hit_share == 1.0 and bool(out[10].high_overlap)
+    assert out[11].n_grams == 5 and out[11].n_hit == 1
+    assert not out[11].high_overlap and bool(out[11].contaminated)
+    assert out[12].n_hit == 0 and not out[12].contaminated
+    assert not out[12].high_overlap
+
+    # inclusive boundary: 2 of 4 grams dirty == exactly half -> flags
+    half = spark.createDataFrame(
+        [(13, "a b c d e f y z")],  # grams: abcde(hit) bcdef(hit) cdefy defyz
+        "doc_id long, text string",
+    )
+    r13 = (
+        decontaminate(half, train, "doc_id", "text", n=5)
+        .withColumn(
+            "high_overlap",
+            (F.col("n_grams") > 0) & (F.col("n_hit") * 2 >= F.col("n_grams")),
+        )
+        .collect()[0]
+    )
+    assert r13.n_grams == 4 and r13.n_hit == 2
+    assert bool(r13.high_overlap)  # 2*2 >= 4: the >= rule is inclusive
