@@ -200,8 +200,14 @@ EXTRA = {
 }
 
 
+# Single source of truth for the default data dir: the scale-tag guard
+# below compares realpaths against THIS constant (ADVICE r9 — a second
+# inline literal would mislabel a symlinked/aliased default dir).
+_DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", _DEFAULT_SF_DIR)
     from palegislature_spark.queries import REGISTRY
     from palegislature_spark.session import get_spark
 
@@ -307,7 +313,7 @@ def main() -> None:
         # sf0.1 records instead of only as BASELINE.md prose (VERDICT
         # r8 #2); the label derives from the directory basename
         scale_tag = ""
-        if sf_dir.rstrip("/") != "/root/testdata/sf0.1":
+        if os.path.realpath(sf_dir) != os.path.realpath(_DEFAULT_SF_DIR):
             label = re.sub(r"[^A-Za-z0-9.]+", "", base.replace("sparkgraft_", ""))
             scale_tag = f"_{label}" if label else "_alt"
         out_path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}{scale_tag}.json")

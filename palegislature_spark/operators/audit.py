@@ -283,11 +283,18 @@ def numeric_drift(
 
 
 def _numeric_bin_of(col: str, lo: float, hi: float, n: int) -> Column:
-    """Row-local histogram bin: clamp into [0, n-1], NULL -> -1."""
+    """Row-local histogram bin: clamp into [0, n-1], NULL and NaN -> -1.
+
+    NaN is routed explicitly (ADVICE r9): Spark's floor(NaN) would cast
+    to bin 0 silently while DuckDB's CAST of NaN to INT errors, so an
+    unrouted NaN both miscounts as low-bin mass and diverges between
+    engines; sending it to the missing-value bin keeps a NaN-rate change
+    visible as distribution shift, same as a null-rate change."""
     width = (hi - lo) / n
-    raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width))
     clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("int")
-    return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(clamped)
+    return F.when(F.col(col).isNull() | F.isnan(x), F.lit(-1)).otherwise(clamped)
 
 
 def _ks_from_bin_counts(counts: DataFrame, threshold_milli: int) -> DataFrame:

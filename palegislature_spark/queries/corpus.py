@@ -536,8 +536,12 @@ def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MIX_ORACLE = """
-WITH src AS (
+# The mixture-weight CTE block, shared VERBATIM by _MIX_ORACLE here,
+# _EPOCH_ORACLE below, and text.py's _WEIGHTED_EPOCH_ORACLE (ADVICE
+# r9: a named constant instead of string surgery on the assembled SQL,
+# which silently truncated the wrong half if a SELECT ever followed
+# the outer projection).
+_MIX_CTES = """src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
@@ -551,7 +555,10 @@ den AS (
            list_reduce(list(sw ORDER BY source), (a, b) -> a + b)
            AS DOUBLE) AS denom
   FROM w
-)
+)"""
+
+_MIX_ORACLE = f"""
+WITH {_MIX_CTES}
 SELECT source, n_docs, n_tokens,
        n_tokens * 1.0 / grand AS raw_share,
        sw / denom AS temp_share,
@@ -999,7 +1006,7 @@ def centrality_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EPOCH_ORACLE = f"""
-WITH {_MIX_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0].rstrip().rstrip(",")},
+WITH {_MIX_CTES},
 rf AS (
   SELECT source, (sw / denom) / (n_tokens * 1.0 / grand) AS repeat_factor
   FROM w CROSS JOIN tot CROSS JOIN den

@@ -890,13 +890,13 @@ def audit_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH melted AS (
   SELECT year(o_orderdate) >= 1997 AS cur, 'o_custkey' AS "column",
-         CASE WHEN o_custkey IS NULL THEN -1
+         CASE WHEN o_custkey IS NULL OR isnan(CAST(o_custkey AS DOUBLE)) THEN -1
               ELSE CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - 0.0) / 100000.0), 0), 19) AS INT)
          END AS bin
   FROM orders
   UNION ALL
   SELECT year(o_orderdate) >= 1997, 'o_totalprice',
-         CASE WHEN o_totalprice IS NULL THEN -1
+         CASE WHEN o_totalprice IS NULL OR isnan(CAST(o_totalprice AS DOUBLE)) THEN -1
               ELSE CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 20000.0), 0), 24) AS INT)
          END
   FROM orders

@@ -1426,15 +1426,13 @@ def cluster_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mix_cte_parts() -> str:
-    """The mixture-weight CTE block of corpus.py's _MIX_ORACLE (same
-    extraction corpus_epoch_sample's oracle uses), so the composed
-    oracle replays the exact registered repeat-factor algebra."""
-    from palegislature_spark.queries.corpus import _MIX_ORACLE
+    """The mixture-weight CTE block shared with corpus.py's
+    _MIX_ORACLE / _EPOCH_ORACLE — the named constant both oracles are
+    assembled from (ADVICE r9), so the composed oracle replays the
+    exact registered repeat-factor algebra."""
+    from palegislature_spark.queries.corpus import _MIX_CTES
 
-    return (
-        _MIX_ORACLE.strip().removeprefix("WITH").rsplit("SELECT", 1)[0]
-        .rstrip().rstrip(",")
-    )
+    return _MIX_CTES
 
 
 _WEIGHTED_EPOCH_ORACLE = f"""

@@ -191,6 +191,33 @@ def test_numeric_drift_null_bin_and_clamping(spark):
     )
 
 
+def test_numeric_drift_nan_routes_to_missing_bin(spark):
+    """NaN lands in bin -1 alongside NULL (ADVICE r9): Spark's
+    floor(NaN) otherwise casts to bin 0 silently — miscounted as
+    low-bin mass AND divergent from the DuckDB oracle, whose CAST of
+    NaN to INT errors. A NaN-rate change must register as drift the
+    same way a null-rate change does."""
+    nan = float("nan")
+    rows = (
+        [(False, 55.0)] * 9 + [(False, nan)] * 1        # prev: 10% NaN
+        + [(True, 55.0)] * 5 + [(True, nan)] * 5        # cur: 50% NaN
+    )
+    df = spark.createDataFrame(rows, "cur boolean, val double")
+    out = audit.numeric_drift(
+        df, F.col("cur"), {"val": (0.0, 100.0, 10)}, threshold_milli=300
+    ).collect()[0]
+    # cdf at bin -1: prev 0.1, cur 0.5 -> ks 0.4 > 0.3 -> drifted.
+    # If NaN fell into bin 0 instead, both cdfs would only diverge by
+    # the same 0.4 but the -1 bin would read 0.1 vs 0.0 — the planted
+    # rates below pin the -1-bin routing exactly.
+    assert out.ks_stat == 0.4 and bool(out.drifted)
+    binned = audit.numeric_bin_counts(
+        df.filter("cur"), {"val": (0.0, 100.0, 10)}
+    ).collect()
+    by_bin = {r.bin: r.n for r in binned}
+    assert by_bin[-1] == 5 and by_bin.get(0, 0) == 0
+
+
 def test_numeric_drift_empty_batch_flags(spark):
     """A column with an all-empty previous batch reports ks 1.0 /
     drifted true (not NULL) — the zero-total rule; both-empty would
