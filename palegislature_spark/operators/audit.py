@@ -441,6 +441,157 @@ def numeric_drift_between_generations(
     return _ks_from_bin_counts(joined, threshold_milli)
 
 
+def embedding_list_masses(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-list mass of a vector batch against FROZEN IVF centroids:
+    ``(list_id, n)`` — the embedding analogue of
+    :func:`numeric_bin_counts` (the inverted list IS the histogram
+    bin), kept separate so a long-lived ingest can persist one
+    mass snapshot per generation and diff them with
+    :func:`embedding_drift_between_generations` without re-reading
+    old corpora. One broadcast of the centroid set, one
+    map-side-combined count — a single linear pass per batch."""
+    from palegislature_spark.operators.similarity import assign_to_centroids
+
+    assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
+    return assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def embedding_drift(
+    prev: DataFrame,
+    cur: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = 8,
+    threshold_milli: int = 100,
+    assign_impl: str = "expr",
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """EMBEDDING distribution-shift report — the third leg of the
+    ingest drift gate (:func:`category_drift` covers categoricals,
+    :func:`numeric_drift` numerics): cluster the PREVIOUS generation
+    into IVF lists (the deterministic sampled-centroid pick,
+    operators/similarity.py), assign BOTH generations to those FROZEN
+    centroids, and compare the per-list mass vectors with the total
+    variation distance ``TV = sum_list |share_prev - share_cur| / 2``.
+
+    Centroids are frozen on the previous generation deliberately —
+    the same reason :func:`derive_bins` pins bin edges: both
+    generations must be binned identically for the histograms to be
+    comparable, and a drifted current batch re-clustering itself would
+    hide exactly the shift being measured. New-region mass has no
+    list of its own but lands in whatever frozen list is nearest,
+    shifting that list's share — drift registers, just attributed to
+    the nearest existing region (finer localization = more lists).
+
+    TV over the KS construction numeric_drift uses, deliberately:
+    list_ids are UNORDERED bins (the centroid numbering is an
+    artifact of the pick order), and a cumulative-sum sup across an
+    arbitrary ordering can cancel — mass swapping between two
+    adjacent lists moves every cdf step except the boundary between
+    them, so a real shift can read as ~0. TV is
+    numbering-invariant and never misses a mass shift. Engine-exact
+    by the same integer construction as the KS: the statistic's
+    numerator is ``sum_list |n_prev * total_cur - n_cur * total_prev|``
+    — a SUM of DECIMAL(38,0) integer products (integer addition is
+    order-free, so the sum is as engine-exact as the KS's max) — and
+    only the final report does ONE double division by
+    ``2 * total_prev * total_cur``. The drift decision never touches
+    floats: ``1000 * num > 2 * threshold_milli * tp * tc``.
+
+    Returns the per-list report (violations-as-data):
+    ``(list_id, n_prev, n_cur, total_prev, total_cur, tv_stat,
+    drifted)`` — lists empty on one side come back 0-filled (an
+    appearing/vanishing cluster IS drift mass), and the corpus-level
+    statistic rides every row so a ``filter(drifted)`` gate needs no
+    second pass. An empty current generation reports tv 1.0 /
+    drifted, matching the other gates' zero-total rule.
+
+    Scale shape: one centroid broadcast + linear assignment pass per
+    generation (O(n * n_lists) scores — ``assign_impl='arrow'`` for
+    corpora past ~1e5 vectors, same gate as semantic_dedup), one
+    map-side-combined count each, then everything downstream runs on
+    the n_lists-sized mass table.
+    """
+    from palegislature_spark.operators.similarity import ivf_assignments
+
+    centroids, prev_assigned = ivf_assignments(
+        prev, id_col, vec_col, n_lists, refine_iters=0,
+        assign_impl=assign_impl, n_vectors=n_vectors,
+    )
+    prev_counts = prev_assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cur_counts = embedding_list_masses(cur, centroids, id_col, vec_col)
+    return embedding_drift_between_generations(
+        prev_counts, cur_counts, threshold_milli
+    )
+
+
+def embedding_drift_between_generations(
+    prev_counts: DataFrame, cur_counts: DataFrame, threshold_milli: int = 100
+) -> DataFrame:
+    """The compare half of :func:`embedding_drift`, over two persisted
+    per-list mass snapshots (:func:`embedding_list_masses` against the
+    SAME frozen centroid generation — mixing centroid generations
+    makes the masses incomparable, the caller-pinned-spec contract of
+    :func:`numeric_drift_between_generations`)."""
+    prev = prev_counts.select("list_id", F.col("n").alias("n_prev"))
+    cur = cur_counts.select("list_id", F.col("n").alias("n_cur"))
+    counts = prev.join(cur, "list_id", "full_outer").select(
+        "list_id",
+        F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    dec = "decimal(38,0)"
+    w = Window.partitionBy()
+    tot = counts.withColumn("total_prev", F.sum("n_prev").over(w)).withColumn(
+        "total_cur", F.sum("n_cur").over(w)
+    )
+    num = F.sum(
+        F.abs(
+            F.col("n_prev").cast(dec) * F.col("total_cur")
+            - F.col("n_cur").cast(dec) * F.col("total_prev")
+        )
+    ).over(w)
+    empty_side = (F.col("total_prev") == 0) | (F.col("total_cur") == 0)
+    return tot.withColumn("__num", num).select(
+        "list_id",
+        "n_prev",
+        "n_cur",
+        "total_prev",
+        "total_cur",
+        F.when(
+            empty_side,
+            F.when(F.col("total_prev") != F.col("total_cur"), F.lit(1.0))
+            .otherwise(F.lit(0.0)),
+        )
+        .otherwise(
+            F.col("__num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("total_prev").cast("double")
+                * F.col("total_cur").cast("double")
+            )
+        )
+        .alias("tv_stat"),
+        F.when(empty_side, F.col("total_prev") != F.col("total_cur"))
+        .otherwise(
+            F.col("__num") * 1000
+            > F.col("total_prev").cast(dec)
+            * F.col("total_cur")
+            * (2 * threshold_milli)
+        )
+        .alias("drifted"),
+    )
+
+
 def drift_between_generations(
     prev_counts: DataFrame, cur_counts: DataFrame, threshold: float
 ) -> DataFrame:

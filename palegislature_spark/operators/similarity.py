@@ -12,8 +12,10 @@ needs no stored model.
 
 from __future__ import annotations
 
+from collections.abc import Sequence  # noqa: TC003 — runtime default for meta_cols
+
 import pandas as pd  # noqa: TC002 — needed at runtime for pandas_udf type hints
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -674,11 +676,32 @@ def ivf_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 2,
+    where: Column | None = None,
 ) -> DataFrame:
     """Probe a (pre)built IVF index — the serving half of ivf_topk,
     usable against an index loaded from disk (:func:`load_ivf_index`):
     the index is built ONCE per corpus generation and probed by every
-    query batch after, instead of re-clustering per call."""
+    query batch after, instead of re-clustering per call.
+
+    ``where`` is the metadata-filtered-search seam: a predicate over
+    the ASSIGNMENTS table's columns (source / license / date — persist
+    them beside the lists via ``save_ivf_index(meta_cols=...)``),
+    applied BEFORE the candidate join, so the result is the exact
+    top-k among matching vectors in the probed lists. Pre-filter
+    beats post-filter on both axes that matter at scale: no candidate
+    scoring is wasted on excluded vectors, and a selective filter
+    cannot silently shrink the result below k the way filtering an
+    already-truncated top-k would (the classic post-filter recall
+    bug). On a disk-resident index the predicate additionally pushes
+    into the Parquet scan (PushedFilters — plan-asserted in
+    tests/test_ivf.py), so excluded row groups never leave storage.
+    What filtering cannot change is which lists are probed: a filter
+    whose matches live outside the ``n_probe`` nearest lists still
+    misses them — the standard filtered-IVF trade; raise ``n_probe``
+    as filter selectivity rises (the recall ladder is pinned in
+    tests/test_ivf.py)."""
+    if where is not None:
+        assignments = assignments.filter(where)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
@@ -875,6 +898,7 @@ def save_ivf_index(
     n_lists: int | None = None,
     refine_iters: int = 1,
     assign_impl: str = "expr",
+    meta_cols: Sequence[str] = (),
 ) -> None:
     """Build the IVF index and persist it as two Parquet datasets:
     ``centroids/`` (n_lists rows) and ``assignments/`` (one row per
@@ -886,11 +910,23 @@ def save_ivf_index(
     batched assignment — assignment-equivalent on tie-free data, but
     last-ulp cosine drift vs the expression path is possible; keep
     ``assign_impl="expr"`` for oracle-pinned or replay-exact builds —
-    see ivf_assignments)."""
+    see ivf_assignments).
+
+    ``meta_cols`` persists vector METADATA (source / license / date)
+    beside each assignment row, which is what makes filtered serving
+    (``ivf_probe(where=...)``) a pure scan-side predicate instead of
+    an extra join at query time: the columns ride the one build-time
+    join here (broadcast-irrelevant — it is id-equi against the very
+    table being indexed) and then every probe filters them with
+    Parquet pushdown, row-group stats included."""
     centroids, assignments = ivf_assignments(
         embeddings, id_col, vec_col, n_lists, refine_iters,
         assign_impl=assign_impl,
     )
+    if meta_cols:
+        assignments = assignments.join(
+            embeddings.select(id_col, *meta_cols), id_col
+        )
     base = path.rstrip("/")
     centroids.write.mode("overwrite").parquet(f"{base}/centroids")
     assignments.repartition("list_id").write.mode("overwrite").parquet(
@@ -917,6 +953,14 @@ def max_cosine_vs_eval(
     """Max cosine of every corpus vector against a MODEL-SIZED eval
     set, as a map-only scan (semantic decontamination: Lee et al.
     "Deduplicating Training Data", benchmark-leak variant).
+
+    BREAKING (r9): the ``max_eval`` default tightened 100_000 ->
+    32_768 — the largest size the folded-literal plan has been
+    validated at (dim 32). Callers with 32k-100k eval sets that relied
+    on the old default now raise ValueError; pass
+    ``max_eval=100_000`` explicitly to opt back into the unvalidated
+    range (plan payload and per-row cost both scale linearly — see
+    the scaling paragraph below).
 
     The eval set travels as ONE array literal — built via
     ``from_json`` of a JSON string literal, which Catalyst

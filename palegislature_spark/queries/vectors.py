@@ -412,6 +412,119 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_FILTERED_ORACLE = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+-- mix31 centroid pick + 1 Lloyd iteration, replayed exactly as in knn_ivf
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM emb
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked WHERE pick <= 8
+),
+assign AS (
+  SELECT e.vec_id, e.v, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN centroids c
+),
+assignments AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
+lists AS (
+  SELECT list_id, list(v ORDER BY vec_id) AS vs, CAST(count(*) AS DOUBLE) AS n
+  FROM assignments GROUP BY list_id
+),
+refined AS (
+  SELECT list_id,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+           x -> x / n) AS cvec
+  FROM lists
+),
+-- the persisted index carries the metadata column beside each row
+assign2 AS (
+  SELECT e.vec_id, e.v, e.label, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN refined c
+),
+assignments2 AS (SELECT vec_id, v, label, list_id FROM assign2 WHERE r = 1),
+qprobe AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN refined c WHERE e.vec_id < 20
+),
+probes AS (SELECT query_id, qv, list_id FROM qprobe WHERE r <= 4),
+-- PRE-filter: only label-3 vectors inside the probed lists compete
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, a.v) AS cos
+  FROM probes p JOIN assignments2 a USING (list_id)
+  WHERE p.query_id <> a.vec_id AND a.label = 3
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_ivf_filtered",
+    covers="similarity-search extension: metadata-FILTERED ANN serving "
+    "(VERDICT r9 #3) — ivf_probe with a predicate over vector metadata "
+    "persisted beside the inverted lists (save_ivf_index meta_cols), "
+    "applied BEFORE the candidate join so the result is the exact "
+    "top-k among matching vectors in the probed lists and the "
+    "predicate reaches the Parquet scan on a disk-resident index "
+    "(PushedFilters, plan-asserted in tests/test_ivf.py)",
+    oracle=_IVF_FILTERED_ORACLE,
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-5: for the first 20 query vectors, the nearest
+    neighbors AMONG label-3 vectors only (license/source/date-gated
+    serving — the query every curation or retrieval pipeline actually
+    runs in production, where unfiltered top-k is the exception).
+
+    Pre- vs post-filter is the semantic point: filtering the
+    assignments BEFORE ranking returns k matching neighbors whenever
+    the probed lists hold that many, while post-filtering an
+    unfiltered top-k would silently return fewer (or zero) — the
+    recall bug ivf_probe's ``where`` seam exists to avoid. n_probe=4
+    compensates for filter selectivity (~10% here) thinning each
+    list. Index build, probing, and ranking replay deterministically
+    in the DuckDB oracle, same as knn_ivf."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    centroids, assignments = similarity.ivf_assignments(
+        emb, n_lists=8, refine_iters=1, exact_replay=True
+    )
+    # what save_ivf_index(meta_cols=["label"]) persists: metadata rides
+    # the assignments rows, one build-time id-equi join
+    indexed = assignments.join(emb.select("vec_id", "label"), "vec_id")
+    topk = similarity.ivf_probe(
+        centroids, indexed, queries, k=5, n_probe=4,
+        where=F.col("label") == 3,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 @register(
     "cluster_semantic_dedup",
     covers="dedup extension: SemDeDup-style semantic near-dup pruning — "
@@ -472,6 +585,120 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "vec_id", F.col("list_id").cast("long").alias("list_id"), "status"
+    )
+
+
+_EMB_DRIFT_ORACLE = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+prev AS (SELECT vec_id, v FROM emb WHERE vec_id % 4 <> 0),
+cur  AS (SELECT vec_id, v FROM emb WHERE vec_id % 4 = 0 AND label <= 4),
+-- mix31 centroid pick over the PREVIOUS generation only (frozen bins)
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM prev
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked WHERE pick <= 8
+),
+ap AS (
+  SELECT e.vec_id, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM prev e CROSS JOIN centroids c
+),
+ac AS (
+  SELECT e.vec_id, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM cur e CROSS JOIN centroids c
+),
+pc AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_prev FROM ap WHERE r = 1 GROUP BY 1),
+cc AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_cur FROM ac WHERE r = 1 GROUP BY 1),
+counts AS (
+  SELECT list_id,
+         COALESCE(n_prev, 0) AS n_prev,
+         COALESCE(n_cur, 0) AS n_cur
+  FROM pc FULL OUTER JOIN cc USING (list_id)
+),
+t1 AS (
+  SELECT list_id, n_prev, n_cur,
+         sum(n_prev) OVER () AS tp, sum(n_cur) OVER () AS tc
+  FROM counts
+),
+t2 AS (
+  SELECT *,
+         sum(abs(CAST(n_prev AS DECIMAL(38,0)) * tc
+                 - CAST(n_cur AS DECIMAL(38,0)) * tp)) OVER () AS num
+  FROM t1
+)
+SELECT CAST(list_id AS BIGINT) AS list_id, n_prev, n_cur,
+       CAST(tp AS BIGINT) AS total_prev,
+       CAST(tc AS BIGINT) AS total_cur,
+       CASE WHEN tp = 0 OR tc = 0
+            THEN CASE WHEN tp <> tc THEN 1.0 ELSE 0.0 END
+            ELSE CAST(num AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) * CAST(tc AS DOUBLE))
+       END AS tv_stat,
+       -- tv = num / (2 tp tc) > threshold_milli/1000  <=>
+       -- 1000 num > 2 * threshold_milli * tp * tc  (threshold_milli=100)
+       CASE WHEN tp = 0 OR tc = 0 THEN tp <> tc
+            ELSE num * 1000 > CAST(tp AS DECIMAL(38,0)) * tc * 200
+       END AS drifted
+FROM t2
+"""
+
+
+@register(
+    "audit_embedding_drift",
+    covers="training-pipeline extension: EMBEDDING distribution-shift "
+    "gate (VERDICT r9 #4) — both corpus generations assigned to "
+    "centroids FROZEN on the previous generation (ivf_append's "
+    "assignment), per-list mass vectors compared with the total "
+    "variation distance; the statistic's numerator is a SUM of "
+    "DECIMAL(38,0) integer cross-products (order-free like the KS "
+    "max) with ONE double division at the end, and the drift decision "
+    "is an integer inequality — engine-exact by the same construction "
+    "as audit_numeric_drift",
+    oracle=_EMB_DRIFT_ORACLE,
+)
+def audit_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the ingest drift-gate trio (categorical / numeric /
+    embedding): the previous generation (vec_id % 4 != 0) defines 8
+    frozen IVF lists; the current refresh — PLANTED drifted by
+    dropping labels > 4, the 'refresh lost half the content space'
+    failure — is assigned to the same frozen centroids and per-list
+    mass shares are compared at a 0.10 TV threshold. TV over the KS
+    construction deliberately: list_ids are unordered bins and a
+    cumulative sup across an arbitrary numbering can cancel a real
+    swap; TV is numbering-invariant (why-TV analysis on
+    operators/audit.py embedding_drift). One linear assignment pass
+    per generation against a broadcast centroid set; everything after
+    is n_lists-sized."""
+    from palegislature_spark.operators import audit
+
+    emb = load(spark, sf_dir, "embeddings")
+    prev = emb.filter(F.col("vec_id") % 4 != 0)
+    cur = emb.filter((F.col("vec_id") % 4 == 0) & (F.col("label") <= 4))
+    rep = audit.embedding_drift(
+        prev, cur, n_lists=8, threshold_milli=100, assign_impl="expr"
+    )
+    return rep.select(
+        F.col("list_id").cast("long").alias("list_id"),
+        "n_prev",
+        "n_cur",
+        "total_prev",
+        "total_cur",
+        "tv_stat",
+        "drifted",
     )
 
 

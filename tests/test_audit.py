@@ -233,6 +233,93 @@ def test_numeric_drift_empty_batch_flags(spark):
     assert out.ks_stat == 1.0 and bool(out.drifted)
 
 
+def _vec_df(spark, pts):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(pts, schema)
+
+
+def test_embedding_drift_flags_planted_shift(spark):
+    """The embedding leg of the drift-gate trio: a current generation
+    whose mass abandons one frozen cluster flags drifted; an
+    identically-distributed refresh reads tv 0.0."""
+    import math
+
+    def cluster(ids, angle):
+        return [(i, [math.cos(angle + i * 1e-4), math.sin(angle + i * 1e-4)])
+                for i in ids]
+
+    # previous generation: two well-separated clusters, 10 vectors each
+    prev = _vec_df(
+        spark, cluster(range(10), 0.0) + cluster(range(10, 20), 2.5)
+    )
+    # drifted refresh: ALL mass in cluster A
+    cur_shift = _vec_df(spark, cluster(range(100, 120), 0.0))
+    rep = audit.embedding_drift(
+        prev, cur_shift, n_lists=2, threshold_milli=100
+    ).collect()
+    assert len(rep) == 2
+    assert all(bool(r.drifted) for r in rep)
+    assert rep[0].tv_stat == 0.5  # half the mass moved cluster
+    # identically-shaped refresh: same split, zero TV
+    cur_same = _vec_df(
+        spark, cluster(range(200, 210), 0.0) + cluster(range(210, 220), 2.5)
+    )
+    rep2 = audit.embedding_drift(
+        prev, cur_same, n_lists=2, threshold_milli=100
+    ).collect()
+    assert all(r.tv_stat == 0.0 and not r.drifted for r in rep2)
+
+
+def test_embedding_drift_empty_and_vanishing_lists(spark):
+    """0-fill rule: a frozen list with no current mass still reports
+    (its vanishing IS drift mass); an empty current generation reports
+    tv 1.0 / drifted, matching the other gates' zero-total rule."""
+    import math
+
+    prev = _vec_df(
+        spark,
+        [(i, [math.cos(i * 1.5), math.sin(i * 1.5)]) for i in range(8)],
+    )
+    empty = _vec_df(spark, [])
+    rep = audit.embedding_drift(prev, empty, n_lists=2, threshold_milli=100)
+    rows = rep.collect()
+    assert rows and all(r.tv_stat == 1.0 and bool(r.drifted) for r in rows)
+    assert all(r.n_cur == 0 and r.total_cur == 0 for r in rows)
+
+
+def test_embedding_drift_between_generations_matches_direct(spark):
+    """Two persisted mass snapshots against the SAME frozen centroids
+    diff to exactly what the end-to-end operator reports — the
+    incremental seam a long-lived ingest uses (numeric twin:
+    numeric_drift_between_generations)."""
+    import math
+
+    from palegislature_spark.operators.similarity import ivf_assignments
+
+    prev = _vec_df(
+        spark,
+        [(i, [math.cos(i * 0.7), math.sin(i * 0.7)]) for i in range(20)],
+    )
+    cur = _vec_df(
+        spark,
+        [(i, [math.cos(i * 0.9), math.sin(i * 0.9)]) for i in range(100, 115)],
+    )
+    direct = audit.embedding_drift(prev, cur, n_lists=4, threshold_milli=50)
+    cents, passign = ivf_assignments(prev, n_lists=4, refine_iters=0)
+    pc = passign.groupBy("list_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cc = audit.embedding_list_masses(cur, cents)
+    gen = audit.embedding_drift_between_generations(pc, cc, threshold_milli=50)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(direct) == key(gen)
+
+
 def test_drift_from_counts_zero_total_flags(spark):
     """A newly monitored column (previous generation total 0) must
     FLAG as drifted, not NULL out of a filter(drifted) gate."""

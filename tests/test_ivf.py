@@ -346,6 +346,110 @@ def test_ivf_multiprobe_recall_vs_cost_ladder(skewed_10k, spark):
     assert full == brute
 
 
+def test_ivf_probe_filtered_semantics_and_ladder(spark, skewed_10k):
+    """Metadata-filtered serving (ivf_probe's ``where``): (a) raising
+    n_probe monotonically raises recall vs the FILTERED brute-force
+    truth, and (b) at n_probe == n_lists the filtered probe equals
+    brute_force_topk over the metadata-filtered corpus row-for-row —
+    the exact 'top-k among matching vectors' contract."""
+    from pyspark.sql import functions as F
+
+    n_lists = 8
+    tagged = skewed_10k.withColumn(
+        "tag", (F.col("vec_id") % 3).cast("int")
+    )
+    queries = skewed_10k.filter(F.col("vec_id") % 617 == 0)
+    cents, assigns = similarity.ivf_assignments(
+        tagged, n_lists=n_lists, refine_iters=1
+    )
+    indexed = assigns.join(
+        tagged.select("vec_id", "tag"), "vec_id"
+    ).localCheckpoint()
+    cents = cents.localCheckpoint()
+
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(
+            tagged.filter("tag = 1"), queries, k=1
+        ).collect()
+    }
+    recalls = []
+    for p in (1, 2, 4):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in similarity.ivf_probe(
+                cents, indexed, queries, k=1, n_probe=p,
+                where=F.col("tag") == 1,
+            ).collect()
+        }
+        # every served neighbor satisfies the predicate
+        assert all(n % 3 == 1 for n in got.values())
+        recalls.append(
+            sum(got.get(q) == n for q, n in truth.items()) / len(truth)
+        )
+    assert recalls == sorted(recalls), f"filtered recall not monotone: {recalls}"
+
+    full = sorted(
+        map(tuple, similarity.ivf_probe(
+            cents, indexed, queries, k=3, n_probe=n_lists,
+            where=F.col("tag") == 1,
+        ).collect())
+    )
+    brute = sorted(
+        map(tuple, similarity.brute_force_topk(
+            tagged.filter("tag = 1"), queries, k=3
+        ).collect())
+    )
+    assert full == brute
+
+
+def test_ivf_probe_prefilter_beats_postfilter(spark, skewed_10k):
+    """The reason ``where`` filters BEFORE ranking: post-filtering an
+    unfiltered top-k silently starves the result (most of the top-k
+    fails the predicate and nothing refills), while the pre-filter
+    returns k matching neighbors whenever the probed lists hold them."""
+    from pyspark.sql import functions as F
+
+    tagged = skewed_10k.withColumn("tag", (F.col("vec_id") % 3).cast("int"))
+    queries = skewed_10k.filter(F.col("vec_id") % 1231 == 0)
+    cents, assigns = similarity.ivf_assignments(tagged, n_lists=8, refine_iters=1)
+    indexed = assigns.join(tagged.select("vec_id", "tag"), "vec_id").localCheckpoint()
+    k = 5
+    pre = similarity.ivf_probe(
+        cents, indexed, queries, k=k, n_probe=2, where=F.col("tag") == 1
+    )
+    post = similarity.ivf_probe(cents, indexed, queries, k=k, n_probe=2).filter(
+        F.col("neighbor_id") % 3 == 1
+    )
+    n_q = queries.count()
+    assert pre.count() == k * n_q          # pre-filter: full k per query
+    assert post.count() < pre.count()      # post-filter starves
+
+
+def test_ivf_filtered_pushdown_on_saved_index(spark, tmp_path, skewed):
+    """On a disk-resident index built with meta_cols, the ``where``
+    predicate must reach the assignments Parquet scan (PushedFilters)
+    — the scan-side pruning that makes filtered serving cheap."""
+    from pyspark.sql import functions as F
+
+    tagged = skewed.withColumn("tag", (F.col("vec_id") % 2).cast("int"))
+    idx = str(tmp_path / "fidx")
+    similarity.save_ivf_index(
+        tagged, idx, n_lists=4, refine_iters=1, meta_cols=["tag"]
+    )
+    cents, assigns = similarity.load_ivf_index(spark, idx)
+    queries = skewed.filter("vec_id < 3")
+    res = similarity.ivf_probe(
+        cents, assigns, queries, k=3, n_probe=2, where=F.col("tag") == 1
+    )
+    plan = res._jdf.queryExecution().toString()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*tag[^\]]*\]", plan)
+    assert pushed, f"tag predicate not pushed to the parquet scan:\n{plan[:2000]}"
+    assert all(r["neighbor_id"] % 2 == 1 for r in res.collect())
+
+
 def test_ivf_append_equals_frozen_full_assignment(spark, tmp_path, skewed):
     """Incremental maintenance: index the first 80% then append the
     rest — the assignments table must equal assigning the FULL corpus

@@ -72,6 +72,12 @@ ALLOW_NESTED_LOOP = {
     # same IVF centroid attach as knn_ivf, on the prefix build + the
     # frozen-centroid batch assignment (assign_to_centroids)
     "ann_ivf_append",
+    # same centroid attach; the metadata filter itself is a row-local
+    # predicate on the assignments side (r10)
+    "ann_ivf_filtered",
+    # frozen-centroid attach on BOTH generations (assign_to_centroids
+    # twice); everything downstream is list_id-keyed aggregation (r10)
+    "audit_embedding_drift",
     # grand-total crossJoin(broadcast(<1-row count>)) replacing the
     # former single-partition count(*) OVER () window (VERDICT r5 fix)
     "filter_null_coalesce",
