@@ -803,6 +803,68 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "banded_minhash_compaction",
+    covers="dedup extension: persisted MinHash index MAINTENANCE "
+    "(VERDICT r9 #5) — the corpus is indexed as save + 2 appends "
+    "(per-batch band files accumulating, the long-lived-frontier "
+    "shape), compacted into one band-clustered generation via the "
+    "atomic marker commit, then an arriving batch dedups against the "
+    "COMPACTED index; the oracle is the exact-Jaccard batch-touching "
+    "pair set, so the hash-match IS the proof that compaction changed "
+    "zero served candidates",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+common AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       c * 1.0 / (c1.n + c2.n - c) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = id_1
+JOIN cnt c2 ON c2.doc_id = id_2
+WHERE c * 1.0 / (c1.n + c2.n - c) >= 0.8
+  AND (id_1 % 5 = 0 OR id_2 % 5 = 0)
+""",
+)
+def banded_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_incremental's on-disk lifecycle twin: the corpus
+    (doc_id % 5 != 0) reaches the index through THREE writes — a save
+    plus two appends (doc_id % 3 epochs) — exactly how a crawl
+    frontier accretes band files; compact_minhash_index then folds
+    the accumulated files into one band-clustered generation (atomic
+    marker commit, old generation retained one cycle). The arriving
+    batch (doc_id % 5 = 0) dedups against the compacted index and
+    must return the identical batch-touching exact-Jaccard pair set
+    the single-shot index serves — compaction is row-set-preserving
+    or this hash check fails."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    root = tempfile.mkdtemp(prefix="minhash_idx_q_")
+    dedup.save_minhash_index(
+        dedup.minhash_index(
+            corpus.filter("doc_id % 3 = 0"), "doc_id", "text", n=3
+        ),
+        root,
+    )
+    for epoch in (1, 2):
+        dedup.append_minhash_index(
+            spark, root, corpus.filter(f"doc_id % 3 = {epoch}"),
+            "doc_id", "text", n=3,
+        )
+    dedup.compact_minhash_index(spark, root)
+    index = dedup.load_minhash_index(spark, root)
+    pairs = dedup.minhash_lsh_pairs_incremental(
+        batch, corpus, index, "doc_id", "text", n=3, threshold=0.8
+    )
+    return pairs.select("id_1", "id_2", "jaccard")
+
+
+@register(
     "cleanup_pii_redact",
     covers="training-pipeline extension: PII scrub — email/phone/IP "
     "detection counts + tagged redaction (RE2-portable patterns, fixed "
