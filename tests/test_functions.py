@@ -294,3 +294,61 @@ def test_canonicalize_url_matches_python_reference(spark, urls):
     }
     want = {u: _py_canonicalize_url(u) for u in urls}
     assert got == want
+
+def _pct_strategy():
+    """Adversarial percent-escape soup (VERDICT r9 #7): double
+    encodings (%2541), truncated escapes (%4, %), non-hex pairs,
+    mixed-case hex, back-to-back and doubled percents, multi-byte
+    UTF-8 escape sequences — glued in random order."""
+    from hypothesis import strategies as st
+
+    atom = st.sampled_from(
+        [
+            "a", "Z", "9", ".", "~", "/", "?", "=",
+            "%2541", "%41", "%4", "%", "%%41", "%zz", "%7e", "%7E",
+            "%2f", "%2F", "%3d", "%fF", "%Ff", "%C3%A9", "%25",
+            "%0a", "%00", "%-1", "%g1", "% 41",
+        ]
+    )
+    return st.builds(lambda parts: "".join(parts), st.lists(atom, max_size=8))
+
+
+@given(strs=st.lists(_pct_strategy(), min_size=1, max_size=30, unique=True))
+@settings(max_examples=12, deadline=None, derandomize=True)
+def test_pct_normalize_vs_urllib_properties(spark, strs):
+    """pct_normalize pinned against urllib on adversarial escapes —
+    the frontier-dedup keystone's string algebra is the one place two
+    engines could silently disagree, so the invariants are checked
+    against an implementation sharing zero code with it:
+
+    1. SEMANTICS-PRESERVING: urllib.parse.unquote(normalized) ==
+       unquote(input) — normalization may re-spell escapes, never
+       change what they decode to (in particular %2541 must NOT
+       double-decode: %25 is reserved and stays an escape).
+    2. IDEMPOTENT: normalizing twice is a no-op.
+    3. COMPLETE: no unreserved escape survives in the output.
+    4. CANONICAL: every surviving valid escape has uppercase hex.
+    """
+    import re
+    from urllib.parse import unquote
+
+    import pyspark.sql.functions as F
+
+    from palegislature_spark.functions.urls import pct_normalize
+
+    df = spark.createDataFrame([(s,) for s in strs], ["s"])
+    got = {
+        r.s: (r.one, r.two)
+        for r in df.select(
+            "s",
+            pct_normalize(F.col("s")).alias("one"),
+            pct_normalize(pct_normalize(F.col("s"))).alias("two"),
+        ).collect()
+    }
+    for s in strs:
+        one, two = got[s]
+        assert unquote(one) == unquote(s), (s, one)
+        assert two == one, (s, one, two)
+        for hexpair in re.findall(r"%([0-9A-Fa-f]{2})", one):
+            assert chr(int(hexpair, 16)) not in _PCT_UNRESERVED, (s, one)
+            assert hexpair == hexpair.upper(), (s, one)
