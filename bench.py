@@ -190,6 +190,34 @@ def ann_ivf_arrow(spark, sf_dir: str, sf: float):
     )
 
 
+def curation_pipeline_scale(spark, sf_dir: str, sf: float):
+    """The END-TO-END curation pipeline as one composed plan (VERDICT
+    r9 #8): quality gate -> exact dedup -> near-dup prune ->
+    benchmark decontamination (eval = the held-out hash-split test
+    set) -> temperature-mixture epoch draw -> deterministic global
+    shuffle -> token packing. Every stage is an oracle-green registry
+    component; this row times what the composed corpus-refresh job
+    pays in ONE action (invariants pinned in tests/test_pipelines.py:
+    exact 1..N positions, gapless token tiling, the floor/floor+1
+    draw law, gated/contaminated exclusion)."""
+    from pyspark.sql import functions as F
+
+    from palegislature_spark.catalog import load
+    from palegislature_spark.operators.sampling import hash_split
+    from palegislature_spark.pipelines.curate import curation_epoch_plan
+
+    docs = hash_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return curation_epoch_plan(
+        docs.filter(F.col("split") != "test").drop("split"),
+        docs.filter(F.col("split") == "test").drop("split"),
+        budget=512,
+    )
+
+
 def knn_ivf_serve(spark, sf_dir: str, sf: float):
     """Serving-path cost of a PREBUILT IVF index (sqrt-n lists, one
     Lloyd iteration): the index is built once outside the timer (the
@@ -226,6 +254,7 @@ EXTRA = {
     "knn_ivf_serve": knn_ivf_serve,
     "pagerank_scale": pagerank_scale,
     "ann_ivf_arrow": ann_ivf_arrow,
+    "curation_pipeline_scale": curation_pipeline_scale,
 }
 
 
@@ -262,6 +291,22 @@ def main() -> None:
     # least-load-contaminated observation; the max-min spread is kept
     # as a side field so a noisy run is visible in the artifact.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 re-measures a subset in a
+    # fresh JVM — the idle re-measure protocol for heavy replica rows
+    # (VERDICT r9 #1: the full sf10 suite saturates the box, so >10s
+    # rows get their committed minima from per-row idle runs, merged
+    # by tools/bench_merge.py with both observations kept). A partial
+    # record is marked "partial" so it can never pass as a suite run.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = [s for s in only_env.split(",") if s]
+    if only:
+        unknown = [n for n in only if n not in HEADLINE and n not in EXTRA]
+        if unknown:
+            raise SystemExit(f"unknown SPARK_GRAFT_BENCH_ONLY names: {unknown}")
+    headline = [n for n in HEADLINE if not only or n in only]
+    extra = {k: v for k, v in EXTRA.items() if not only or k in only}
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
 
@@ -287,12 +332,12 @@ def main() -> None:
             round(samples[0], 3),
         )
 
-    for name in HEADLINE:
+    for name in headline:
         fn = REGISTRY[name].fn
         timings[name], spreads[name], colds[name] = timed(
             lambda fn=fn: fn(spark, sf_dir)
         )
-    for name, fn in EXTRA.items():
+    for name, fn in extra.items():
         # timer wraps the builder too: match_vote_names materializes
         # its fixpoint via localCheckpoint during plan construction
         timings[name], spreads[name], colds[name] = timed(
@@ -315,6 +360,11 @@ def main() -> None:
         "sf": sf,
         "loadavg": [la1, la5, la15],
     }
+    if only:
+        # a subset run can never pass as a suite record; its rows merge
+        # into one via tools/bench_merge.py
+        full["partial"] = True
+        full["only"] = sorted(only)
     # The full record (spread/cold included) is ~4 KB — longer than a
     # harvester capturing only a bounded stdout tail can hold, which
     # is how BENCH_r05/r06 ended up with parsed:null.  Persist it to a
@@ -345,6 +395,9 @@ def main() -> None:
         if os.path.realpath(sf_dir) != os.path.realpath(_DEFAULT_SF_DIR):
             label = re.sub(r"[^A-Za-z0-9.]+", "", base.replace("sparkgraft_", ""))
             scale_tag = f"_{label}" if label else "_alt"
+        if only:
+            # subset re-measures must never claim the suite filename
+            scale_tag += "_partial"
         out_path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}{scale_tag}.json")
         suffix = ord("a")
         while os.path.exists(out_path):

@@ -711,3 +711,80 @@ def test_upsert_parquet_discards_incomplete_staging(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_curation_epoch_plan_invariants(spark):
+    """The composed end-to-end pipeline (gate -> dedup -> decontam ->
+    mixture draw -> global shuffle -> packing) in ONE plan: positions
+    are an exact 1..N permutation, token offsets tile the packed
+    stream gaplessly in position order, each surviving doc appears
+    floor(rf) or floor(rf)+1 times (the deterministic draw), and no
+    gated/dup/contaminated document reaches the epoch."""
+    import math
+
+    from palegislature_spark.catalog import load
+    from palegislature_spark.operators.contamination import decontaminate
+    from palegislature_spark.operators.sampling import hash_split
+    from palegislature_spark.pipelines.curate import (
+        curate_documents,
+        curation_epoch_plan,
+        mixture_repeat_factors,
+    )
+
+    docs = hash_split(
+        load(spark, "/root/testdata/sf0.01", "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(F.col("split") != "test").drop("split")
+    eval_df = docs.filter(F.col("split") == "test").drop("split")
+    out = curation_epoch_plan(train, eval_df, budget=512).collect()
+    assert out
+
+    # 1..N permutation + gapless tiling
+    by_pos = sorted(out, key=lambda r: r.position)
+    assert [r.position for r in by_pos] == list(range(1, len(out) + 1))
+    off = 0
+    for r in by_pos:
+        assert r.start_offset == off
+        assert r.first_chunk == off // 512
+        assert r.last_chunk == (off + r.n_tokens - 1) // 512
+        off += r.n_tokens
+
+    # exclusion: every id in the epoch is kept AND clean
+    status = {
+        r.doc_id: r.status for r in curate_documents(train).collect()
+    }
+    survivors = train.join(
+        curate_documents(train).filter("status = 'kept'").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    contaminated = {
+        r.doc_id
+        for r in decontaminate(survivors, eval_df).filter("contaminated").collect()
+    }
+    for r in out:
+        assert status[r.doc_id] == "kept" and r.doc_id not in contaminated
+
+    # draw law: copies per doc in {floor(rf), floor(rf)+1}
+    rf = {
+        r.source: r.repeat_factor
+        for r in mixture_repeat_factors(
+            survivors.join(
+                spark.createDataFrame(
+                    [(d,) for d in contaminated] or [(-1,)], "doc_id long"
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        ).collect()
+    }
+    copies: dict = {}
+    src_of: dict = {}
+    for r in out:
+        copies[r.doc_id] = copies.get(r.doc_id, 0) + 1
+        src_of[r.doc_id] = r.source
+    for did, k in copies.items():
+        f = math.floor(rf[src_of[did]])
+        assert k in (f, f + 1), (did, k, rf[src_of[did]])

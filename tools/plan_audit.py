@@ -94,6 +94,11 @@ ALLOW_NESTED_LOOP_PIPELINE = {
     "crawl2:session_days",  # crossJoin(broadcast(max(fetched_at))) day marker
     "crawl4:members",  # new-member id allocator crossJoin(broadcast(max(id)))
     "crawl4:service",  # downstream of the same allocator via member_map
+    # the composed end-to-end epoch plan inherits the mixture algebra's
+    # crossJoin(broadcast(<1-row (grand, denom) aggregate>)) scalar
+    # attach (corpus_mixture_weights' allowlisted shape) — 1-row, not
+    # data-scale (r10)
+    "curate:epoch_plan",
 }
 
 HARD = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
@@ -185,8 +190,29 @@ def pipeline_plans(spark) -> list[tuple[str, object]]:
     )
     matrix, _cols = dump.vote_matrix(votes_filled, ordered, columns, 2019, 1)
     captured.append(("dump:vote_matrix", matrix))
-    # silence lint: F imported for parity with stage callables
-    _ = F.lit(1)
+
+    # the composed end-to-end curation epoch plan (gate -> dedup ->
+    # decontam -> mixture draw -> global shuffle -> packing), audited
+    # as ONE plan over the sf0.001 documents table (r10)
+    from palegislature_spark.catalog import load
+    from palegislature_spark.operators.sampling import hash_split
+    from palegislature_spark.pipelines.curate import curation_epoch_plan
+
+    docs = hash_split(
+        load(spark, "/root/testdata/sf0.001", "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    captured.append(
+        (
+            "curate:epoch_plan",
+            curation_epoch_plan(
+                docs.filter(F.col("split") != "test").drop("split"),
+                docs.filter(F.col("split") == "test").drop("split"),
+                budget=512,
+            ),
+        )
+    )
     return captured
 
 

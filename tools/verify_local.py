@@ -631,6 +631,10 @@ SAMPLED = {
     "dedup_minhash_lsh": (_doc_stride, _jaccard_sampled),
     "dedup_ngram_jaccard": (_doc_stride, _jaccard_sampled),
     "dedup_minhash_incremental": (_doc_stride, _incremental_sampled),
+    # same full oracle (batch-touching exact-Jaccard pair set) as the
+    # incremental query — the compaction lifecycle changes the index
+    # FILES, never the served rows — so it shares the bounded builder
+    "banded_minhash_compaction": (_doc_stride, _incremental_sampled),
     "curation_funnel": (_doc_stride, _funnel_sampled),
     "banded_simhash_dedup": (_doc_stride, _simhash_sampled),
     "decontam_testset": (_doc_stride, _decontam_sampled),
