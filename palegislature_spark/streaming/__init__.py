@@ -2,6 +2,7 @@
 
 from palegislature_spark.streaming.jobs import (
     category_count_stream,
+    embedding_list_mass_stream,
     numeric_bin_count_stream,
     cms_heavy_hitter_stream,
     curate_stream,
@@ -20,6 +21,7 @@ from palegislature_spark.streaming.jobs import (
 
 __all__ = [
     "category_count_stream",
+    "embedding_list_mass_stream",
     "numeric_bin_count_stream",
     "cms_heavy_hitter_stream",
     "curate_stream",

@@ -750,6 +750,57 @@ def category_count_stream(
     )
 
 
+def embedding_list_mass_stream(
+    stream: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "StreamingQuery":
+    """Embedding leg of the streaming drift monitor — completes the
+    trio beside :func:`category_count_stream` and
+    :func:`numeric_bin_count_stream`: each micro-batch is assigned to
+    the FROZEN ``centroids`` (``operators/audit.py
+    embedding_list_masses`` — one broadcast, one map-side-combined
+    count) and the per-list masses merge ADDITIVELY into the persisted
+    ``(list_id, n, last_batch)`` table at ``path``. State stays
+    n_lists-sized however many vectors stream through; snapshot the
+    table before/after an ingest window and diff with
+    ``audit.embedding_drift_between_generations`` for the
+    total-variation report. The centroid set must be the SAME frozen
+    generation across every batch and both snapshots (pass a
+    materialized frame, e.g. ``load_ivf_index``'s centroids) — the
+    caller-pinned-spec contract that makes masses additive and
+    comparable, exactly as fixed bin edges do for the numeric twin.
+
+    Durability + at-least-once replay discipline are the shared
+    ``_additive_state_sink`` contract (staging-promote swap +
+    ``last_batch`` high-water mark).
+    """
+    from palegislature_spark.operators.audit import embedding_list_masses
+
+    def batch_table(batch: DataFrame) -> DataFrame:
+        return embedding_list_masses(batch, centroids, id_col, vec_col)
+
+    def merge_tables(live: DataFrame, counts: DataFrame) -> DataFrame:
+        return (
+            live.unionByName(counts)
+            .groupBy("list_id")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.max("last_batch").alias("last_batch"),
+            )
+        )
+
+    sink = _additive_state_sink(path, batch_table, merge_tables)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def numeric_bin_count_stream(
     stream: DataFrame,
     path: str,

@@ -687,3 +687,94 @@ def test_numeric_bin_count_stream_and_generation_ks(spark, tmp_path):
     assert (got.total_prev, got.total_cur, got.ks_stat, got.drifted) == (
         ref.total_prev, ref.total_cur, ref.ks_stat, ref.drifted
     )
+
+
+def test_embedding_list_mass_stream_and_generation_tv(spark, tmp_path):
+    """Embedding leg of the streaming drift monitor: per-batch
+    frozen-centroid list masses merge additively into the persisted
+    table (== one-shot embedding_list_masses of the union), a
+    checkpoint-wiped replay no-ops via the last_batch stamp, and
+    diffing two mass generations reproduces the direct
+    embedding_drift_between_generations report."""
+    import math
+    import shutil
+
+    from palegislature_spark.operators.audit import (
+        embedding_drift_between_generations,
+        embedding_list_masses,
+    )
+    from palegislature_spark.operators.similarity import ivf_assignments
+
+    def vec(i, angle):
+        return (i, [float(math.cos(angle)), float(math.sin(angle))])
+
+    schema = "vec_id long, embedding array<float>"
+    ref = spark.createDataFrame(
+        [vec(i, (i % 2) * 2.0 + i * 1e-3) for i in range(10)], schema
+    )
+    cents, _ = ivf_assignments(ref, n_lists=2, refine_iters=0)
+    cents = cents.localCheckpoint()
+
+    d = tmp_path / "emb_stream"
+    b1 = [vec(100 + i, 0.01 * i) for i in range(3)]
+    b2 = [vec(200 + i, 2.0 + 0.01 * i) for i in range(2)]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    import pyspark.sql.types as T
+
+    sschema = T.StructType.fromDDL(schema)
+    table = str(tmp_path / "emb_masses")
+    q = streaming.embedding_list_mass_stream(
+        streaming.read_stream(spark, str(d), sschema, max_files_per_trigger=1),
+        table,
+        cents,
+    )
+    drain(q)
+
+    want = rows(
+        embedding_list_masses(spark.createDataFrame(b1 + b2, schema), cents),
+        "list_id", "n",
+    )
+    assert rows(
+        spark.read.parquet(table).select("list_id", "n"), "list_id", "n"
+    ) == want
+
+    # at-least-once replay: wipe the checkpoint, same batch ids replay
+    shutil.rmtree(table + "_cp")
+    q = streaming.embedding_list_mass_stream(
+        streaming.read_stream(spark, str(d), sschema, max_files_per_trigger=1),
+        table,
+        cents,
+    )
+    drain(q)
+    assert rows(
+        spark.read.parquet(table).select("list_id", "n"), "list_id", "n"
+    ) == want
+
+    # generation TV: a one-cluster-only second window must flag against
+    # the streamed first-generation snapshot, and the report must equal
+    # diffing the one-shot masses directly
+    gen1 = spark.read.parquet(table).select("list_id", "n")
+    newer = [vec(300 + i, 0.01 * i) for i in range(5)]
+    gen2 = embedding_list_masses(
+        spark.createDataFrame(b1 + b2 + newer, schema), cents
+    )
+    got = sorted(
+        map(tuple, embedding_drift_between_generations(gen1, gen2, 100).collect())
+    )
+    ref_rep = sorted(
+        map(
+            tuple,
+            embedding_drift_between_generations(
+                embedding_list_masses(
+                    spark.createDataFrame(b1 + b2, schema), cents
+                ),
+                gen2,
+                100,
+            ).collect(),
+        )
+    )
+    assert got == ref_rep
