@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_ivf_filtered",
     "audit_embedding_drift",
     "banded_minhash_compaction",
+    "ann_recall_audit",
 ]
 
 

@@ -742,6 +742,51 @@ def ivf_probe(
     )
 
 
+def recall_vs_exact(approx_topk: DataFrame, exact_topk: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact one —
+    the index-tuning measurement every ANN deployment runs before
+    pinning ``n_lists``/``n_probe``/plane counts (recall@k against
+    served cost; the recall LADDER, its monotone version, is what
+    tests/test_ivf.py pins qualitatively — this operator turns it into
+    a served, per-query report).
+
+    Both inputs are the ``(query_id, neighbor_id, rank, cosine)``
+    frame that :func:`brute_force_topk` / :func:`ivf_topk` /
+    :func:`ivf_probe` / :func:`lsh_topk` all emit, so any approximate
+    path plugs in unchanged. Output: one row per query present in
+    ``exact_topk`` — ``(query_id, hits, exact_k, recall)`` where
+    ``exact_k`` is that query's exact-neighbor count (``min(k,
+    corpus-1)``), so a short result set near a tiny corpus does not
+    deflate recall, and ``recall = hits / exact_k`` (an int/int IEEE
+    division — both engines produce the identical double).
+
+    Scale: joins two ≤k-row-per-query frames on (query_id,
+    neighbor_id) — O(|queries| × k), independent of corpus size. In
+    production the exact side is the expensive leg, so the audit runs
+    over a SAMPLED query panel (hash_split of the query log) while the
+    index serves the full corpus; the measurement plan itself never
+    touches the corpus.
+    """
+    hit = approx_topk.select("query_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    per = (
+        exact_topk.select("query_id", "neighbor_id")
+        .join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("exact_k"),
+        )
+    )
+    return per.select(
+        "query_id",
+        "hits",
+        "exact_k",
+        (F.col("hits").cast("double") / F.col("exact_k")).alias("recall"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -160,7 +160,14 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE = """
+# CTE chain shared by every IVF oracle (exported as a named block so
+# derived oracles COMPOSE it instead of re-parsing the assembled SQL —
+# the _mix_cte_parts lesson, ADVICE r9): deterministic centroid pick,
+# one exactly-replayed Lloyd iteration, n_probe=2 probing of the first
+# 20 vec_ids, candidate ranking. Ends at the `ranked` CTE, no trailing
+# comma, so consumers append either the final SELECT (_IVF_ORACLE) or
+# further CTEs (_RECALL_ORACLE).
+_IVF_CTES = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 -- mix31(vec_id): the shared 31-bit xorshift-multiply hash
 -- (operators/similarity.py _mix31), replayed as plain SQL.
@@ -227,9 +234,38 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
          cos
   FROM pairs
-)
+)"""
+
+_IVF_ORACLE = _IVF_CTES + """
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= 5
+"""
+
+# Recall@k of the IVF result against exact brute force, composed from
+# the same CTE chain: `approx` is the served IVF top-5, `exact` the
+# brute-force top-5 over the identical query panel, and the report is
+# per-query hit counting — which depends only on the RANK SETS both
+# engines already hash-agree on (knn_ivf / knn_bruteforce output rank
+# directly), never on raw cosine values.
+_RECALL_ORACLE = _IVF_CTES + """,
+approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+bpairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM emb q JOIN emb e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
+),
+branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM bpairs
+),
+exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS exact_k,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
 """
 
 # n_lists scaled by corpus size exactly as ivf_assignments(n_lists=None)
@@ -294,6 +330,39 @@ def ann_ivf_sqrt_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+@register(
+    "ann_recall_audit",
+    covers="similarity-search extension: served recall@k measurement — "
+    "the IVF index (sqrt-n lists, n_probe=2) and exact brute force run "
+    "over the same query panel and recall_vs_exact reports per-query "
+    "hits/exact_k/recall; the oracle composes the shared IVF CTE chain "
+    "with a brute-force leg, so the approximate index's MISSES are "
+    "hash-checked, not just its hits (VERDICT r5 'recall asserted in "
+    "tests' graduates to a served, driver-gated report)",
+    oracle=_RECALL_ORACLE.format(n_lists=_SQRT_LISTS),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sqrt-lists IVF configuration vs exact top-5.
+
+    Both legs run over the first-20 query panel knn_bruteforce /
+    ann_ivf_sqrt_lists use, so this is the measurement that adjudicates
+    between them: operators/similarity.py recall_vs_exact joins the two
+    k-row-per-query frames on (query_id, neighbor_id) and counts hits —
+    O(|panel| x k) regardless of corpus size. At 100 TB the panel is a
+    hash_split sample of the query log and the exact leg is the audit's
+    entire cost; the served index never re-runs. Reference parity: the
+    reference has no ANN at all (SURVEY SS2.9 extensions) — this is the
+    tuning loop any production deployment of the IVF family needs."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, n_lists=None, n_probe=2, refine_iters=1,
+        exact_replay=True,
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.recall_vs_exact(approx, exact)
 
 
 @register(

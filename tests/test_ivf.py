@@ -477,3 +477,39 @@ def test_ivf_append_equals_frozen_full_assignment(spark, tmp_path, skewed):
     cents2, assigns2 = similarity.load_ivf_index(spark, idx)
     res = similarity.ivf_probe(cents2, assigns2, queries, k=3, n_probe=2)
     assert res.count() > 0
+
+
+def test_recall_vs_exact_semantics(spark, clustered):
+    """recall_vs_exact counts hits against the exact set: identical
+    inputs give recall 1.0 for every query; a full-probe IVF equals
+    brute force; and a hand-degraded approx frame counts exactly."""
+    exact = similarity.brute_force_topk(clustered, clustered, k=3)
+    r_self = similarity.recall_vs_exact(exact, exact)
+    rows = r_self.collect()
+    assert len(rows) == 40
+    assert all(r.recall == 1.0 and r.hits == r.exact_k == 3 for r in rows)
+
+    # probing every list makes IVF exhaustive => recall 1.0
+    full = similarity.ivf_topk(clustered, clustered, k=3, n_lists=4, n_probe=4)
+    r_full = similarity.recall_vs_exact(full, exact)
+    assert all(r.recall == 1.0 for r in r_full.collect())
+
+    # drop one query's neighbors entirely: its recall is 0, others keep 1.0
+    degraded = exact.filter("query_id <> 7")
+    r_deg = {r.query_id: r for r in
+             similarity.recall_vs_exact(degraded, exact).collect()}
+    assert r_deg[7].hits == 0 and r_deg[7].recall == 0.0
+    assert r_deg[7].exact_k == 3  # denominator stays the exact count
+    assert all(v.recall == 1.0 for q, v in r_deg.items() if q != 7)
+
+
+def test_recall_vs_exact_short_corpus_denominator(spark):
+    """exact_k = min(k, corpus-1): a 3-vector corpus at k=5 yields
+    exact_k=2, so a perfect approx still reads recall 1.0 instead of
+    being deflated by the unreachable k."""
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])], SCHEMA
+    )
+    exact = similarity.brute_force_topk(tiny, tiny, k=5)
+    rows = similarity.recall_vs_exact(exact, exact).collect()
+    assert all(r.exact_k == 2 and r.recall == 1.0 for r in rows)

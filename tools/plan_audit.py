@@ -75,6 +75,10 @@ ALLOW_NESTED_LOOP = {
     # same centroid attach; the metadata filter itself is a row-local
     # predicate on the assignments side (r10)
     "ann_ivf_filtered",
+    # composes the sqrt-lists IVF leg (centroid attach) with the
+    # knn_bruteforce exact leg — both already-allowlisted shapes; the
+    # measurement join itself is a (query_id, neighbor_id) equi-join
+    "ann_recall_audit",
     # frozen-centroid attach on BOTH generations (assign_to_centroids
     # twice); everything downstream is list_id-keyed aggregation (r10)
     "audit_embedding_drift",
