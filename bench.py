@@ -75,6 +75,8 @@ HEADLINE = [
     "audit_embedding_drift",
     "banded_minhash_compaction",
     "ann_recall_audit",
+    "ann_pq_adc",
+    "audit_corpus_delta",
 ]
 
 

@@ -610,3 +610,83 @@ def drift_between_generations(
         F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
     )
     return drift_from_counts(joined, threshold)
+
+
+def corpus_delta(
+    prev: DataFrame,
+    cur: DataFrame,
+    id_col: str,
+    fingerprint: Column,
+    group_col: str,
+    threshold_milli: int = 100,
+) -> DataFrame:
+    """Snapshot diff between two corpus generations — the ingest
+    monitor's FIRST question (what changed since the last refresh?),
+    upstream of the drift gates that ask how the distributions moved.
+
+    Every document is reduced map-side to (id, group, fingerprint) —
+    ``fingerprint`` is any deterministic Column over the payload (md5
+    of the text is the canonical choice) — then ONE full-outer
+    equi-join on ``id_col`` classifies each id: added (absent from
+    prev), removed (absent from cur), changed (present in both,
+    fingerprints differ), unchanged. Output is group-sized: per-group
+    counts plus the churn share (added+removed+changed over the
+    PREVIOUS generation's size) and a churn alarm as the integer
+    inequality ``churn_count * 1000 > threshold_milli * n_prev`` —
+    engine-exact, same idiom as the KS/TV gates.
+
+    Scale: fingerprints are narrow scalars, so the join shuffles
+    (id, group, 32-byte hash) rows, never payloads; everything after
+    is a map-side-combined group count. An empty previous generation
+    (bootstrap) reports churn 1.0 and alarms iff the current one is
+    non-empty.
+    """
+    p = prev.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__gp"),
+        fingerprint.alias("__fpp"),
+    )
+    c = cur.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__gc"),
+        fingerprint.alias("__fpc"),
+    )
+    joined = p.join(c, "__id", "full_outer").select(
+        F.coalesce("__gc", "__gp").alias(group_col),
+        F.when(F.col("__fpp").isNull(), 1).otherwise(0).alias("__add"),
+        F.when(F.col("__fpc").isNull(), 1).otherwise(0).alias("__rem"),
+        F.when(
+            F.col("__fpp").isNotNull()
+            & F.col("__fpc").isNotNull()
+            & (F.col("__fpp") != F.col("__fpc")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__chg"),
+        F.when(
+            F.col("__fpp").isNotNull() & (F.col("__fpp") == F.col("__fpc")), 1
+        )
+        .otherwise(0)
+        .alias("__same"),
+    )
+    agg = joined.groupBy(group_col).agg(
+        F.sum("__add").cast("long").alias("n_added"),
+        F.sum("__rem").cast("long").alias("n_removed"),
+        F.sum("__chg").cast("long").alias("n_changed"),
+        F.sum("__same").cast("long").alias("n_unchanged"),
+    )
+    n_prev = (F.col("n_removed") + F.col("n_changed") + F.col("n_unchanged"))
+    churn_n = F.col("n_added") + F.col("n_removed") + F.col("n_changed")
+    return agg.select(
+        group_col,
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.when(n_prev == 0, F.when(churn_n > 0, 1.0).otherwise(0.0))
+        .otherwise(churn_n.cast("double") / n_prev.cast("double"))
+        .alias("churn"),
+        F.when(n_prev == 0, churn_n > 0)
+        .otherwise(churn_n * 1000 > F.lit(threshold_milli) * n_prev)
+        .alias("churned"),
+    )

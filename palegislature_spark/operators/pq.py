@@ -1,0 +1,247 @@
+"""Product quantization (PQ): codebook build, encode, ADC top-k serve.
+
+The memory-side of the ANN family (reference scope: the similarity /
+dedup extension families beside operators/similarity.py): IVF prunes
+WHICH vectors a query touches; PQ shrinks WHAT each touched vector
+costs — a 64-dim float64 vector (512 B) becomes ``m`` small codes
+(4 B at m=4), and query-time distance is ``m`` table lookups instead
+of a 64-wide dot product.  At 100 TB the corpus' PQ codes fit in a
+fraction of the footprint (64x here), which is what makes
+billion-vector serving memory-resident; compose with the IVF lists
+(``ivf_probe``) for the standard IVFPQ layout — lists bound the
+candidate set, codes bound per-candidate cost.
+
+Design for the oracle (same discipline as ``ivf_assignments``):
+
+* **codebooks** — per subspace, the ``k`` sub-vectors of the corpus
+  vectors with the smallest shared multiplicative hash of the id
+  (``_mix31``), i.e. the IVF-flat sampled-point construction sliced
+  per subspace.  Deterministic, no stored model, and the DuckDB twin
+  replays the identical pick in SQL.
+* **encode** — the tiny codebook (m*k sub-vectors) is collected and
+  constant-folded into ONE ``from_json`` literal (the
+  ``max_cosine_vs_eval`` precedent), so encoding is a single linear
+  codegen pass: per subspace, argmin of the in-order-folded squared
+  L2 distance, first-minimum tie-break (= smallest code id).  Zero
+  shuffles, zero explodes, no Python.
+* **ADC serve** — per query, the (sub_id, code_id) -> squared-L2
+  table is equi-joined (broadcast) to the exploded corpus codes, and
+  the approximate distance is the SUB-ID-ORDERED fold of the m table
+  entries — bit-reproducible, so the SQL twin replays ranking
+  exactly (the ``exact_replay`` idiom).
+
+Scale notes: the codebook is O(m*k*dim) — constant-sized, broadcast.
+Encode is one pass over the corpus.  Serve shuffles (query_id,
+neighbor_id, sub_id) rows: q * n * m, linear in corpus size with a
+bounded query batch, each row carrying scalars; map-side combine
+applies.  IVFPQ composition replaces n with n * n_probe / n_lists.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from palegislature_spark.operators.similarity import _as_double, _mix31_col
+
+
+def _sq_l2(a, b):
+    """In-order fold of the squared-L2 distance between two equal-length
+    arrays — ((0+d1)+d2)+... so DuckDB's list_reduce over the same
+    squared-diff list reproduces it bit-for-bit (0.0+x == x in IEEE)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """Per-subspace codebooks: (sub_id, code_id, cvec).
+
+    ``sub_id`` in [0, m); ``code_id`` in [1, k] is the rank of the
+    picked vector's id — the same deterministic smallest-mix31 pick as
+    ``ivf_assignments``, sliced into m contiguous sub-vectors.  The
+    result is m*k rows of dim/m doubles: constant-sized however large
+    the corpus, so every consumer broadcasts or collects it.
+    """
+    picked = (
+        embeddings.select(
+            F.col(id_col).alias("__cid"), _as_double(vec_col).alias("__cv")
+        )
+        .withColumn("__rk", _mix31_col(F.col("__cid")))
+        .orderBy("__rk", "__cid")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("__cid")).alias("code_id"),
+            F.col("__cv").alias("__cv"),
+        )
+    )
+    sub_dim = F.floor(F.size("__cv") / m).cast("int")
+    return picked.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        "code_id",
+        "__cv",
+    ).select(
+        "sub_id",
+        "code_id",
+        F.slice(
+            F.col("__cv"), F.col("sub_id") * sub_dim + F.lit(1), sub_dim
+        ).alias("cvec"),
+    )
+
+
+def _codebook_literal(codebooks: DataFrame):
+    """Collect the (constant-sized) codebooks and constant-fold them into
+    one ``from_json`` literal column ``array<array<array<double>>>``
+    indexed [sub_id][code_id-1][dim] — the ``max_cosine_vs_eval``
+    literal-folding seam, so encode plans carry ONE folded constant
+    instead of m*k*dim expression nodes."""
+    rows = codebooks.select("sub_id", "code_id", "cvec").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub_id"], {})[r["code_id"]] = list(r["cvec"])
+    m = len(by_sub)
+    nested = [
+        [by_sub[j][c] for c in sorted(by_sub[j])] for j in sorted(by_sub)
+    ]
+    lit = F.from_json(
+        F.lit(json.dumps(nested)), "array<array<array<double>>>"
+    )
+    return lit, m, len(nested[0]) if nested else 0
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m nearest sub-centroid codes:
+    (id_col, codes array<int>) with codes[j] the code_id whose
+    subspace-j centroid minimizes in-order-folded squared L2
+    (first-minimum tie-break = smallest code_id).
+
+    One linear whole-stage-codegen pass: the codebook rides along as a
+    folded literal, argmin is ``array_position(dists, array_min)``
+    over the k per-subspace distances.  This is the compression step —
+    dim doubles -> m small ints per vector (64x at dim=64, m=4).
+    """
+    cb, m, _k = _codebook_literal(codebooks)
+    v = _as_double(vec_col)
+    sub_dim = F.floor(F.size(v) / m).cast("int")
+
+    def code_for(j):
+        sv = F.slice(v, F.lit(j) * sub_dim + F.lit(1), sub_dim)
+        dists = F.transform(cb[j], lambda c: _sq_l2(sv, c))
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    return embeddings.select(
+        F.col(id_col),
+        F.array(*[code_for(j) for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: rank corpus CODES against exact query
+    sub-vectors — (query_id, neighbor_id, rank, adc_dist), rank 1 =
+    smallest approximate squared L2, ties to the smaller neighbor_id.
+
+    The per-query distance table (q * m * k rows of squared L2 between
+    the query's subspace slice and each sub-centroid) broadcasts; the
+    corpus side explodes codes to (id, sub_id, code_id) scalars and
+    equi-joins on (sub_id, code_id); the ADC distance is the
+    sub-id-ordered fold of the m matched entries (bit-reproducible for
+    the SQL twin).  Per-query cost is m lookups per corpus vector —
+    never a dim-wide dot product against raw vectors.
+    """
+    cb, m, _ = _codebook_literal(codebooks)
+    sub_dim = F.floor(F.size("__qv") / m).cast("int")
+    qtab = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+        )
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+            "__qv",
+        )
+        .select(
+            "query_id",
+            "sub_id",
+            F.posexplode(
+                F.transform(
+                    cb[F.col("sub_id")],
+                    lambda c: _sq_l2(
+                        F.slice(
+                            F.col("__qv"),
+                            F.col("sub_id") * sub_dim + F.lit(1),
+                            sub_dim,
+                        ),
+                        c,
+                    ),
+                )
+            ).alias("__pos", "__d"),
+        )
+        .select(
+            "query_id",
+            "sub_id",
+            (F.col("__pos") + 1).cast("int").alias("code_id"),
+            F.col("__d").alias("__d"),
+        )
+    )
+    corpus = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_id", "code_id"),
+    ).select(
+        "neighbor_id", F.col("sub_id").cast("int").alias("sub_id"), "code_id"
+    )
+    pairs = corpus.join(
+        F.broadcast(qtab), ["sub_id", "code_id"]
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    folded = (
+        pairs.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", "__d"))
+            ).alias("__sd")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform(F.col("__sd"), lambda s: s["__d"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), "neighbor_id"
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "adc_dist",
+        )
+    )

@@ -1422,3 +1422,80 @@ def canonicalize_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+@register(
+    "audit_corpus_delta",
+    covers="training-pipeline extension: corpus snapshot diff between "
+    "two generations — per-source added/removed/changed/unchanged "
+    "counts from ONE full-outer join of narrow (id, group, md5) rows, "
+    "churn share as a single exact division, churn alarm as an "
+    "integer inequality; the what-changed report upstream of the "
+    "category/numeric/embedding drift gates",
+    oracle="""
+WITH prev AS (
+  SELECT doc_id, source, md5(text) AS fp
+  FROM documents WHERE doc_id % 19 <> 0
+),
+cur AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 23 <> 0
+),
+j AS (
+  SELECT coalesce(c.source, p.source) AS source,
+         CASE WHEN p.fp IS NULL THEN 1 ELSE 0 END AS a,
+         CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END AS r,
+         CASE WHEN p.fp IS NOT NULL AND c.fp IS NOT NULL AND p.fp <> c.fp
+              THEN 1 ELSE 0 END AS ch,
+         CASE WHEN p.fp IS NOT NULL AND p.fp = c.fp THEN 1 ELSE 0 END AS s
+  FROM prev p FULL OUTER JOIN cur c USING (doc_id)
+),
+agg AS (
+  SELECT source,
+         CAST(sum(a) AS BIGINT) AS n_added,
+         CAST(sum(r) AS BIGINT) AS n_removed,
+         CAST(sum(ch) AS BIGINT) AS n_changed,
+         CAST(sum(s) AS BIGINT) AS n_unchanged
+  FROM j GROUP BY source
+)
+SELECT source, n_added, n_removed, n_changed, n_unchanged,
+       CASE WHEN n_removed + n_changed + n_unchanged = 0
+            THEN CASE WHEN n_added + n_removed + n_changed > 0
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+            ELSE CAST(n_added + n_removed + n_changed AS DOUBLE)
+                 / (n_removed + n_changed + n_unchanged)
+       END AS churn,
+       CASE WHEN n_removed + n_changed + n_unchanged = 0
+            THEN n_added + n_removed + n_changed > 0
+            ELSE (n_added + n_removed + n_changed) * 1000
+                 > 200 * (n_removed + n_changed + n_unchanged)
+       END AS churned
+FROM agg
+""",
+)
+def audit_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two simulated corpus generations: the
+    previous generation drops doc_id % 19 == 0 (those play "added"),
+    the current drops doc_id % 23 == 0 ("removed") and revises the
+    text of doc_id % 7 == 0 ("changed"); operators/audit.py
+    corpus_delta classifies every id from md5 fingerprints in one
+    full-outer join and reports per-source counts + churn at a 20%
+    alarm threshold. Fingerprints are map-side, the join shuffles
+    narrow scalars only, output is source-sized. Planted edge cases
+    (empty previous generation, all-changed) in tests/test_audit.py.
+    """
+    from palegislature_spark.operators import audit
+
+    docs = load(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 19 != 0)
+    cur = docs.filter(F.col("doc_id") % 23 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return audit.corpus_delta(
+        prev, cur, "doc_id", F.md5(F.col("text").cast("binary")), "source",
+        threshold_milli=200,
+    )

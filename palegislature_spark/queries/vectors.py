@@ -366,6 +366,113 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_adc",
+    covers="similarity-search extension: product-quantization ADC top-k "
+    "(the memory side of ANN — codes are m=4 small ints per 64-dim "
+    "vector, 64x compression; query-time distance is 4 table lookups). "
+    "Codebooks are the deterministic smallest-mix31 pick sliced per "
+    "subspace and the ADC sum is a sub-id-ordered fold, so the DuckDB "
+    "twin replays codebook build, encoding, and ranking exactly",
+    oracle="""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+-- the shared mix31 pick (operators/similarity.py _mix31), k=16 codes
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM emb
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code_id, v
+  FROM picked WHERE pick <= 16
+),
+subs AS (SELECT unnest(range(4)) AS sub_id),
+-- per-subspace codebooks: contiguous 16-dim slices of the picked vectors
+codebook AS (
+  SELECT s.sub_id, c.code_id,
+         list_slice(c.v, s.sub_id * 16 + 1, (s.sub_id + 1) * 16) AS cvec
+  FROM cb0 c CROSS JOIN subs s
+),
+esub AS (
+  SELECT e.vec_id, s.sub_id,
+         list_slice(e.v, s.sub_id * 16 + 1, (s.sub_id + 1) * 16) AS sv
+  FROM emb e CROSS JOIN subs s
+),
+-- in-order-folded squared L2 (list_reduce starts at the first element;
+-- the Spark fold starts at 0.0 — identical by IEEE for x >= 0)
+scored AS (
+  SELECT es.vec_id, es.sub_id, cb.code_id,
+         list_reduce(
+           list_transform(range(1, 17),
+                          i -> (es.sv[i] - cb.cvec[i]) * (es.sv[i] - cb.cvec[i])),
+           (a, b) -> a + b) AS d
+  FROM esub es JOIN codebook cb USING (sub_id)
+),
+-- encode: per (vector, subspace) argmin, smallest code_id on ties
+codes AS (
+  SELECT vec_id, sub_id, code_id, d,
+         row_number() OVER (PARTITION BY vec_id, sub_id
+                            ORDER BY d ASC, code_id) AS r
+  FROM scored
+),
+-- ADC: the query rows of `scored` ARE the exact distance table; the
+-- approximate distance folds the m matched entries in sub_id order
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list(q.d ORDER BY q.sub_id), (a, b) -> a + b) AS dist
+  FROM codes c JOIN scored q ON q.sub_id = c.sub_id AND q.code_id = c.code_id
+  WHERE c.r = 1 AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank,
+         dist
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(dist, 6) AS adc_dist
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compress + asymmetric-distance top-5 for the first-20 panel.
+
+    operators/pq.py: codebooks = the 16 smallest-mix31 corpus vectors
+    sliced into 4 x 16-dim subspaces (constant-sized, collected and
+    constant-folded into one from_json literal — the
+    benchmark_decontam_semantic seam); encode = one linear codegen
+    pass (argmin of in-order-folded squared L2, first-min tie-break);
+    serve = broadcast (sub,code) distance table equi-joined to the
+    exploded corpus codes, ADC distance folded in sub_id order so the
+    oracle replays ranking bit-for-bit. Recall floor vs exact top-k and
+    the 64x compression invariant are pinned in tests/test_pq.py.
+    Reference parity: the reference has no ANN (SURVEY SS2.9
+    extensions); at 100 TB PQ is what makes the candidate set
+    memory-resident, composing with ivf_probe for IVFPQ."""
+    from palegislature_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    cbs = pq.pq_codebooks(emb, m=4, k=16)
+    codes = pq.pq_encode(emb, cbs)
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = pq.pq_adc_topk(cbs, codes, queries, k=5)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+@register(
     "ann_ivf_append",
     covers="similarity-search extension: IVF serving MAINTENANCE — a "
     "frozen index built on the corpus prefix, a new-arrivals batch "

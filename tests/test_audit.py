@@ -458,3 +458,79 @@ def test_numeric_bin_property_vs_python(spark, vals, spec):
     }
     want = {i: _py_bin(v, lo, hi, n) for i, v in enumerate(vals)}
     assert got == want
+
+
+def test_corpus_delta_classifies_planted_changes(spark):
+    """Planted add/remove/change/unchanged, one group each way."""
+    from palegislature_spark.operators.audit import corpus_delta
+
+    prev = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "a", "z"), (4, "b", "w")],
+        "doc_id long, source string, text string",
+    )
+    cur = spark.createDataFrame(
+        # 1 unchanged, 2 changed, 3 removed, 5 added; b untouched
+        [(1, "a", "x"), (2, "a", "Y2"), (5, "a", "new"), (4, "b", "w")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in corpus_delta(
+            prev, cur, "doc_id", F.md5(F.col("text").cast("binary")),
+            "source", threshold_milli=200,
+        ).collect()
+    }
+    a = got["a"]
+    assert (a["n_added"], a["n_removed"], a["n_changed"], a["n_unchanged"]) == (
+        1, 1, 1, 1,
+    )
+    assert abs(a["churn"] - 1.0) < 1e-12  # 3 churned over 3 prev docs
+    assert a["churned"]
+    b = got["b"]
+    assert (b["n_added"], b["n_removed"], b["n_changed"], b["n_unchanged"]) == (
+        0, 0, 0, 1,
+    )
+    assert b["churn"] == 0.0 and not b["churned"]
+
+
+def test_corpus_delta_bootstrap_empty_prev(spark):
+    """An empty previous generation (bootstrap load) reports churn 1.0
+    and alarms iff the current generation is non-empty."""
+    from palegislature_spark.operators.audit import corpus_delta
+
+    schema = "doc_id long, source string, text string"
+    prev = spark.createDataFrame([], schema)
+    cur = spark.createDataFrame([(1, "a", "x"), (2, "a", "y")], schema)
+    rows = corpus_delta(
+        prev, cur, "doc_id", F.md5(F.col("text").cast("binary")), "source"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (
+        2, 0, 0, 0,
+    )
+    assert r["churn"] == 1.0 and r["churned"]
+
+
+def test_corpus_delta_threshold_boundary(spark):
+    """The alarm is a STRICT integer inequality: churn exactly at the
+    threshold does not alarm (1 change over 10 docs at 100 permille)."""
+    from palegislature_spark.operators.audit import corpus_delta
+
+    schema = "doc_id long, source string, text string"
+    docs = [(i, "a", f"t{i}") for i in range(10)]
+    prev = spark.createDataFrame(docs, schema)
+    cur = spark.createDataFrame(
+        [(i, s, t if i else "edited") for i, s, t in docs], schema
+    )
+    r = corpus_delta(
+        prev, cur, "doc_id", F.md5(F.col("text").cast("binary")), "source",
+        threshold_milli=100,
+    ).collect()[0]
+    assert r["n_changed"] == 1 and r["n_unchanged"] == 9
+    assert not r["churned"]  # 1*1000 > 100*10 is false (equality)
+    r2 = corpus_delta(
+        prev, cur, "doc_id", F.md5(F.col("text").cast("binary")), "source",
+        threshold_milli=99,
+    ).collect()[0]
+    assert r2["churned"]

@@ -1,0 +1,156 @@
+"""Product quantization (operators/pq.py): structure, determinism,
+the ADC = distance-to-reconstruction identity, and measured shortlist
+recall floors.
+
+The synthetic embeddings are near-uniform random vectors — the
+WORST case for PQ (no cluster structure, so quantization error is
+near its maximum). The recall floors pinned here are the measured
+values on that worst case; structured corpora only do better.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from palegislature_spark.catalog import load
+from palegislature_spark.operators import pq
+
+M, K = 4, 16
+
+
+def _cbs_codes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cbs = pq.pq_codebooks(emb, m=M, k=K)
+    return emb, cbs, pq.pq_encode(emb, cbs)
+
+
+def test_codebook_shape_and_determinism(spark, sf_dir):
+    emb, cbs, _ = _cbs_codes(spark, sf_dir)
+    rows = cbs.collect()
+    assert len(rows) == M * K
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["cvec"]) == dim // M for r in rows)
+    assert {r["sub_id"] for r in rows} == set(range(M))
+    assert {r["code_id"] for r in rows} == set(range(1, K + 1))
+    # deterministic pick: rebuild equals first build
+    again = pq.pq_codebooks(emb, m=M, k=K).collect()
+    key = lambda r: (r["sub_id"], r["code_id"])  # noqa: E731
+    assert sorted(rows, key=key) == sorted(again, key=key)
+
+
+def test_encode_compression_and_bounds(spark, sf_dir):
+    emb, _, codes = _cbs_codes(spark, sf_dir)
+    got = codes.collect()
+    assert len(got) == emb.count()
+    for r in got:
+        assert len(r["codes"]) == M
+        assert all(1 <= c <= K for c in r["codes"])
+    # the compression claim: m ints vs dim doubles per vector
+    dim = len(emb.first()["embedding"])
+    assert dim * 8 / (M * 1) >= 64  # 64-dim float64 -> 4 byte-ish codes
+
+
+def test_picked_vector_encodes_to_own_code(spark, sf_dir):
+    """A vector that IS a codebook entry has zero quantization error in
+    every subspace, so it must encode to its own code ids."""
+    emb, cbs, codes = _cbs_codes(spark, sf_dir)
+    # reconstruct which vec the (sub 0, code c) slice came from: the
+    # codebook rows are slices of the K smallest-mix31 vectors ranked
+    # by vec_id; find them by matching the sub-0 slice back to vectors
+    sub0 = {tuple(r["cvec"]): r["code_id"] for r in cbs.collect() if r["sub_id"] == 0}
+    dim = len(emb.first()["embedding"])
+    picked = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        sl = tuple(float(x) for x in r["embedding"][: dim // M])
+        if sl in sub0:
+            picked[r["vec_id"]] = sub0[sl]
+    assert len(picked) == K
+    by_id = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    for vid, code in picked.items():
+        assert by_id[vid][0] == code
+
+
+def test_adc_equals_distance_to_reconstruction(spark, sf_dir):
+    """The defining PQ identity: ADC(q, x) == ||q - reconstruction(x)||^2
+    where reconstruction concatenates x's per-subspace codebook entries."""
+    emb, cbs, codes = _cbs_codes(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    adc = pq.pq_adc_topk(cbs, codes, queries, k=10)
+    cb = {(r["sub_id"], r["code_id"]): list(r["cvec"]) for r in cbs.collect()}
+    recon = {
+        r["vec_id"]: sum((cb[(j, r["codes"][j])] for j in range(M)), [])
+        for r in codes.collect()
+    }
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in queries.collect()
+    }
+    for r in adc.collect():
+        q, x = qvecs[r["query_id"]], recon[r["neighbor_id"]]
+        want = sum((a - b) * (a - b) for a, b in zip(q, x))
+        assert abs(r["adc_dist"] - want) < 1e-9
+
+
+def test_shortlist_recall_floor(spark):
+    """ADC top-R as the shortlist for exact re-ranking (the standard
+    PQ serving shape): the shortlist must beat a RANDOM shortlist of
+    the same size by >= 2x on recall of the exact-L2 top-5.
+
+    Pinned at sf0.01 (500 vectors) regardless of the suite fixture:
+    at sf0.001 the corpus is 50 near-uniform 64-d vectors, where
+    distance concentration makes ANY quantized ranking
+    indistinguishable from random — there is no signal to assert.
+    Measured at sf0.01: ratio ~4x (R=25), ~3x (R=50)."""
+    emb, cbs, codes = _cbs_codes(spark, "/root/testdata/sf0.01")
+    queries = emb.filter(F.col("vec_id") < 10)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    pairs = qv.crossJoin(cv).filter("query_id <> neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), "neighbor_id")
+    exact5 = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter("r <= 5")
+        .select("query_id", "neighbor_id")
+    )
+    shortlist = pq.pq_adc_topk(cbs, codes, queries, k=25).select(
+        "query_id", "neighbor_id"
+    )
+    total = exact5.count()
+    hits = shortlist.join(exact5, ["query_id", "neighbor_id"]).count()
+    n = emb.count()
+    random_baseline = 25 / (n - 1)
+    assert total > 0
+    ratio = (hits / total) / random_baseline
+    assert ratio >= 2.0, f"shortlist recall {hits}/{total} ratio {ratio:.2f}"
+
+
+def test_adc_plan_stays_jvm_side(spark, sf_dir):
+    """Encode + serve must be codegen expressions: no row-at-a-time
+    Python, no cartesian product; the query table join is a broadcast
+    equi-join on (sub_id, code_id)."""
+    emb, cbs, codes = _cbs_codes(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan = (
+        pq.pq_adc_topk(cbs, codes, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
