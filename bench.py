@@ -77,6 +77,9 @@ HEADLINE = [
     "ann_recall_audit",
     "ann_pq_adc",
     "audit_corpus_delta",
+    "ann_hybrid_rrf",
+    "audit_profile_columns",
+    "audit_delta_severity",
 ]
 
 

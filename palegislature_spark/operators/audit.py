@@ -690,3 +690,109 @@ def corpus_delta(
         .otherwise(churn_n * 1000 > F.lit(threshold_milli) * n_prev)
         .alias("churned"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass per-column profile: (col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val).
+
+    The data-quality report every ingest runs before anything else
+    (null rates, key uniqueness, domain bounds) — computed for ALL
+    columns in ONE corpus pass: each row melts row-locally into
+    |cols| narrow (col_name, val) pairs (values cast to string so one
+    output schema covers every input type; min/max compare bytewise
+    identically in Spark and DuckDB for the cast), then a single
+    grouped aggregate on the |cols|-key column.  count/min/max combine
+    map-side; the exact count(DISTINCT val) plans as one Expand — the
+    oracle-replayable tier.  At 100 TB swap in approx_count_distinct
+    the same way approx_distinct_orders sits beside agg_count_distinct.
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.col_name", "m.val")
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_nulls"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def delta_severity(
+    prev: DataFrame,
+    cur: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    minor_milli: int = 600,
+) -> DataFrame:
+    """Classify CHANGED documents between two corpus generations by
+    n-gram Jaccard: 'minor' (metadata touch-up, suffix edit) vs
+    'rewrite' (content replaced) — the severity report downstream of
+    :func:`corpus_delta`'s what-changed counts, deciding whether a
+    changed doc re-enters dedup/decontam or just refreshes metadata.
+
+    Plan: ONE narrow id-equi-join brings both generations' texts into
+    the same row (changed = texts differ), then both gram sets are
+    computed ROW-LOCALLY (dedup.shingle_set_expr) and intersected with
+    array ops — no shingle-grain shuffle at all, unlike the pairwise
+    dedup path which must shuffle on the gram key because its
+    candidates span rows.  At 100 TB: cost is the id join plus a
+    linear pass over the changed subset.
+
+    Docs where either side has fewer than ``n`` tokens carry no gram
+    set and are excluded (both engines: the oracle's inner join on
+    per-generation gram counts drops them identically).  The severity
+    cut is the integer-milli comparison ``n_common * 1000 >=
+    minor_milli * n_union`` — no double compare at the boundary; the
+    reported jaccard is one exact long/long double division.
+    """
+    from palegislature_spark.operators.dedup import shingle_set_expr
+
+    p = prev.select(F.col(id_col), F.col(text_col).alias("__pt"))
+    c = cur.select(F.col(id_col), F.col(text_col).alias("__ct"))
+    changed = (
+        p.join(c, id_col)
+        .filter(F.col("__pt") != F.col("__ct"))
+        .select(
+            id_col,
+            shingle_set_expr(F.split("__pt", " "), n).alias("__sha"),
+            shingle_set_expr(F.split("__ct", " "), n).alias("__shb"),
+        )
+        .filter((F.size("__sha") > 0) & (F.size("__shb") > 0))
+    )
+    n_common = F.size(F.array_intersect("__sha", "__shb")).cast("long")
+    n_prev = F.size("__sha").cast("long")
+    n_cur = F.size("__shb").cast("long")
+    scored = changed.select(
+        id_col,
+        n_prev.alias("n_prev"),
+        n_cur.alias("n_cur"),
+        n_common.alias("n_common"),
+    ).withColumn("n_union", F.col("n_prev") + F.col("n_cur") - F.col("n_common"))
+    return scored.select(
+        id_col,
+        "n_prev",
+        "n_cur",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_union").cast("double")).alias(
+            "jaccard"
+        ),
+        F.when(
+            F.col("n_common") * 1000 >= F.lit(minor_milli) * F.col("n_union"),
+            F.lit("minor"),
+        )
+        .otherwise(F.lit("rewrite"))
+        .alias("severity"),
+    )

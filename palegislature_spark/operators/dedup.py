@@ -55,35 +55,46 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def shingle_set_expr(toks, n: int = 3):
+    """Column expression: DISTINCT word n-gram shingles of a token
+    array — row-local, reusable wherever two texts' gram sets must be
+    computed side by side in ONE row (delta_severity compares
+    generations without a shingle-grain shuffle).
+
+    Sliding window via zipped slices: k bulk slice ops + one struct
+    concat per shingle — measurably faster than per-element
+    element_at chains, and safe for short docs (slice clamps). The
+    gram expression is gated on size >= n inside the row (not just by
+    any outer filter): sequence(1, size-n+1) DESCENDS ([1,0]) when
+    size < n, and codegen subexpression elimination can evaluate the
+    projection alongside a filter predicate in the same stage, so an
+    unguarded element_at would throw on short documents.
+    """
+    win = F.arrays_zip(
+        *[F.slice(toks, j + 1, F.size(toks) - (n - 1)) for j in range(n)]
+    )
+    gram = F.when(
+        F.size(toks) >= n,
+        F.transform(win, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(gram)
+
+
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Per-document array of DISTINCT word n-gram shingles: (id, sh).
 
     Small parquet inputs arrive as one partition; fan out first so
     every core shares the per-row shingling work. The within-document
     distinct is array_distinct — no shuffle.
-
-    The gram expression is gated on size >= n inside the row (not just
-    by the filter): sequence(1, size-n+1) DESCENDS ([1,0]) when
-    size < n, and codegen subexpression elimination can evaluate the
-    projection alongside the filter predicate in the same stage, so an
-    unguarded element_at would throw on short documents.
     """
     toks = (
         df.repartition(F.col(id_col))
         .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         .filter(F.size("__toks") >= n)
     )
-    # Sliding window via zipped slices: k bulk slice ops + one struct
-    # concat per shingle — measurably faster than per-element
-    # element_at chains, and safe for short docs (slice clamps).
-    win = F.arrays_zip(
-        *[F.slice("__toks", j + 1, F.size("__toks") - (n - 1)) for j in range(n)]
+    return toks.select(
+        id_col, shingle_set_expr(F.col("__toks"), n).alias("sh")
     )
-    gram = F.when(
-        F.size("__toks") >= n,
-        F.transform(win, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])),
-    ).otherwise(F.array().cast("array<string>"))
-    return toks.select(id_col, F.array_distinct(gram).alias("sh"))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

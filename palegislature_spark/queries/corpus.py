@@ -1499,3 +1499,197 @@ def audit_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev, cur, "doc_id", F.md5(F.col("text").cast("binary")), "source",
         threshold_milli=200,
     )
+
+
+_HYBRID_FINAL = """, tl AS (
+  SELECT doc_id, {comps} AS score FROM d CROSS JOIN s WHERE {any_hit} > 0
+),
+tr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+  FROM tl QUALIFY r <= 20
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+vp AS (
+  SELECT b.vec_id AS doc_id,
+         list_cosine_similarity(q.qv, CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings b CROSS JOIN q WHERE b.vec_id <> 7
+),
+vr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r
+  FROM vp QUALIFY r <= 20
+),
+f AS (
+  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         tr.r AS text_rank, vr.r AS vec_rank,
+         coalesce(1.0e0 / (60 + tr.r), 0.0e0)
+         + coalesce(1.0e0 / (60 + vr.r), 0.0e0) AS rrf_score
+  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+)
+SELECT doc_id, text_rank, vec_rank, rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+
+@register(
+    "ann_hybrid_rrf",
+    covers="similarity-search extension: HYBRID retrieval — the lexical "
+    "leg (index-served BM25 top-20, operators/index.py) and the vector "
+    "leg (exact cosine top-20 for one query embedding) fused by "
+    "reciprocal rank (1/(60+rank), Cormack et al. 2009). Both legs are "
+    "served shortlists, so fusion is k-row outer joins; the fixed "
+    "leg-order sum with a 0.0 identity makes the fused score an exact "
+    "SQL replay (reference analogue: SURVEY §2 S5/A6 single-signal "
+    "lookup/top-k, which a retrieval user outgrows the moment two "
+    "signals exist)",
+    oracle=_bm25_oracle(final=_HYBRID_FINAL),
+)
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + cosine top-10 with per-leg rank provenance.
+
+    Plan shape: the BM25 leg touches only the queried tokens' posting
+    segments (posting-bounded, never corpus-sized); the vector leg is
+    one broadcast-query corpus pass; fusion joins two 20-row frames.
+    The single-partition rank windows are over those 20-row
+    shortlists — bounded by construction, same argument as the 1-row
+    scalar-attach allowlist. At 100 TB both legs keep their own scale
+    story (sharded postings / IVF probe) and fusion cost stays O(k).
+    """
+    from palegislature_spark.operators.fusion import rank_from_scores, rrf_fuse
+    from palegislature_spark.operators.index import (
+        bm25_search_topk as _search,
+        build_inverted_index,
+    )
+    from palegislature_spark.operators.similarity import brute_force_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_inverted_index(docs, "doc_id", "text", n_shards=4)
+    text_leg = rank_from_scores(
+        _search(idx, _BM25_TERMS, k=20), "doc_id", "score", k=20
+    )
+    vec_leg = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 7), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [("text", text_leg), ("vec", vec_leg)], id_col="doc_id", topk=10
+    )
+
+
+@register(
+    "audit_profile_columns",
+    covers="data-quality extension: one-pass table profiler — per-column "
+    "null count, exact distinct count, bytewise min/max over a "
+    "row-local melt + single grouped aggregate (the report every "
+    "ingest runs first; reference analogue: the ad-hoc per-column "
+    "sanity SELECTs around crawl.py's staging loads, done as ONE "
+    "corpus pass instead of one scan per column)",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         source, n_chars, text
+  FROM documents
+),
+m AS (
+  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM src
+  UNION ALL SELECT 'lang', lang FROM src
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM src
+  UNION ALL SELECT 'source', source FROM src
+  UNION ALL SELECT 'text', text FROM src
+)
+SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       min(val) AS min_val, max(val) AS max_val
+FROM m GROUP BY col_name
+""",
+)
+def audit_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile all five documents columns in one pass; lang is
+    NULLed on doc_id % 13 == 0 (both engines) so the null-rate leg is
+    exercised, not just trivially zero. Integer casts render
+    identically on both engines; string min/max are bytewise on both
+    (DuckDB binary collation, Spark UTF8 byte compare)."""
+    from palegislature_spark.operators.audit import profile_columns
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(F.col("lang")),
+    )
+    return profile_columns(
+        docs, ["doc_id", "lang", "n_chars", "source", "text"]
+    )
+
+
+@register(
+    "audit_delta_severity",
+    covers="data-quality extension: changed-doc severity — the step after "
+    "audit_corpus_delta's what-changed counts: every doc present in "
+    "both generations with different text is classified minor-edit vs "
+    "rewrite by word-3gram Jaccard, computed ROW-LOCALLY after one "
+    "narrow id join (no shingle-grain shuffle; integer-milli severity "
+    "cut, exact long/long jaccard division)",
+    oracle="""
+WITH prevg AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 19 != 0
+),
+curg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 14 = 0 THEN reverse(text)
+              WHEN doc_id % 7 = 0 THEN text || ' rev2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 23 != 0
+),
+chg AS (
+  SELECT p.doc_id, p.text AS pt, c.text AS ct
+  FROM prevg p JOIN curg c USING (doc_id)
+  WHERE p.text <> c.text
+),
+ptk AS (SELECT doc_id, string_split(pt, ' ') AS tk FROM chg),
+ctk AS (SELECT doc_id, string_split(ct, ' ') AS tk FROM chg),
+psh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM ptk)
+),
+csh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM ctk)
+),
+np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_prev FROM psh GROUP BY doc_id),
+nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cur FROM csh GROUP BY doc_id),
+nx AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM psh p JOIN csh c ON p.doc_id = c.doc_id AND p.g = c.g
+  GROUP BY p.doc_id
+)
+SELECT np.doc_id, np.n_prev, nc.n_cur,
+       coalesce(nx.n_common, 0) AS n_common,
+       CAST(coalesce(nx.n_common, 0) AS DOUBLE)
+       / CAST(np.n_prev + nc.n_cur - coalesce(nx.n_common, 0) AS DOUBLE)
+         AS jaccard,
+       CASE WHEN coalesce(nx.n_common, 0) * 1000
+                 >= 600 * (np.n_prev + nc.n_cur - coalesce(nx.n_common, 0))
+            THEN 'minor' ELSE 'rewrite' END AS severity
+FROM np JOIN nc USING (doc_id) LEFT JOIN nx USING (doc_id)
+""",
+)
+def audit_delta_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity of the changed docs from the audit_corpus_delta
+    simulation, with a stronger second edit class: doc_id % 14 == 0
+    gets its text REVERSED (every gram changes -> 'rewrite'), the
+    remaining doc_id % 7 == 0 get the ' rev2' suffix (one new gram ->
+    'minor'), so both severity classes are exercised at every sf."""
+    from palegislature_spark.operators.audit import delta_severity
+
+    docs = load(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 19 != 0)
+    cur = docs.filter(F.col("doc_id") % 23 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 14 == 0, F.reverse(F.col("text")))
+        .when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" rev2")))
+        .otherwise(F.col("text")),
+    )
+    return delta_severity(prev, cur, "doc_id", "text", n=3, minor_milli=600)

@@ -534,3 +534,94 @@ def test_corpus_delta_threshold_boundary(spark):
         threshold_milli=99,
     ).collect()[0]
     assert r2["churned"]
+
+
+# --------------------------------------------------------------------------
+# profile_columns (one-pass table profiler)
+# --------------------------------------------------------------------------
+
+
+def test_profile_columns_planted_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, None, 30), (4, "a", None)],
+        "id long, cat string, v long",
+    )
+    got = {
+        r.col_name: r
+        for r in audit.profile_columns(df, ["id", "cat", "v"]).collect()
+    }
+    assert set(got) == {"id", "cat", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 4)
+    assert (got["cat"].n_nulls, got["cat"].n_distinct) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)
+    # values profile as strings: bytewise min/max, ints render exactly
+    assert (got["cat"].min_val, got["cat"].max_val) == ("a", "b")
+    assert (got["v"].min_val, got["v"].max_val) == ("10", "30")
+
+
+def test_profile_columns_all_null_column(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, dead string"
+    )
+    got = {
+        r.col_name: r for r in audit.profile_columns(df, ["dead"]).collect()
+    }
+    r = got["dead"]
+    assert (r.n_nulls, r.n_distinct, r.min_val, r.max_val) == (2, 0, None, None)
+
+
+# --------------------------------------------------------------------------
+# delta_severity (changed-doc minor-edit vs rewrite)
+# --------------------------------------------------------------------------
+
+
+def _gen(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_delta_severity_classes(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    prev = _gen(spark, [(1, base), (2, base), (3, base), (4, base)])
+    cur = _gen(
+        spark,
+        [
+            (1, base),                                  # unchanged -> absent
+            (2, base + " tail"),                        # one new gram -> minor
+            (3, "totally different words here now ok"), # no overlap -> rewrite
+            # 4 missing -> removed, absent from the report
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in audit.delta_severity(prev, cur, "doc_id", "text").collect()
+    }
+    assert set(got) == {2, 3}
+    assert got[2].severity == "minor" and got[2].jaccard > 0.8
+    assert got[3].severity == "rewrite" and got[3].n_common == 0
+    # jaccard is the exact long/long division
+    r = got[2]
+    assert r.jaccard == r.n_common / (r.n_prev + r.n_cur - r.n_common)
+
+
+def test_delta_severity_short_docs_excluded(spark):
+    prev = _gen(spark, [(1, "one two")])   # < 3 tokens: no gram set
+    cur = _gen(spark, [(1, "two one")])
+    assert audit.delta_severity(prev, cur, "doc_id", "text").count() == 0
+
+
+def test_delta_severity_boundary_is_integer_exact(spark):
+    """A doc sitting exactly ON the minor_milli cut classifies 'minor'
+    (>=), decided by integer arithmetic, not a double compare."""
+    # prev: grams {a b c, b c d} (4 tokens); cur shares 1 of 2 grams ->
+    # union 3, common 1 -> jaccard exactly 1/3 -> minor at 333? No:
+    # pick minor_milli so common*1000 == milli*union: 1*1000 == 333*3
+    # is false (999); use milli=250 with union 4, common 1.
+    prev = _gen(spark, [(1, "a b c d")])          # grams: abc, bcd
+    cur = _gen(spark, [(1, "a b c x y")])         # grams: abc, bcx, cxy
+    out = audit.delta_severity(
+        prev, cur, "doc_id", "text", minor_milli=250
+    ).collect()[0]
+    # common=1, union=4 -> 1*1000 == 250*4 exactly -> minor
+    assert (out.n_common, out.n_prev + out.n_cur - out.n_common) == (1, 4)
+    assert out.severity == "minor"

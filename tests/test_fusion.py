@@ -1,0 +1,76 @@
+"""Rank fusion (operators/fusion.py): RRF arithmetic, leg provenance,
+missing-leg identity, deterministic ties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palegislature_spark.operators.fusion import (
+    RRF_K0,
+    rank_from_scores,
+    rrf_fuse,
+)
+
+
+def _leg(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank long")
+
+
+def test_rrf_both_legs_beats_single_rank1(spark):
+    """A doc at rank 2+3 outranks a doc only one leg saw at rank 1 —
+    the defining RRF property (k0 dampens the head)."""
+    a = _leg(spark, [(1, 1), (2, 2)])
+    b = _leg(spark, [(3, 1), (2, 3)])
+    out = rrf_fuse([("a", a), ("b", b)], topk=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].rrf_score > by_id[1].rrf_score
+    assert by_id[2].rrf_score > by_id[3].rrf_score
+    # exact arithmetic: fixed leg order, coalesce-0.0 identity
+    assert by_id[2].rrf_score == 1.0 / (RRF_K0 + 2) + 1.0 / (RRF_K0 + 3)
+    assert by_id[1].rrf_score == 1.0 / (RRF_K0 + 1) + 0.0
+
+
+def test_rrf_keeps_per_leg_rank_provenance(spark):
+    a = _leg(spark, [(1, 1)])
+    b = _leg(spark, [(2, 1)])
+    out = {r.doc_id: r for r in rrf_fuse([("a", a), ("b", b)]).collect()}
+    assert out[1].a_rank == 1 and out[1].b_rank is None
+    assert out[2].a_rank is None and out[2].b_rank == 1
+
+
+def test_rrf_tie_breaks_on_id(spark):
+    """Identical rank vectors fuse to identical scores; topk cuts by
+    ascending id so the served page is deterministic."""
+    a = _leg(spark, [(5, 1), (3, 1)])  # impossible in one real leg, but
+    out = rrf_fuse([("a", a)], topk=1).collect()  # ties must still cut stably
+    assert [r.doc_id for r in out] == [3]
+
+
+def test_rank_from_scores_matches_order_by_limit(spark):
+    sl = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0), (3, 3.0), (4, 1.0)], "doc_id long, score double"
+    )
+    got = {
+        r.doc_id: r.rank
+        for r in rank_from_scores(sl, "doc_id", "score", k=3).collect()
+    }
+    # score desc, id asc: 2, 3, 1 (4 cut)
+    assert got == {2: 1, 3: 2, 1: 3}
+
+
+def test_hybrid_registry_query_rank_consistency(spark, sf_dir):
+    """End-to-end: every fused row's per-leg ranks are consistent with
+    the legs' own shortlists, and the fused ordering is by rrf_score."""
+    from palegislature_spark.queries.corpus import ann_hybrid_rrf
+
+    out = ann_hybrid_rrf(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    for r in out:
+        expect = (
+            (1.0 / (RRF_K0 + r.text_rank) if r.text_rank is not None else 0.0)
+            + (1.0 / (RRF_K0 + r.vec_rank) if r.vec_rank is not None else 0.0)
+        )
+        assert r.rrf_score == expect
+        assert r.text_rank is not None or r.vec_rank is not None
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True)

@@ -79,6 +79,10 @@ ALLOW_NESTED_LOOP = {
     # knn_bruteforce exact leg — both already-allowlisted shapes; the
     # measurement join itself is a (query_id, neighbor_id) equi-join
     "ann_recall_audit",
+    # hybrid fusion: the BM25 leg's 1-row corpus-stats crossJoin plus
+    # the vector leg's bounded-query-panel non-equi broadcast (the
+    # knn_bruteforce shape); fusion itself is k-row outer joins (r10)
+    "ann_hybrid_rrf",
     # frozen-centroid attach on BOTH generations (assign_to_centroids
     # twice); everything downstream is list_id-keyed aggregation (r10)
     "audit_embedding_drift",
