@@ -692,7 +692,9 @@ def corpus_delta(
     )
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str], distinct: str = "exact"
+) -> DataFrame:
     """One-pass per-column profile: (col_name, n_rows, n_nulls,
     n_distinct, min_val, max_val).
 
@@ -703,10 +705,18 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     output schema covers every input type; min/max compare bytewise
     identically in Spark and DuckDB for the cast), then a single
     grouped aggregate on the |cols|-key column.  count/min/max combine
-    map-side; the exact count(DISTINCT val) plans as one Expand — the
-    oracle-replayable tier.  At 100 TB swap in approx_count_distinct
-    the same way approx_distinct_orders sits beside agg_count_distinct.
+    map-side.
+
+    ``distinct`` picks the cardinality tier: ``"exact"`` is
+    count(DISTINCT val) — plans as one Expand, oracle-replayable, the
+    registry-gated tier; ``"approx"`` is approx_count_distinct
+    (HyperLogLog++, default 5% rsd) — fixed sketch state per column,
+    fully map-side-combining, the 100 TB tier (the same exact/approx
+    split as agg_count_distinct vs approx_distinct_orders, here as one
+    operator knob because everything else in the report is identical).
     """
+    if distinct not in ("exact", "approx"):
+        raise ValueError(f"distinct must be 'exact' or 'approx': {distinct!r}")
     melted = df.select(
         F.explode(
             F.array(
@@ -720,10 +730,15 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         ).alias("m")
     ).select("m.col_name", "m.val")
+    n_distinct = (
+        F.countDistinct("val")
+        if distinct == "exact"
+        else F.approx_count_distinct("val")
+    )
     return melted.groupBy("col_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_nulls"),
-        F.countDistinct("val").cast("long").alias("n_distinct"),
+        n_distinct.cast("long").alias("n_distinct"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )

@@ -625,3 +625,37 @@ def test_delta_severity_boundary_is_integer_exact(spark):
     # common=1, union=4 -> 1*1000 == 250*4 exactly -> minor
     assert (out.n_common, out.n_prev + out.n_cur - out.n_common) == (1, 4)
     assert out.severity == "minor"
+
+
+def test_profile_columns_approx_tier(spark):
+    """The approx tier reports within HLL++ tolerance of exact on a
+    known-cardinality column, everything else bit-identical, and the
+    plan carries no Expand (the sketch combines map-side)."""
+    import pytest
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 50).alias("cat")
+    )
+    exact = {
+        r.col_name: r for r in audit.profile_columns(df, ["id", "cat"]).collect()
+    }
+    approx = {
+        r.col_name: r
+        for r in audit.profile_columns(
+            df, ["id", "cat"], distinct="approx"
+        ).collect()
+    }
+    for c in ("id", "cat"):
+        e, a = exact[c], approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_val, a.max_val) == (
+            e.n_rows, e.n_nulls, e.min_val, e.max_val,
+        )
+        # HLL++ default rsd 5%; allow 3 sigma
+        assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.15 * e.n_distinct)
+    plan = audit.profile_columns(
+        df, ["id", "cat"], distinct="approx"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+    with pytest.raises(ValueError):
+        audit.profile_columns(df, ["id"], distinct="bogus")
