@@ -74,3 +74,43 @@ def test_hybrid_registry_query_rank_consistency(spark, sf_dir):
         assert r.text_rank is not None or r.vec_rank is not None
     scores = [r.rrf_score for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# property: rrf_fuse equals the pure-Python RRF reference
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# a leg = a ranked shortlist: distinct ids, ranks 1..n in order
+_leg_strategy = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=1, max_size=8, unique=True
+)
+
+
+@given(a_ids=_leg_strategy, b_ids=_leg_strategy, k0=st.integers(1, 100))
+@settings(max_examples=10, deadline=None)
+def test_rrf_fuse_matches_python_reference(spark, a_ids, b_ids, k0):
+    """For arbitrary two-leg shortlists, every fused row's score and the
+    served top-k cut equal the independent pure-Python computation —
+    the same reference-twin style as the MinHash/winnow parity tests."""
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(a_ids)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(b_ids)], "doc_id long, rank long"
+    )
+    got = rrf_fuse([("a", a), ("b", b)], k0=k0, topk=5).collect()
+
+    ra = {i: r + 1 for r, i in enumerate(a_ids)}
+    rb = {i: r + 1 for r, i in enumerate(b_ids)}
+    ref = {
+        i: (1.0 / (k0 + ra[i]) if i in ra else 0.0)
+        + (1.0 / (k0 + rb[i]) if i in rb else 0.0)
+        for i in set(ra) | set(rb)
+    }
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.doc_id, r.rrf_score) for r in got] == expect
+    for r in got:
+        assert r.a_rank == ra.get(r.doc_id) and r.b_rank == rb.get(r.doc_id)
