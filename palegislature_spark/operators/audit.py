@@ -692,20 +692,50 @@ def corpus_delta(
     )
 
 
+_NUMERIC_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def _numeric_cols(df: DataFrame, cols: list[str]) -> set[str]:
+    """Columns whose DECLARED type is numeric (decimals included) —
+    schema-driven, never value-sniffed, so both engines agree
+    statically on which columns carry num_min/num_max."""
+    types = dict(df.dtypes)
+    return {
+        c
+        for c in cols
+        if types[c] in _NUMERIC_TYPES or types[c].startswith("decimal")
+    }
+
+
 def profile_columns(
-    df: DataFrame, cols: list[str], distinct: str = "exact"
+    df: DataFrame, cols: list[str], distinct: str = "exact",
+    layout: str = "melt",
 ) -> DataFrame:
     """One-pass per-column profile: (col_name, n_rows, n_nulls,
-    n_distinct, min_val, max_val).
+    n_distinct, min_val, max_val, num_min, num_max).
 
     The data-quality report every ingest runs before anything else
     (null rates, key uniqueness, domain bounds) — computed for ALL
     columns in ONE corpus pass: each row melts row-locally into
     |cols| narrow (col_name, val) pairs (values cast to string so one
-    output schema covers every input type; min/max compare bytewise
-    identically in Spark and DuckDB for the cast), then a single
-    grouped aggregate on the |cols|-key column.  count/min/max combine
+    output schema covers every input type), then a single grouped
+    aggregate on the |cols|-key column.  count/min/max combine
     map-side.
+
+    Bounds come in two typed tiers (ADVICE r10: a single stringified
+    min/max is a trap for numeric columns):
+
+    * ``min_val``/``max_val`` — BYTEWISE bounds of the string cast,
+      defined for every column type but NOT numeric order ('5' > '40'
+      bytewise).  Use for key-prefix/charset sanity, never for range
+      checks on numbers.
+    * ``num_min``/``num_max`` — numeric bounds as doubles, non-NULL
+      exactly for columns whose DECLARED schema type is numeric
+      (int/long/float/double/decimal; schema-driven so the oracle
+      replays the choice statically).  These are the domain bounds an
+      ingest range check should read.
 
     ``distinct`` picks the cardinality tier: ``"exact"`` is
     count(DISTINCT val) — plans as one Expand, oracle-replayable, the
@@ -714,9 +744,83 @@ def profile_columns(
     fully map-side-combining, the 100 TB tier (the same exact/approx
     split as agg_count_distinct vs approx_distinct_orders, here as one
     operator knob because everything else in the report is identical).
+
+    ``layout`` picks the scan shape (VERDICT r10 'what's wrong' #2):
+
+    * ``"melt"`` — the explode-by-|cols| melt above.  Right for the
+      handfuls-of-columns case; the shuffle is tiny (map-side combine
+      onto |cols| keys) but the SCAN pays a x|cols| row expansion.
+    * ``"wide"`` — no melt: ONE aggregate row of per-column aggregate
+      expressions over the unexploded scan, stacked to |cols| output
+      rows only after aggregation (the stack runs on a single row).
+      The 300-column production tier — scan cost is one pass over the
+      original rows regardless of |cols|.  Requires
+      ``distinct="approx"``: per-column exact count(DISTINCT) in one
+      aggregate re-introduces the very Expand-by-|cols| the wide tier
+      exists to avoid, so asking for it is rejected loudly rather
+      than silently planned as a melt-equivalent.
     """
     if distinct not in ("exact", "approx"):
         raise ValueError(f"distinct must be 'exact' or 'approx': {distinct!r}")
+    if layout not in ("melt", "wide"):
+        raise ValueError(f"layout must be 'melt' or 'wide': {layout!r}")
+    numeric = _numeric_cols(df, cols)
+
+    def num_src(c: str):
+        return (
+            F.col(c).cast("double")
+            if c in numeric
+            else F.lit(None).cast("double")
+        )
+
+    if layout == "wide":
+        if distinct != "approx":
+            raise ValueError(
+                "layout='wide' requires distinct='approx': exact "
+                "count(DISTINCT) per column plans the Expand-by-|cols| "
+                "the wide tier avoids"
+            )
+        one = df.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                a
+                for c in cols
+                for a in (
+                    F.count(F.col(c).cast("string")).alias(f"__nn_{c}"),
+                    F.approx_count_distinct(F.col(c).cast("string"))
+                    .cast("long")
+                    .alias(f"__nd_{c}"),
+                    F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+                    F.min(num_src(c)).alias(f"__nmn_{c}"),
+                    F.max(num_src(c)).alias(f"__nmx_{c}"),
+                )
+            ],
+        )
+        # stack the single aggregate row to |cols| rows — driver-free,
+        # but the explode input is 1 row, not the corpus
+        return one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col("__n").alias("n_rows"),
+                            (F.col("__n") - F.col(f"__nn_{c}"))
+                            .cast("long")
+                            .alias("n_nulls"),
+                            F.col(f"__nd_{c}").alias("n_distinct"),
+                            F.col(f"__mn_{c}").alias("min_val"),
+                            F.col(f"__mx_{c}").alias("max_val"),
+                            F.col(f"__nmn_{c}").alias("num_min"),
+                            F.col(f"__nmx_{c}").alias("num_max"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("m")
+        ).select("m.*")
+
     melted = df.select(
         F.explode(
             F.array(
@@ -724,12 +828,13 @@ def profile_columns(
                     F.struct(
                         F.lit(c).alias("col_name"),
                         F.col(c).cast("string").alias("val"),
+                        num_src(c).alias("num"),
                     )
                     for c in cols
                 ]
             )
         ).alias("m")
-    ).select("m.col_name", "m.val")
+    ).select("m.col_name", "m.val", "m.num")
     n_distinct = (
         F.countDistinct("val")
         if distinct == "exact"
@@ -741,6 +846,8 @@ def profile_columns(
         n_distinct.cast("long").alias("n_distinct"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
+        F.min("num").alias("num_min"),
+        F.max("num").alias("num_max"),
     )
 
 
@@ -768,10 +875,16 @@ def delta_severity(
 
     Docs where either side has fewer than ``n`` tokens carry no gram
     set and are excluded (both engines: the oracle's inner join on
-    per-generation gram counts drops them identically).  The severity
-    cut is the integer-milli comparison ``n_common * 1000 >=
-    minor_milli * n_union`` — no double compare at the boundary; the
-    reported jaccard is one exact long/long double division.
+    per-generation gram counts drops them identically).  Docs whose
+    text is NULL in EITHER generation are likewise excluded — the
+    changed-filter ``__pt != __ct`` is deliberately non-null-safe, so
+    a NULL text never classifies as changed (a payload that vanished
+    is :func:`corpus_delta`'s removed/changed accounting, not a
+    severity question; ADVICE r10 asked this drop be documented).
+    The severity cut is the integer-milli comparison ``n_common *
+    1000 >= minor_milli * n_union`` — no double compare at the
+    boundary; the reported jaccard is one exact long/long double
+    division.
     """
     from palegislature_spark.operators.dedup import shingle_set_expr
 

@@ -76,9 +76,31 @@ def rrf_fuse(
     a k-row shortlist) and the score is the leg-ordered sum of
     ``coalesce(1.0/(k0 + rank), 0.0)`` — fixed addition order, exact
     SQL replay.
+
+    Leg names become ``{name}_rank`` output columns, so they are
+    validated up front (ADVICE r10): each must be a non-empty
+    identifier (letters/digits/underscore, not starting with a
+    digit — anything else breaks unquoted column resolution), unique
+    across legs, and distinct from ``id_col`` and ``rrf_score`` —
+    a duplicate would produce two ``{name}_rank`` columns and an
+    ambiguous-column failure only at analysis time, or silently wrong
+    provenance.
     """
     if not legs:
         raise ValueError("rrf_fuse needs at least one leg")
+    seen: set[str] = set()
+    for name, _ in legs:
+        if not name or not name.isidentifier():
+            raise ValueError(
+                f"rrf_fuse leg name must be a non-empty identifier: {name!r}"
+            )
+        if name in seen:
+            raise ValueError(f"duplicate rrf_fuse leg name: {name!r}")
+        if f"{name}_rank" in (id_col, "rrf_score") or name in (id_col, "rrf_score"):
+            raise ValueError(
+                f"rrf_fuse leg name collides with output column: {name!r}"
+            )
+        seen.add(name)
     fused: DataFrame | None = None
     for name, df in legs:
         leg = df.select(

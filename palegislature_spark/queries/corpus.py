@@ -1579,11 +1579,14 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "audit_profile_columns",
     covers="data-quality extension: one-pass table profiler — per-column "
-    "null count, exact distinct count, bytewise min/max over a "
-    "row-local melt + single grouped aggregate (the report every "
-    "ingest runs first; reference analogue: the ad-hoc per-column "
-    "sanity SELECTs around crawl.py's staging loads, done as ONE "
-    "corpus pass instead of one scan per column)",
+    "null count, exact distinct count, bytewise min/max PLUS typed "
+    "numeric min/max (doubles, non-NULL exactly for schema-numeric "
+    "columns — ADVICE r10: the stringified bounds are byte-order "
+    "only, '5' > '40') over a row-local melt + single grouped "
+    "aggregate (the report every ingest runs first; reference "
+    "analogue: the ad-hoc per-column sanity SELECTs around crawl.py's "
+    "staging loads, done as ONE corpus pass instead of one scan per "
+    "column)",
     oracle="""
 WITH src AS (
   SELECT doc_id,
@@ -1592,16 +1595,19 @@ WITH src AS (
   FROM documents
 ),
 m AS (
-  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM src
-  UNION ALL SELECT 'lang', lang FROM src
-  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM src
-  UNION ALL SELECT 'source', source FROM src
-  UNION ALL SELECT 'text', text FROM src
+  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val,
+         CAST(doc_id AS DOUBLE) AS num FROM src
+  UNION ALL SELECT 'lang', lang, NULL FROM src
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR),
+                   CAST(n_chars AS DOUBLE) FROM src
+  UNION ALL SELECT 'source', source, NULL FROM src
+  UNION ALL SELECT 'text', text, NULL FROM src
 )
 SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
-       min(val) AS min_val, max(val) AS max_val
+       min(val) AS min_val, max(val) AS max_val,
+       min(num) AS num_min, max(num) AS num_max
 FROM m GROUP BY col_name
 """,
 )
@@ -1610,7 +1616,11 @@ def audit_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLed on doc_id % 13 == 0 (both engines) so the null-rate leg is
     exercised, not just trivially zero. Integer casts render
     identically on both engines; string min/max are bytewise on both
-    (DuckDB binary collation, Spark UTF8 byte compare)."""
+    (DuckDB binary collation, Spark UTF8 byte compare) — BYTE order,
+    not numeric order, which is why the numeric columns additionally
+    carry num_min/num_max doubles (non-NULL exactly for doc_id and
+    n_chars, the two schema-numeric columns; NULL for the three
+    string columns on both engines)."""
     from palegislature_spark.operators.audit import profile_columns
 
     docs = load(spark, sf_dir, "documents").withColumn(
@@ -1681,7 +1691,17 @@ def audit_delta_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     simulation, with a stronger second edit class: doc_id % 14 == 0
     gets its text REVERSED (every gram changes -> 'rewrite'), the
     remaining doc_id % 7 == 0 get the ' rev2' suffix (one new gram ->
-    'minor'), so both severity classes are exercised at every sf."""
+    'minor'), so both severity classes are exercised at every sf.
+
+    ASCII assumption (ADVICE r10): the reverse() edit relies on Spark
+    F.reverse and DuckDB reverse() agreeing, which holds for ASCII
+    (one char = one code point = one grapheme) but can diverge on
+    multibyte text where DuckDB reverses grapheme clusters — the
+    documents fixture is pure ASCII (verified: every row matches
+    ^[ -~]*$), so the edit simulation is engine-exact here; a
+    non-ASCII corpus would need a token-rotation scramble instead.
+    NULL text on either side never classifies as changed (both
+    engines' non-null-safe <>) — documented on delta_severity."""
     from palegislature_spark.operators.audit import delta_severity
 
     docs = load(spark, sf_dir, "documents")

@@ -659,3 +659,59 @@ def test_profile_columns_approx_tier(spark):
 
     with pytest.raises(ValueError):
         audit.profile_columns(df, ["id"], distinct="bogus")
+
+
+def test_profile_columns_numeric_bounds_vs_bytewise(spark):
+    """ADVICE r10: values {9, 100} — bytewise min/max report
+    min_val='100', max_val='9' (byte order), while the typed
+    num_min/num_max carry the NUMERIC bounds 9.0/100.0; string
+    columns carry NULL numeric bounds."""
+    df = spark.createDataFrame(
+        [(9, "x"), (100, "y")], "v long, s string"
+    )
+    got = {
+        r.col_name: r for r in audit.profile_columns(df, ["v", "s"]).collect()
+    }
+    assert (got["v"].min_val, got["v"].max_val) == ("100", "9")  # bytewise!
+    assert (got["v"].num_min, got["v"].num_max) == (9.0, 100.0)  # numeric
+    assert (got["s"].num_min, got["s"].num_max) == (None, None)
+
+
+def test_profile_columns_wide_tier(spark):
+    """layout='wide' (VERDICT r10 wrong-#2): same report as the melt
+    at approx distinct, NO explode of the corpus scan (the only
+    Generate runs on the 1-row aggregate), and wide+exact is rejected
+    (it would re-introduce the Expand)."""
+    import pytest
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("cat"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(
+            F.concat(F.lit("s"), F.col("id"))
+        ).alias("s"),
+    )
+    cols = ["id", "cat", "s"]
+    melt = {
+        r.col_name: r
+        for r in audit.profile_columns(df, cols, distinct="approx").collect()
+    }
+    wide = {
+        r.col_name: r
+        for r in audit.profile_columns(
+            df, cols, distinct="approx", layout="wide"
+        ).collect()
+    }
+    assert set(wide) == set(melt)
+    for c in cols:
+        m, w = melt[c], wide[c]
+        assert (w.n_rows, w.n_nulls, w.min_val, w.max_val,
+                w.num_min, w.num_max) == (
+            m.n_rows, m.n_nulls, m.min_val, m.max_val, m.num_min, m.num_max,
+        )
+        # both are the same HLL++ sketch over the same values
+        assert w.n_distinct == m.n_distinct
+    with pytest.raises(ValueError):
+        audit.profile_columns(df, cols, distinct="exact", layout="wide")
+    with pytest.raises(ValueError):
+        audit.profile_columns(df, cols, layout="sideways")

@@ -76,6 +76,42 @@ def test_hybrid_registry_query_rank_consistency(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_rrf_score_tie_at_topk_boundary_cuts_by_id(spark):
+    """Duplicate rrf_scores exactly AT the topk cut: docs 7 and 9 are
+    each seen by exactly one leg at rank 2 — identical scores — and
+    only one slot remains after the rank-1 docs; the cut must keep the
+    smaller id (VERDICT r10 #9: the boundary under score ties is where
+    two engines could disagree)."""
+    a = _leg(spark, [(1, 1), (9, 2)])
+    b = _leg(spark, [(2, 1), (7, 2)])
+    out = rrf_fuse([("a", a), ("b", b)], topk=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 7]  # 9 cut, 7 kept
+    # the boundary tie is real: widening the cut shows 7 and 9 fused
+    # to the SAME score — only the id order decided the topk=3 page
+    wide = {r.doc_id: r.rrf_score for r in
+            rrf_fuse([("a", a), ("b", b)], topk=4).collect()}
+    assert wide[7] == wide[9] == out[2].rrf_score
+
+
+def test_rrf_leg_name_validation(spark):
+    """ADVICE r10: duplicate / empty / non-identifier / colliding leg
+    names fail fast with ValueError instead of an ambiguous-column
+    analysis error (or silently wrong provenance)."""
+    import pytest
+
+    a = _leg(spark, [(1, 1)])
+    for bad in (
+        [("a", a), ("a", a)],          # duplicate
+        [("", a)],                      # empty
+        [("with.dots", a)],             # non-identifier
+        [("1starts_digit", a)],         # non-identifier
+        [("doc_id", a)],                # collides with id_col
+        [("rrf_score", a)],             # collides with the score column
+    ):
+        with pytest.raises(ValueError):
+            rrf_fuse(bad)
+
+
 # --------------------------------------------------------------------------
 # property: rrf_fuse equals the pure-Python RRF reference
 # --------------------------------------------------------------------------
