@@ -7,9 +7,9 @@ costs — a 64-dim float64 vector (512 B) becomes ``m`` small codes
 (4 B at m=4), and query-time distance is ``m`` table lookups instead
 of a 64-wide dot product.  At 100 TB the corpus' PQ codes fit in a
 fraction of the footprint (64x here), which is what makes
-billion-vector serving memory-resident; compose with the IVF lists
-(``ivf_probe``) for the standard IVFPQ layout — lists bound the
-candidate set, codes bound per-candidate cost.
+billion-vector serving memory-resident; :func:`ivfpq_topk` composes
+the two into the standard IVFPQ layout — lists bound the candidate
+set, codes bound per-candidate cost.
 
 Design for the oracle (same discipline as ``ivf_assignments``):
 
@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from palegislature_spark.operators.similarity import _as_double, _mix31_col
+from palegislature_spark.operators.similarity import (
+    _as_double,
+    _mix31_col,
+    probe_lists,
+)
 
 
 def _sq_l2(a, b):
@@ -172,8 +176,25 @@ def pq_adc_topk(
     never a dim-wide dot product against raw vectors.
     """
     cb, m, _ = _codebook_literal(codebooks)
+    qtab = _adc_query_table(cb, m, queries, id_col, vec_col)
+    corpus = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_id", "code_id"),
+    ).select(
+        "neighbor_id", F.col("sub_id").cast("int").alias("sub_id"), "code_id"
+    )
+    pairs = corpus.join(
+        F.broadcast(qtab), ["sub_id", "code_id"]
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _adc_rank(pairs, k)
+
+
+def _adc_query_table(cb, m: int, queries: DataFrame, id_col: str, vec_col: str):
+    """Per-query (sub_id, code_id) -> squared-L2 distance table: q * m
+    * k rows of exact distances between the query's subspace slice and
+    each sub-centroid — constant-sized per query, always broadcast."""
     sub_dim = F.floor(F.size("__qv") / m).cast("int")
-    qtab = (
+    return (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
         )
@@ -206,15 +227,12 @@ def pq_adc_topk(
             F.col("__d").alias("__d"),
         )
     )
-    corpus = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("sub_id", "code_id"),
-    ).select(
-        "neighbor_id", F.col("sub_id").cast("int").alias("sub_id"), "code_id"
-    )
-    pairs = corpus.join(
-        F.broadcast(qtab), ["sub_id", "code_id"]
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+
+def _adc_rank(pairs: DataFrame, k: int) -> DataFrame:
+    """Fold matched (query_id, neighbor_id, sub_id, __d) rows into the
+    ADC distance — SUB-ID-ORDERED so the SQL twin replays it bit for
+    bit — and rank per query (ties to the smaller neighbor_id)."""
     folded = (
         pairs.groupBy("query_id", "neighbor_id")
         .agg(
@@ -245,3 +263,71 @@ def pq_adc_topk(
             "adc_dist",
         )
     )
+
+
+def ivfpq_topk(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ: the standard billion-vector serving layout this module's
+    header promises — IVF lists bound WHICH vectors a query touches
+    (``probe_lists``: n_probe nearest lists by centroid cosine), PQ
+    codes bound what each touched vector COSTS (``m`` table lookups
+    via the broadcast per-query distance table, never a dim-wide dot
+    product).  Output is the ADC top-k over the probed lists:
+    (query_id, neighbor_id, rank, adc_dist), rank 1 = smallest
+    approximate squared L2, ties to the smaller neighbor_id.
+
+    Every stage is the deterministic construction its standalone twin
+    uses (ivf_assignments centroids, pq_codebooks / pq_encode codes,
+    sub-id-ordered ADC fold), so the DuckDB oracle replays the full
+    composition exactly — candidate pruning AND ranking.
+
+    Scale: per query the candidate set is ~n * n_probe / n_lists ids
+    (√n-sized at the sqrt-lists configuration) instead of the whole
+    corpus, and each candidate costs m matched scalars in the fold;
+    the two broadcasts (probes, query distance table) are
+    query-batch-sized.  The raw-vector assignments table is touched
+    only for its (id, list_id) pairs — ADC never reads ``__vec``, so
+    a disk-resident index serves this from the codes file plus the
+    narrow list map (column pruning reaches the Parquet scan)."""
+    probes = probe_lists(
+        centroids, queries, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "list_id")
+    cand = (
+        F.broadcast(probes)
+        .join(
+            assignments.select(
+                F.col(id_col).alias("neighbor_id"), "list_id"
+            ),
+            "list_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    cb, m, _ = _codebook_literal(codebooks)
+    qtab = _adc_query_table(cb, m, queries, id_col, vec_col)
+    cand_codes = cand.join(
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes"),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.posexplode("codes").alias("sub_id", "code_id"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("sub_id").cast("int").alias("sub_id"),
+        "code_id",
+    )
+    pairs = cand_codes.join(
+        F.broadcast(qtab), ["query_id", "sub_id", "code_id"]
+    )
+    return _adc_rank(pairs, k)

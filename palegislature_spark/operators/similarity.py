@@ -668,6 +668,40 @@ def ivf_topk(
     return ivf_probe(centroids, assignments, queries, k, id_col, vec_col, n_probe)
 
 
+def probe_lists(
+    centroids: DataFrame,
+    queries: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe-selection half of IVF serving, shared by
+    :func:`ivf_probe` (cosine ranking) and the IVFPQ composition
+    (operators/pq.py ivfpq_topk, ADC ranking): each query's
+    ``n_probe`` nearest lists by centroid cosine, ties to the smaller
+    list_id — ``(query_id, __qv, list_id)`` with the query vector
+    kept as doubles for the ranking stage. The centroid set is
+    broadcast (n_lists ~ √n rows); the window ranks n_lists rows per
+    query, never corpus rows."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    q_scored = q.join(F.broadcast(centroids)).select(
+        "query_id",
+        "__qv",
+        "list_id",
+        (_dot(F.col("__qv"), F.col("centroid")) / (F.col("__qn") * F.col("__cn"))).alias(
+            "__cos"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "list_id")
+    return (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "list_id")
+    )
+
+
 def ivf_probe(
     centroids: DataFrame,
     assignments: DataFrame,
@@ -702,22 +736,8 @@ def ivf_probe(
     tests/test_ivf.py)."""
     if where is not None:
         assignments = assignments.filter(where)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    ).withColumn("__qn", _norm(F.col("__qv")))
-    q_scored = q.join(F.broadcast(centroids)).select(
-        "query_id",
-        "__qv",
-        "list_id",
-        (_dot(F.col("__qv"), F.col("centroid")) / (F.col("__qn") * F.col("__cn"))).alias(
-            "__cos"
-        ),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "list_id")
-    probes = (
-        q_scored.withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qv", "list_id")
+    probes = probe_lists(
+        centroids, queries, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
     pairs = (
         F.broadcast(probes)

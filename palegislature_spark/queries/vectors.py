@@ -365,15 +365,13 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_vs_exact(approx, exact)
 
 
-@register(
-    "ann_pq_adc",
-    covers="similarity-search extension: product-quantization ADC top-k "
-    "(the memory side of ANN — codes are m=4 small ints per 64-dim "
-    "vector, 64x compression; query-time distance is 4 table lookups). "
-    "Codebooks are the deterministic smallest-mix31 pick sliced per "
-    "subspace and the ADC sum is a sub-id-ordered fold, so the DuckDB "
-    "twin replays codebook build, encoding, and ranking exactly",
-    oracle="""
+# CTE chain shared by every PQ oracle (the _IVF_CTES composition
+# idiom): deterministic smallest-mix31 codebook pick sliced per
+# subspace, one-pass encode (argmin of in-order-folded squared L2),
+# ADC ranking of the first-20 panel.  Ends at `ranked`, no trailing
+# comma, so consumers append the final SELECT (_PQ_ORACLE) or further
+# CTEs (_PQ_RECALL_ORACLE).
+_PQ_CTES = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 -- the shared mix31 pick (operators/similarity.py _mix31), k=16 codes
 mix1 AS (
@@ -436,11 +434,49 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank,
          dist
   FROM adc
-)
+)"""
+
+_PQ_ORACLE = _PQ_CTES + """
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        round(dist, 6) AS adc_dist
 FROM ranked WHERE rank <= 5
-""",
+"""
+
+# Recall@k of the ADC ranking against exact cosine over the same
+# panel — the _RECALL_ORACLE composition, with the PQ chain supplying
+# the approximate leg: ADC's compression loss (the number a user
+# tunes m/k against) becomes a hash-checked per-query measurement.
+_PQ_RECALL_ORACLE = _PQ_CTES + """,
+approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+bpairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM emb q JOIN emb e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
+),
+branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM bpairs
+),
+exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS exact_k,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_pq_adc",
+    covers="similarity-search extension: product-quantization ADC top-k "
+    "(the memory side of ANN — codes are m=4 small ints per 64-dim "
+    "vector, 64x compression; query-time distance is 4 table lookups). "
+    "Codebooks are the deterministic smallest-mix31 pick sliced per "
+    "subspace and the ADC sum is a sub-id-ordered fold, so the DuckDB "
+    "twin replays codebook build, encoding, and ranking exactly",
+    oracle=_PQ_ORACLE,
 )
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compress + asymmetric-distance top-5 for the first-20 panel.
@@ -456,7 +492,8 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64x compression invariant are pinned in tests/test_pq.py.
     Reference parity: the reference has no ANN (SURVEY SS2.9
     extensions); at 100 TB PQ is what makes the candidate set
-    memory-resident, composing with ivf_probe for IVFPQ."""
+    memory-resident, composing with ivf lists in ivfpq_topk
+    (ann_ivfpq_topk)."""
     from palegislature_spark.operators import pq
 
     emb = load(spark, sf_dir, "embeddings")
@@ -464,6 +501,153 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq.pq_encode(emb, cbs)
     queries = emb.filter(F.col("vec_id") < 20)
     topk = pq.pq_adc_topk(cbs, codes, queries, k=5)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+@register(
+    "ann_pq_recall",
+    covers="similarity-search extension: PQ recall audit (VERDICT r10 "
+    "#3) — recall@5 of the ADC ranking vs exact cosine over the same "
+    "first-20 panel, the measured m/k compression trade-off; the "
+    "oracle composes the shared PQ CTE chain with a brute-force leg "
+    "exactly as ann_recall_audit does for IVF, so ADC's MISSES are "
+    "hash-checked, not just its hits",
+    oracle=_PQ_RECALL_ORACLE,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ/ADC (m=4, k=16) against exact cosine top-5.
+
+    The second leg of the ANN tuning loop beside ann_recall_audit:
+    that one measures what IVF's list PRUNING costs, this one what
+    PQ's code COMPRESSION costs — together they price the two IVFPQ
+    knobs (n_lists/n_probe vs m/k) in the same per-query hits /
+    exact_k / recall report (operators/similarity.py
+    recall_vs_exact; the measurement join is O(|panel| x k) however
+    large the corpus, and the exact brute-force leg is the audit's
+    entire cost — linear BY DESIGN, the documented ann_recall_audit
+    precedent).  Note ADC ranks by approximate squared L2 while the
+    exact leg ranks by cosine: on L2-normalized production embeddings
+    the two orders agree; on this synthetic corpus the norm spread
+    makes the measured recall DELIBERATELY imperfect — which is what
+    an audit is for (a planted-imperfection measurement, like the
+    drift gates)."""
+    from palegislature_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cbs = pq.pq_codebooks(emb, m=4, k=16)
+    codes = pq.pq_encode(emb, cbs)
+    approx = pq.pq_adc_topk(cbs, codes, queries, k=5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.recall_vs_exact(approx, exact)
+
+
+_IVFPQ_ORACLE = (
+    _IVF_CTES
+    + """,
+-- PQ leg over the SAME mix31 rank list: `picked` already carries the
+-- smallest-mix31 ordering, the codebook is its first 16 vectors
+-- sliced into 4 x 16-dim subspaces (the _PQ_CTES construction,
+-- composed here against the IVF chain's CTE names)
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code_id, v
+  FROM picked WHERE pick <= 16
+),
+subs AS (SELECT unnest(range(4)) AS sub_id),
+codebook AS (
+  SELECT s.sub_id, c.code_id,
+         list_slice(c.v, s.sub_id * 16 + 1, (s.sub_id + 1) * 16) AS cvec
+  FROM cb0 c CROSS JOIN subs s
+),
+esub AS (
+  SELECT e.vec_id, s.sub_id,
+         list_slice(e.v, s.sub_id * 16 + 1, (s.sub_id + 1) * 16) AS sv
+  FROM emb e CROSS JOIN subs s
+),
+scored AS (
+  SELECT es.vec_id, es.sub_id, cb.code_id,
+         list_reduce(
+           list_transform(range(1, 17),
+                          i -> (es.sv[i] - cb.cvec[i]) * (es.sv[i] - cb.cvec[i])),
+           (a, b) -> a + b) AS d
+  FROM esub es JOIN codebook cb USING (sub_id)
+),
+pcodes AS (
+  SELECT vec_id, sub_id, code_id, d,
+         row_number() OVER (PARTITION BY vec_id, sub_id
+                            ORDER BY d ASC, code_id) AS r
+  FROM scored
+),
+-- IVFPQ: candidates from the probed lists (the IVF chain's `probes`
+-- x `assignments2`), ranked by the sub-id-ordered ADC fold
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assignments2 a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_reduce(list(q.d ORDER BY q.sub_id), (a, b) -> a + b) AS dist
+  FROM cand cd
+  JOIN pcodes c ON c.vec_id = cd.neighbor_id AND c.r = 1
+  JOIN scored q ON q.vec_id = cd.query_id
+               AND q.sub_id = c.sub_id AND q.code_id = c.code_id
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+adcranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank,
+         dist
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(dist, 6) AS adc_dist
+FROM adcranked WHERE rank <= 5
+"""
+).format(n_lists="8")
+
+
+@register(
+    "ann_ivfpq_topk",
+    covers="similarity-search extension: IVFPQ served top-k (VERDICT "
+    "r10 #2) — the standard billion-vector layout composed from the "
+    "two oracle-pinned halves: IVF lists (n_lists=8, 1 Lloyd "
+    "iteration, n_probe=2) bound the candidate set, PQ codes (m=4, "
+    "k=16) bound per-candidate cost via the broadcast ADC distance "
+    "table; the DuckDB twin replays candidate pruning AND ranking "
+    "exactly by composing the shared _IVF_CTES chain with the PQ "
+    "construction over the same mix31 rank list",
+    oracle=_IVFPQ_ORACLE,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 over the probed IVF lists for the first-20 panel —
+    the composition operators/pq.py's header promises, served as one
+    plan (operators/pq.py ivfpq_topk): probe_lists picks each query's
+    2 nearest lists against the broadcast refined centroids, the
+    list-join bounds candidates to ~n * n_probe / n_lists ids, and
+    each candidate costs m=4 matched scalars in the sub-id-ordered
+    fold — never a dim-wide dot product against raw vectors.  ADC
+    never reads the assignments' raw vectors (column pruning reaches
+    the index scan).  Equality against brute-ADC-over-the-same-
+    candidates and the candidate-set identity vs ivf_probe are pinned
+    in tests/test_pq.py."""
+    from palegislature_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    centroids, assignments = similarity.ivf_assignments(
+        emb, n_lists=8, refine_iters=1, exact_replay=True
+    )
+    cbs = pq.pq_codebooks(emb, m=4, k=16)
+    codes = pq.pq_encode(emb, cbs)
+    topk = pq.ivfpq_topk(
+        centroids, assignments, cbs, codes, queries, k=5, n_probe=2
+    )
     return topk.select(
         "query_id",
         "neighbor_id",

@@ -154,3 +154,87 @@ def test_adc_plan_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# IVFPQ composition (ivfpq_topk) and the PQ recall audit
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_parts(spark, sf_dir):
+    from palegislature_spark.operators import similarity
+
+    emb, cbs, codes = _cbs_codes(spark, sf_dir)
+    centroids, assignments = similarity.ivf_assignments(
+        emb, n_lists=8, refine_iters=1, exact_replay=True
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return emb, cbs, codes, centroids, assignments, queries
+
+
+def test_ivfpq_equals_adc_restricted_to_ivf_candidates(spark):
+    """The composition identity: ivfpq_topk == the FULL ADC ranking
+    (pq_adc_topk at corpus k) restricted to exactly the candidate set
+    ivf_probe serves, re-cut to top-5 — list pruning changes WHICH
+    neighbors compete, never their ADC distances."""
+    from palegislature_spark.operators import similarity
+
+    emb, cbs, codes, centroids, assignments, queries = _ivfpq_parts(
+        spark, "/root/testdata/sf0.01"
+    )
+    n = emb.count()
+    got = pq.ivfpq_topk(
+        centroids, assignments, cbs, codes, queries, k=5, n_probe=2
+    ).collect()
+
+    # candidate set = ivf_probe at corpus k (its pairs ARE the probed
+    # lists' members); full ADC at corpus k carries every distance
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_probe(
+            centroids, assignments, queries, k=n, n_probe=2
+        ).collect()
+    }
+    full_adc = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq.pq_adc_topk(cbs, codes, queries, k=n).collect()
+    }
+    by_query: dict = {}
+    for (q, nb), d in full_adc.items():
+        if (q, nb) in cand:
+            by_query.setdefault(q, []).append((d, nb))
+    expect = []
+    for q, lst in by_query.items():
+        for rank, (d, nb) in enumerate(sorted(lst)[:5], start=1):
+            expect.append((q, nb, rank, d))
+    assert sorted((r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in got) \
+        == sorted(expect)
+    # and the pruning is real: candidates < corpus pairs
+    assert len(cand) < len(full_adc)
+
+
+def test_ivfpq_plan_no_python_no_cartesian(spark, sf_dir):
+    emb, cbs, codes, centroids, assignments, queries = _ivfpq_parts(
+        spark, sf_dir
+    )
+    plan = (
+        pq.ivfpq_topk(centroids, assignments, cbs, codes, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_recall_registry_shape(spark):
+    """ann_pq_recall: one row per panel query, hits <= exact_k <= 5,
+    recall the exact int/int division."""
+    from palegislature_spark.queries.vectors import ann_pq_recall
+
+    rows = ann_pq_recall(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.hits <= r.exact_k <= 5
+        assert r.recall == r.hits / r.exact_k
