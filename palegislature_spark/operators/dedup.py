@@ -489,25 +489,59 @@ def simhash_pairs(
     ``band_chunks`` must satisfy ``band_chunks + max_hamming <= 60``
     (every chunk needs at least one bit).
     """
+    sig = simhash_signatures(df, id_col, text_col)
+    return hamming_pairs(
+        sig,
+        id_col,
+        "simhash",
+        max_hamming=max_hamming,
+        min_chunks=chunks,
+        band_chunks=band_chunks,
+        n_rows=n_docs,
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+    n_bits: int = _SIMHASH_BITS,
+    min_chunks: int = 4,
+    band_chunks: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` over ANY <=60-bit
+    integer signature column — the banded generalized-pigeonhole
+    search :func:`simhash_pairs` documents (Manku et al., WWW'07),
+    factored out (VERDICT r10 #5) so non-text signatures plug in: the
+    image perceptual hash (operators/multimodal.py ``image_ahash``)
+    rides the identical machinery.  Output is band-invariant — the
+    exact popcount verifies every candidate — and the rung ladder /
+    auto policy is exactly simhash_pairs' (its docstring is the
+    reference; ``n_rows`` skips the sizing count() when cardinality
+    is known).
+    """
     if band_chunks is None:
-        if n_docs is None:
-            n_docs = df.count()
-        band_chunks = 1 if n_docs < 20_000 else (2 if n_docs < 1_000_000 else 3)
-    if band_chunks < 1 or band_chunks + max_hamming > _SIMHASH_BITS:
+        if n_rows is None:
+            n_rows = sig.count()
+        band_chunks = 1 if n_rows < 20_000 else (2 if n_rows < 1_000_000 else 3)
+    if band_chunks < 1 or band_chunks + max_hamming > n_bits:
         raise ValueError(
             f"band_chunks must be >= 1 with band_chunks + max_hamming <= "
-            f"{_SIMHASH_BITS}, or None (auto); got {band_chunks!r}"
+            f"{n_bits}, or None (auto); got {band_chunks!r}"
         )
-    need = max(chunks, max_hamming + band_chunks)
-    sig = simhash_signatures(df, id_col, text_col)
+    need = max(min_chunks, max_hamming + band_chunks)
     # uneven chunk widths are fine for the pigeonhole argument; the
-    # first (60 % m) chunks get the extra bit
-    base, extra = divmod(_SIMHASH_BITS, need)
+    # first (n_bits % m) chunks get the extra bit
+    base, extra = divmod(n_bits, need)
     widths = [base + (1 if i < extra else 0) for i in range(need)]
     offsets = [sum(widths[:i]) for i in range(need)]
 
     def chunk_val(i: int) -> F.Column:
-        return F.expr(f"shiftright(simhash, {offsets[i]}) & {(1 << widths[i]) - 1}")
+        return F.expr(
+            f"shiftright({hash_col}, {offsets[i]}) & {(1 << widths[i]) - 1}"
+        )
 
     from itertools import combinations
 
@@ -520,13 +554,13 @@ def simhash_pairs(
     ]
     key_cols = ["band"] + [f"v{t + 1}" for t in range(band_chunks)]
     chunked = sig.select(
-        id_col, "simhash", F.explode(F.array(*bands)).alias("__b")
-    ).select(id_col, "simhash", "__b.*")
+        id_col, hash_col, F.explode(F.array(*bands)).alias("__b")
+    ).select(id_col, hash_col, "__b.*")
     c1 = chunked.select(
-        F.col(id_col).alias("id_1"), F.col("simhash").alias("h1"), *key_cols
+        F.col(id_col).alias("id_1"), F.col(hash_col).alias("h1"), *key_cols
     )
     c2 = chunked.select(
-        F.col(id_col).alias("id_2"), F.col("simhash").alias("h2"), *key_cols
+        F.col(id_col).alias("id_2"), F.col(hash_col).alias("h2"), *key_cols
     )
     cand = (
         c1.join(c2, key_cols)

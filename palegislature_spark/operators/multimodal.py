@@ -71,6 +71,10 @@ class _FakeCodec:
             "no image codec in this environment; payload resize requires PIL"
         )
 
+    def gray_pixels(self, payload: bytes) -> list[int]:
+        # deterministic fake "decode": the payload bytes ARE the pixels
+        return list(payload)
+
 
 class _PilCodec:
     """Real image codec over Pillow — selected automatically when PIL
@@ -107,6 +111,14 @@ class _PilCodec:
             )
             im.resize((w, h), resample=nearest).save(out, format=fmt)
             return out.getvalue()
+
+    def gray_pixels(self, payload: bytes) -> list[int]:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return list(im.convert("L").getdata())
 
 
 class _PngCodec:
@@ -235,6 +247,13 @@ class _PngCodec:
             "mean_px": (total / n) if n else 0.0,
             "checksum": hashlib.sha256(payload).digest().hex()[:16],
         }
+
+    def gray_pixels(self, payload: bytes) -> list[int]:
+        w, h, ch, _color, px = self._decode(payload)
+        return [
+            self._gray(tuple(px[i * ch : i * ch + ch]), ch)
+            for i in range(w * h)
+        ]
 
     def resize(self, payload: bytes, w: int, h: int) -> bytes:
         sw, sh, ch, color, px = self._decode(payload)
@@ -648,3 +667,129 @@ def resize_images(df: DataFrame, width: int, height: int, codec=None) -> DataFra
             )
 
     return df.select("media_id", "payload", "meta").mapInPandas(gen, out_schema)
+
+
+AHASH_BITS = 60  # matches the banded-Hamming machinery (dedup.py)
+
+
+def png_media_from_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+    height: int = 6,
+    variant_every: int = 7,
+) -> DataFrame:
+    """Deterministic REAL-PNG media synthesis from a text corpus — the
+    ingest seam for the image near-dup family when no image fixture
+    exists: every doc becomes one grayscale ``width x height`` PNG
+    (media_id = 2*id) whose pixel i is the base-31 Karp-Rabin mix of
+    text chars [i, i+3] mod 256 (the fp_winnow gram-hash idiom —
+    multipliers 95/193/31/1 are 31^3..31^0 mod 256; dense
+    pseudo-random bytes, pure integer arithmetic an SQL oracle
+    replays from ord()), and every ``variant_every``-th doc
+    additionally yields a PLANTED near-duplicate (media_id = 2*id+1)
+    with the first 4 pixels reversed — a mean-preserving permutation,
+    so its aHash differs in at most 4 bits.
+
+    Payloads are genuine PNGs (the vendored encoder), so downstream
+    consumers exercise the real decode path in every environment.
+    Scale: one Arrow-batched linear pass; rows carry w*h-byte
+    payloads, never wide intermediates.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+    n = width * height
+
+    def pixels_of(text: str) -> bytes:
+        s = (text + " " * (n + 3))[: n + 3]
+        a = [ord(c) for c in s]
+        return bytes(
+            (a[i] * 95 + a[i + 1] * 193 + a[i + 2] * 31 + a[i + 3]) % 256
+            for i in range(n)
+        )
+
+    meta = {
+        "format": "png", "width": width, "height": height,
+        "sample_rate": None, "n_frames": None, "frame_bytes": None,
+    }
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                pix = pixels_of(text)
+                ids.append(int(i) * 2)
+                payloads.append(_PngCodec.encode(width, height, 0, pix))
+                if int(i) % variant_every == 0:
+                    vpix = pix[:4][::-1] + pix[4:]
+                    ids.append(int(i) * 2 + 1)
+                    payloads.append(_PngCodec.encode(width, height, 0, vpix))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "meta": [meta] * len(ids),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def image_ahash(df: DataFrame, codec=None) -> DataFrame:
+    """Per-image average-hash (aHash) signature via Arrow-batched
+    mapInPandas: decode to grayscale pixels through the codec seam
+    (PIL when importable, else the vendored PNG decode — the REAL
+    pixel path either way), then bit i of the signature is set iff
+    ``n * pixel[i] > sum(pixels)`` — the above-mean test in exact
+    integer cross-multiplied form, so an SQL oracle over the same
+    pixel bytes replays every bit.  Signatures are capped at
+    ``AHASH_BITS`` pixels (images bigger than 60 px are thumbnailed
+    by ``resize_images`` first in a real pipeline; the canonical
+    aHash is 8x8 — this one is 10x6 so the signature rides the
+    60-bit banded-Hamming machinery, dedup.hamming_pairs, unchanged).
+
+    Output: (media_id, ahash long).  Perceptual by construction:
+    mean-preserving pixel permutations move at most the permuted
+    bits, global brightness/contrast shifts that keep the above-mean
+    set move nothing.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    codec = codec or _codec()
+
+    def ahash_of(payload: bytes) -> int:
+        px = codec.gray_pixels(payload)
+        n = len(px)
+        if n == 0:
+            return 0
+        total = sum(px)
+        h = 0
+        for i, p in enumerate(px[:AHASH_BITS]):
+            if n * p > total:
+                h |= 1 << i
+        return h
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [ahash_of(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, out_schema)

@@ -1612,3 +1612,97 @@ def cluster_weighted_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.col("copy_idx").cast("long").alias("copy_idx"),
     )
+
+
+@register(
+    "binary_image_ahash",
+    covers="multimodal + dedup extension (VERDICT r10 #5): image "
+    "perceptual-hash near-duplicate pairs — real PNG payloads "
+    "synthesized deterministically from the documents corpus (with "
+    "planted mean-preserving-permutation variants), decoded through "
+    "the real codec path, aHash'd in exact integer arithmetic, and "
+    "paired by the 60-bit banded-Hamming machinery simhash shares; "
+    "the DuckDB oracle replays pixels from ord() arithmetic, the "
+    "above-mean bit test, and a fixed banding rung (output is "
+    "band-invariant: the exact popcount verifies every candidate)",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, rpad(text, 63, ' ') AS s FROM documents
+),
+px AS (
+  SELECT doc_id,
+         [ (ord(s[i]) * 95 + ord(s[i+1]) * 193 + ord(s[i+2]) * 31
+            + ord(s[i+3])) % 256
+           FOR i IN range(1, 61) ] AS pix
+  FROM s
+),
+media AS (
+  SELECT doc_id * 2 AS media_id, pix FROM px
+  UNION ALL
+  SELECT doc_id * 2 + 1, list_concat(list_reverse(pix[1:4]), pix[5:60])
+  FROM px WHERE doc_id % 7 = 0
+),
+hh AS (SELECT media_id, pix, list_sum(pix) AS total FROM media),
+sig AS (
+  SELECT media_id,
+         CAST(list_sum([CASE WHEN 60 * pix[i] > total
+                             THEN (1::BIGINT << (i - 1)) ELSE 0 END
+                        FOR i IN range(1, 61)]) AS BIGINT) AS ahash
+  FROM hh
+),
+-- one fixed banding rung (j=1 over m=7 chunks, widths 9x4 + 8x3):
+-- candidates via chunk-equality equi-join, NEVER all-pairs; the
+-- exact popcount verify makes the output identical under any rung
+chunks(cix, off, w) AS (
+  VALUES (0,0,9),(1,9,9),(2,18,9),(3,27,9),(4,36,8),(5,44,8),(6,52,8)
+),
+keyed AS (
+  SELECT g.media_id, g.ahash, c.cix,
+         (g.ahash >> c.off) & ((1::BIGINT << c.w) - 1) AS val
+  FROM sig g CROSS JOIN chunks c
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_1, b.media_id AS id_2,
+         a.ahash AS h1, b.ahash AS h2
+  FROM keyed a
+  JOIN keyed b ON a.cix = b.cix AND a.val = b.val
+              AND a.media_id < b.media_id
+)
+SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 6
+""",
+)
+def binary_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs at Hamming <= 6 over 60-bit aHash.
+
+    The family VERDICT r10 flagged as the one multimodal gap: the
+    chain is (1) operators/multimodal.py png_media_from_text — every
+    doc becomes a real 10x6 grayscale PNG whose pixels are base-31
+    Karp-Rabin mixes of the text bytes, docs at doc_id % 7 == 0 also
+    yield a PLANTED near-dup with the first 4 pixels reversed (a
+    mean-preserving permutation: aHash moves <= 4 bits, always under
+    the 6-bit gate); (2) image_ahash — real PNG decode (vendored
+    codec here, Pillow in production) + exact-integer above-mean
+    bits; (3) dedup.hamming_pairs — the simhash banding machinery
+    over a non-text signature, candidates from chunk-equality
+    equi-joins with exact popcount verify.  100 TB: the two
+    mapInPandas passes are linear Arrow-batched scans; pairing never
+    goes all-pairs (auto rung ladder, same policy/thresholds as
+    simhash_pairs); planted-pair recall and codec-parity are pinned
+    in tests/test_multimodal.py."""
+    from palegislature_spark.operators import multimodal
+    from palegislature_spark.operators.dedup import hamming_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.png_media_from_text(docs)
+    sigs = multimodal.image_ahash(media)
+    # corpus cardinality hint: |docs| + |variants| (skips a count()
+    # action over the Python decode stage, the n_docs hint idiom)
+    n_rows = docs.count()
+    return hamming_pairs(
+        sigs,
+        "media_id",
+        "ahash",
+        max_hamming=6,
+        n_rows=n_rows + n_rows // 7 + 1,
+    )
