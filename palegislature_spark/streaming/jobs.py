@@ -587,6 +587,37 @@ def value_transitions_tws(
     )
 
 
+def _recover_interrupted_swap(fs, HPath, base: str) -> None:
+    """Recover an interrupted staging-promote swap: if live is
+    missing, staging (if it committed - _SUCCESS present) holds the
+    newest complete state, else .__old__ holds the previous one.
+    Never delete a candidate before a live copy exists."""
+    staging = base + ".__staging__"
+    trash = base + ".__old__"
+    if not fs.exists(HPath(base)):
+        if fs.exists(HPath(staging + "/_SUCCESS")):
+            fs.rename(HPath(staging), HPath(base))
+        elif fs.exists(HPath(trash)):
+            fs.rename(HPath(trash), HPath(base))
+
+
+def _promote_swap(fs, HPath, base: str, df: DataFrame) -> None:
+    """Write ``df`` to staging and promote it to ``base`` with the
+    crash-safe rename dance: live is renamed aside BEFORE staging is
+    promoted, so no crash point leaves zero live copies (the
+    interrupted states are exactly what :func:`_recover_interrupted_swap`
+    repairs on next entry)."""
+    staging = base + ".__staging__"
+    trash = base + ".__old__"
+    fs.delete(HPath(staging), True)
+    df.write.mode("overwrite").parquet(staging)
+    fs.delete(HPath(trash), True)
+    if fs.exists(HPath(base)):
+        fs.rename(HPath(base), HPath(trash))
+    fs.rename(HPath(staging), HPath(base))
+    fs.delete(HPath(trash), True)
+
+
 def _additive_state_sink(path: str, batch_table, merge_tables):
     """Shared foreachBatch sink for ADDITIVE dimension-sized state
     (CMS sketches, category histograms): per-batch table merged into
@@ -596,9 +627,8 @@ def _additive_state_sink(path: str, batch_table, merge_tables):
     ``batch_table(batch) -> DataFrame`` builds the per-batch state
     rows; ``merge_tables(live, new) -> DataFrame`` folds them into the
     live table (must aggregate ``last_batch`` with max). Durability:
-    live is renamed aside BEFORE staging is promoted, so no crash
-    point leaves zero live copies, and interrupted swaps are recovered
-    on entry. At-least-once replay: a batch id at or below the
+    the :func:`_promote_swap` / :func:`_recover_interrupted_swap`
+    discipline. At-least-once replay: a batch id at or below the
     persisted high-water mark is a no-op, which keeps the additive
     merge exactly-once under foreachBatch's at-least-once contract.
     """
@@ -607,19 +637,8 @@ def _additive_state_sink(path: str, batch_table, merge_tables):
     def sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         base = path.rstrip("/")
-        staging = base + ".__staging__"
-        trash = base + ".__old__"
         fs, HPath = _hadoop_fs(spark, base)
-
-        # Recover an interrupted swap: if live is missing, staging (if
-        # it committed - _SUCCESS present) holds the newest complete
-        # state, else .__old__ holds the previous one.  Never delete a
-        # candidate before a live copy exists.
-        if not fs.exists(HPath(base)):
-            if fs.exists(HPath(staging + "/_SUCCESS")):
-                fs.rename(HPath(staging), HPath(base))
-            elif fs.exists(HPath(trash)):
-                fs.rename(HPath(trash), HPath(base))
+        _recover_interrupted_swap(fs, HPath, base)
 
         t = batch_table(batch).withColumn(
             "last_batch", F.lit(batch_id).cast("bigint")
@@ -633,13 +652,7 @@ def _additive_state_sink(path: str, batch_table, merge_tables):
             else:  # pre-upgrade state without the idempotence column
                 live = live.withColumn("last_batch", F.lit(-1).cast("bigint"))
             t = merge_tables(live, t)
-        fs.delete(HPath(staging), True)
-        t.write.mode("overwrite").parquet(staging)
-        fs.delete(HPath(trash), True)
-        if fs.exists(HPath(base)):
-            fs.rename(HPath(base), HPath(trash))
-        fs.rename(HPath(staging), HPath(base))
-        fs.delete(HPath(trash), True)
+        _promote_swap(fs, HPath, base, t)
 
     return sink
 
@@ -837,6 +850,191 @@ def numeric_bin_count_stream(
         )
 
     sink = _additive_state_sink(path, batch_table, merge_tables)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corpus_delta_stream(
+    stream: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    threshold_milli: int = 100,
+    deleted_col: str | None = None,
+) -> "StreamingQuery":
+    """Streaming twin of ``operators/audit.py corpus_delta`` (VERDICT
+    r10 #6): instead of diffing two full corpus snapshots, every
+    ingest window is classified against the PERSISTED fingerprint map
+    as it arrives, so the churn alarm fires per window.
+
+    Two state tables under ``path``:
+
+    * ``{path}/fingerprints`` — (id, group, fp, last_batch): one
+      narrow row per live document (md5 of the text, never payloads —
+      the batch operator's exact reduction), upserted per window.
+      Corpus-sized but 32-bytes-per-doc; at 100 TB this is the same
+      id->fingerprint map an incremental MinHash index already keeps.
+    * ``{path}/windows`` — one row per (group, window): n_added /
+      n_changed / n_removed / n_unchanged counts, the pre-window
+      group size ``n_prev``, the churn share, and the alarm as the
+      batch operator's integer inequality ``churn_count * 1000 >
+      threshold_milli * n_prev`` (bootstrap windows: churn 1.0, alarm
+      iff non-empty — corpus_delta's empty-previous contract).
+
+    Classification is ONE narrow left join of the window's (id, fp)
+    rows against the map — added (no live row), changed (fp differs),
+    unchanged (fp equal), removed (tombstone rows: pass
+    ``deleted_col`` naming a boolean column; streams never retract,
+    so deletions must arrive as data — without tombstones the removed
+    leg stays snapshot-only and this twin covers add/change).
+
+    Durability: both tables use the shared staging-promote swap.
+    Exactly-once under at-least-once replay: the high-water mark
+    lives on the MAP (written LAST), so a crash between the windows
+    append and the map promote replays against the unchanged map and
+    recomputes identical window rows, which the by-batch-id overwrite
+    dedupes; a batch at or below the map's mark is a full no-op.
+    """
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        map_base = path.rstrip("/") + "/fingerprints"
+        win_base = path.rstrip("/") + "/windows"
+        fs, HPath = _hadoop_fs(spark, map_base)
+        _recover_interrupted_swap(fs, HPath, map_base)
+        _recover_interrupted_swap(fs, HPath, win_base)
+
+        deleted = (
+            F.col(deleted_col).cast("boolean")
+            if deleted_col is not None
+            else F.lit(False)
+        )
+        b = batch.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__bg"),
+            F.md5(F.col(text_col)).alias("__bfp"),
+            F.coalesce(deleted, F.lit(False)).alias("__del"),
+        )
+
+        if fs.exists(HPath(map_base)):
+            live = spark.read.parquet(map_base)
+            row = live.agg(F.max("last_batch").alias("m")).collect()[0]
+            if row["m"] is not None and batch_id <= row["m"]:
+                return  # at-least-once replay of a fully-committed batch
+        else:
+            live = spark.createDataFrame(
+                [], f"{id_col} string, {group_col} string, fp string, "
+                "last_batch bigint",
+            ).select(
+                F.col(id_col).cast("long").alias(id_col),
+                F.col(group_col),
+                "fp",
+                "last_batch",
+            )
+
+        lv = live.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__lg"),
+            F.col("fp").alias("__lfp"),
+        )
+        joined = b.join(lv, "__id", "left").select(
+            F.coalesce("__bg", "__lg").alias(group_col),
+            F.when(F.col("__lfp").isNull() & ~F.col("__del"), 1)
+            .otherwise(0)
+            .alias("__add"),
+            F.when(
+                F.col("__lfp").isNotNull()
+                & ~F.col("__del")
+                & (F.col("__lfp") != F.col("__bfp")),
+                1,
+            )
+            .otherwise(0)
+            .alias("__chg"),
+            F.when(
+                F.col("__lfp").isNotNull()
+                & ~F.col("__del")
+                & (F.col("__lfp") == F.col("__bfp")),
+                1,
+            )
+            .otherwise(0)
+            .alias("__same"),
+            F.when(F.col("__del") & F.col("__lfp").isNotNull(), 1)
+            .otherwise(0)
+            .alias("__rem"),
+        )
+        counts = joined.groupBy(group_col).agg(
+            F.sum("__add").cast("long").alias("n_added"),
+            F.sum("__chg").cast("long").alias("n_changed"),
+            F.sum("__same").cast("long").alias("n_unchanged"),
+            F.sum("__rem").cast("long").alias("n_removed"),
+        )
+        prev_sizes = live.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_prev")
+        )
+        churn_n = (
+            F.col("n_added") + F.col("n_changed") + F.col("n_removed")
+        )
+        win_rows = (
+            counts.join(prev_sizes, group_col, "left")
+            .select(
+                group_col,
+                "n_added",
+                "n_changed",
+                "n_unchanged",
+                "n_removed",
+                F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+            )
+            .select(
+                "*",
+                F.when(
+                    F.col("n_prev") == 0,
+                    F.when(churn_n > 0, 1.0).otherwise(0.0),
+                )
+                .otherwise(churn_n.cast("double") / F.col("n_prev").cast("double"))
+                .alias("churn"),
+                F.when(F.col("n_prev") == 0, churn_n > 0)
+                .otherwise(
+                    churn_n * 1000 > F.lit(threshold_milli) * F.col("n_prev")
+                )
+                .alias("churned"),
+            )
+            .withColumn("batch", F.lit(batch_id).cast("bigint"))
+        )
+        # windows FIRST, idempotent by batch id (a replayed window's
+        # rows overwrite their own prior append, never duplicate)
+        if fs.exists(HPath(win_base)):
+            old_w = spark.read.parquet(win_base).filter(
+                F.col("batch") != batch_id
+            )
+            win_rows = old_w.unionByName(win_rows)
+        # localCheckpoint: both state tables derive from the live map
+        # parquet we are about to REPLACE; cut the lineage before the
+        # swap so neither write re-reads a renamed-away directory
+        win_rows = win_rows.localCheckpoint()
+        new_map = (
+            live.join(
+                b.select(F.col("__id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            .unionByName(
+                b.filter(~F.col("__del")).select(
+                    F.col("__id").alias(id_col),
+                    F.col("__bg").alias(group_col),
+                    F.col("__bfp").alias("fp"),
+                    F.lit(batch_id).cast("bigint").alias("last_batch"),
+                )
+            )
+        ).localCheckpoint()
+        _promote_swap(fs, HPath, win_base, win_rows)
+        _promote_swap(fs, HPath, map_base, new_map)
+
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", path.rstrip("/") + "_cp")

@@ -621,10 +621,133 @@ FROM samp_s s LEFT JOIN sums m ON m.sk = s.sk"""
     return sql, keep
 
 
+def _recall_audit_bounded(con, stride: int):
+    """Bounded oracle for ann_recall_audit (VERDICT r10 #4): the FULL
+    20-row audit, replayed with the n x sqrt(n) blowups removed — the
+    output is panel-sized (20 queries) at every scale, so unlike the
+    per-entity families nothing can be row-sampled away; what made the
+    registry oracle infeasible at the 100x replica (>75 min, killed)
+    was its FORMULATION, not the answer size:
+
+    * both corpus-assignment row_number windows (n x n_lists ranked
+      rows, two sort passes over ~89M rows carrying 64-double vectors)
+      become hash-agg argmax — ``max(cos)`` per vector then
+      ``min(list_id)`` among exact-equal maxima, bit-identical to
+      ``row_number() ORDER BY cos DESC, list_id`` at r=1;
+    * the per-pair cosine tables materialize NARROW (vec_id, list_id,
+      cos — never the vectors), so the two corpus passes spill at
+      ~20 bytes/row instead of ~500;
+    * the panel-sized stages (qprobe, candidate ranking, the brute
+      leg's 20 x n scan, the measurement join) keep the registry
+      oracle's exact shape.
+
+    Cost: O(n * sqrt(n)) cosine evaluations — unavoidable, the index
+    build IS that — but constant-width state and zero corpus-sized
+    sorts.  ``stride`` is accepted for the SAMPLED signature and
+    unused: every spark row is checked (keep == True), making this a
+    full-output bounded replay, stronger than the 1-in-stride tiers.
+    """
+    sql = """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM emb
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked
+  WHERE pick <= (SELECT GREATEST(8, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM emb)
+),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cvec) AS cos
+  FROM emb e CROSS JOIN centroids c
+),
+amax AS (SELECT vec_id, max(cos) AS mc FROM assign GROUP BY vec_id),
+assignments AS (
+  SELECT a.vec_id, min(a.list_id) AS list_id
+  FROM assign a JOIN amax m ON m.vec_id = a.vec_id AND a.cos = m.mc
+  GROUP BY a.vec_id
+),
+lists AS (
+  SELECT s.list_id, list(e.v ORDER BY e.vec_id) AS vs,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM assignments s JOIN emb e USING (vec_id) GROUP BY s.list_id
+),
+refined AS (
+  SELECT list_id,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+           x -> x / n) AS cvec
+  FROM lists
+),
+assign2 AS MATERIALIZED (
+  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cvec) AS cos
+  FROM emb e CROSS JOIN refined c
+),
+amax2 AS (SELECT vec_id, max(cos) AS mc FROM assign2 GROUP BY vec_id),
+assignments2 AS (
+  SELECT a.vec_id, min(a.list_id) AS list_id
+  FROM assign2 a JOIN amax2 m ON m.vec_id = a.vec_id AND a.cos = m.mc
+  GROUP BY a.vec_id
+),
+qprobe AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN refined c WHERE e.vec_id < 20
+),
+probes AS (SELECT query_id, qv, list_id FROM qprobe WHERE r <= 2),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, e.v) AS cos
+  FROM probes p
+  JOIN assignments2 a USING (list_id)
+  JOIN emb e ON e.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+),
+approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+bpairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM emb q JOIN emb e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
+),
+branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM bpairs
+),
+exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS exact_k,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id"""
+
+    def keep(row_dict):
+        return True  # panel-sized output: every row is checked
+
+    return sql, keep
+
+
 # name -> (stride_from_table, bounded_oracle_builder); stride targets
 # ~300 sampled entities regardless of corpus scale, so the gate's cost
 # stays O(300 x n) at any replica size
 SAMPLED = {
+    "ann_recall_audit": (_vec_stride, _recall_audit_bounded),
     "centrality_rank_suppliers": (_node_stride, _pagerank_sampled),
     "embedding_near_dup": (_vec_stride, _near_dup_sampled),
     "cluster_semantic_dedup": (_vec_stride, _semantic_sampled),
