@@ -80,6 +80,11 @@ HEADLINE = [
     "ann_hybrid_rrf",
     "audit_profile_columns",
     "audit_delta_severity",
+    "ann_ivfpq_topk",
+    "ann_pq_recall",
+    "binary_image_ahash",
+    "ann_ivfpq_refine",
+    "ann_filtered_recall",
 ]
 
 

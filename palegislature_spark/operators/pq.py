@@ -47,7 +47,9 @@ from pyspark.sql.window import Window
 
 from palegislature_spark.operators.similarity import (
     _as_double,
+    _dot,
     _mix31_col,
+    _norm,
     probe_lists,
 )
 
@@ -331,3 +333,80 @@ def ivfpq_topk(
         F.broadcast(qtab), ["query_id", "sub_id", "code_id"]
     )
     return _adc_rank(pairs, k)
+
+
+def ivfpq_refine(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage IVFPQ serving: ADC shortlist, then EXACT re-rank.
+
+    The standard production refinement on top of :func:`ivfpq_topk`
+    (coarse quantizer prunes lists, ADC prunes candidates, exact
+    distances decide the final order): stage 1 takes the ADC top-
+    ``shortlist`` per query (an over-fetch of the target ``k``, e.g.
+    4x), stage 2 joins ONLY those ids back to the raw vectors and
+    ranks them by exact cosine.  Output is the usual
+    ``(query_id, neighbor_id, rank, cosine)`` frame (rank 1 = highest
+    exact cosine, ties to the smaller neighbor_id), so
+    :func:`~palegislature_spark.operators.similarity.recall_vs_exact`
+    plugs in unchanged.
+
+    Why this shape at 100 TB: ADC's compression error reorders
+    near-ties (measured by ann_pq_recall), but it rarely drops a true
+    neighbor out of a 4x shortlist — so the expensive dim-wide exact
+    distance is paid for q * shortlist rows ONLY, while the corpus is
+    touched through codes + the narrow list map.  The re-rank join
+    broadcasts the q * shortlist id set against the raw-vector table
+    (one id-equi hash join; the scan prunes to id + vector columns),
+    and the query vectors ride a second query-batch-sized broadcast.
+
+    Every stage is the deterministic construction of its standalone
+    twin, so the DuckDB oracle (queries/vectors.py
+    _IVFPQ_REFINE_ORACLE) replays pruning, shortlist, AND re-rank
+    exactly."""
+    short = ivfpq_topk(
+        centroids, assignments, codebooks, codes, queries,
+        k=shortlist, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__nv")
+    ).withColumn("__nn", _norm(F.col("__nv")))
+    rer = (
+        F.broadcast(short)
+        .join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv"), F.col("__nv"))
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )

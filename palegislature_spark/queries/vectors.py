@@ -547,7 +547,12 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.recall_vs_exact(approx, exact)
 
 
-_IVFPQ_ORACLE = (
+# IVFPQ CTE chain (ends at `adcranked`, no trailing comma): the
+# _IVF_CTES composition extended with the PQ construction over the
+# same mix31 rank list.  _IVFPQ_ORACLE appends the final SELECT;
+# _IVFPQ_REFINE_ORACLE appends the exact re-rank CTEs instead —
+# byte-identical prefix, so the standing modified-query rule holds.
+_IVFPQ_CTES = (
     _IVF_CTES
     + """,
 -- PQ leg over the SAME mix31 rank list: `picked` already carries the
@@ -604,10 +609,41 @@ adcranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank,
          dist
   FROM adc
+)"""
 )
+
+_IVFPQ_ORACLE = (
+    _IVFPQ_CTES
+    + """
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        round(dist, 6) AS adc_dist
 FROM adcranked WHERE rank <= 5
+"""
+).format(n_lists="8")
+
+# Two-stage refine: the ADC top-20 shortlist re-ranked by EXACT
+# cosine against the raw vectors — only shortlisted ids are ever
+# re-scored, exactly as operators/pq.py ivfpq_refine serves it.
+_IVFPQ_REFINE_ORACLE = (
+    _IVFPQ_CTES
+    + """,
+short AS (SELECT query_id, neighbor_id FROM adcranked WHERE rank <= 20),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM short s
+  JOIN emb q ON q.vec_id = s.query_id
+  JOIN emb e ON e.vec_id = s.neighbor_id
+),
+rranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM rer
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cos, 6) AS cosine
+FROM rranked WHERE rank <= 5
 """
 ).format(n_lists="8")
 
@@ -653,6 +689,48 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "rank",
         F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+@register(
+    "ann_ivfpq_refine",
+    covers="similarity-search extension: two-stage IVFPQ serving — the "
+    "ADC top-20 shortlist re-ranked by EXACT cosine against the raw "
+    "vectors (coarse quantizer prunes lists, ADC prunes candidates, "
+    "exact distances decide the final order — the standard production "
+    "refinement that recovers ADC's near-tie reorderings for the cost "
+    "of q x shortlist exact distances); the oracle appends the re-rank "
+    "CTEs to the byte-identical _IVFPQ_CTES prefix, so shortlist AND "
+    "re-rank replay exactly",
+    oracle=_IVFPQ_REFINE_ORACLE,
+)
+def ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rerank top-5 from the ADC top-20 shortlist, first-20 panel.
+
+    operators/pq.py ivfpq_refine: stage 1 is ann_ivfpq_topk's exact
+    configuration over-fetched to shortlist=20 (4x the target k); stage
+    2 joins ONLY those ids back to the raw vectors (one broadcast
+    id-equi join — the corpus is never re-scanned vector-wide) and
+    ranks by exact cosine, ties to the smaller neighbor_id.  This
+    prices the refinement step of the IVFPQ serving stack: ann_pq_recall
+    measures what ADC's compression costs unrefined, this anchor pins
+    the refined order itself.  Shortlist containment and exact-order
+    equality over the candidate set are pinned in tests/test_pq.py."""
+    from palegislature_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    centroids, assignments = similarity.ivf_assignments(
+        emb, n_lists=8, refine_iters=1, exact_replay=True
+    )
+    cbs = pq.pq_codebooks(emb, m=4, k=16)
+    codes = pq.pq_encode(emb, cbs)
+    topk = pq.ivfpq_refine(
+        centroids, assignments, cbs, codes, queries, emb,
+        k=5, shortlist=20, n_probe=2,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
 
 
@@ -772,7 +850,11 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_FILTERED_ORACLE = """
+# Filtered-IVF CTE chain (ends at `ranked`, no trailing comma):
+# _IVF_FILTERED_ORACLE appends the final SELECT, the recall twin
+# appends the filtered brute-force leg — byte-identical prefix, so
+# the standing modified-query rule holds for ann_ivf_filtered.
+_IVF_FILTERED_CTES = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
 -- mix31 centroid pick + 1 Lloyd iteration, replayed exactly as in knn_ivf
 mix1 AS (
@@ -837,9 +919,37 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
          cos
   FROM pairs
-)
+)"""
+
+_IVF_FILTERED_ORACLE = _IVF_FILTERED_CTES + """
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= 5
+"""
+
+# Recall@k of the FILTERED serving path vs the filtered exact answer
+# (brute-force top-5 among label-3 vectors) — the _RECALL_ORACLE
+# composition with the filter applied to BOTH legs, so the number
+# isolates what list pruning costs UNDER the filter.
+_IVF_FILTERED_RECALL_ORACLE = _IVF_FILTERED_CTES + """,
+approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+bpairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM emb q JOIN emb e
+    ON q.vec_id < 20 AND q.vec_id <> e.vec_id AND e.label = 3
+),
+branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM bpairs
+),
+exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS exact_k,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
 """
 
 
@@ -883,6 +993,51 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+@register(
+    "ann_filtered_recall",
+    covers="similarity-search extension: recall@k of the metadata-"
+    "FILTERED serving path — ann_ivf_filtered's exact configuration "
+    "measured against the filtered exact answer (brute-force top-5 "
+    "among label-3 vectors), the quality number for the known filtered-"
+    "ANN hazard: a selective filter thins each probed list, so recall "
+    "degrades with selectivity unless n_probe rises; the oracle "
+    "composes the byte-identical _IVF_FILTERED_CTES prefix with a "
+    "filtered brute-force leg, so the filtered path's MISSES are "
+    "hash-checked",
+    oracle=_IVF_FILTERED_RECALL_ORACLE,
+)
+def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of filtered IVF serving (label==3, n_probe=4) vs the
+    filtered exact top-5 over the same first-20 query panel.
+
+    Completes the tuning-loop trio: ann_recall_audit prices unfiltered
+    LIST PRUNING, ann_pq_recall prices CODE COMPRESSION, and this one
+    prices pruning UNDER A PREDICATE — the production case where both
+    legs must apply the same filter, because comparing filtered serving
+    to the unfiltered exact answer conflates index loss with filter
+    selectivity.  Both legs here filter to label-3 vectors
+    (ivf_probe's pre-ranking `where` on the index side, a filtered
+    corpus scan on the brute-force side), and recall_vs_exact joins the
+    two k-row-per-query frames — O(|panel| x k) however large the
+    corpus, with the exact leg the audit's entire cost (linear BY
+    DESIGN, the ann_recall_audit precedent).  The n_probe recall ladder
+    under selectivity is pinned in tests/test_ivf.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    centroids, assignments = similarity.ivf_assignments(
+        emb, n_lists=8, refine_iters=1, exact_replay=True
+    )
+    indexed = assignments.join(emb.select("vec_id", "label"), "vec_id")
+    approx = similarity.ivf_probe(
+        centroids, indexed, queries, k=5, n_probe=4,
+        where=F.col("label") == 3,
+    )
+    exact = similarity.brute_force_topk(
+        emb.filter(F.col("label") == 3), queries, k=5
+    )
+    return similarity.recall_vs_exact(approx, exact)
 
 
 @register(

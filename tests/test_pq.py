@@ -238,3 +238,89 @@ def test_pq_recall_registry_shape(spark):
     for r in rows:
         assert 0 <= r.hits <= r.exact_k <= 5
         assert r.recall == r.hits / r.exact_k
+
+
+# --------------------------------------------------------------------------
+# Two-stage refine (ivfpq_refine) and the filtered recall audit
+# --------------------------------------------------------------------------
+
+
+def test_ivfpq_refine_is_exact_rerank_of_shortlist(spark):
+    """The refine identity: ivfpq_refine(k, shortlist) == the exact-
+    cosine re-ranking of ivfpq_topk's top-`shortlist` ids, re-cut to
+    top-k — stage 2 changes the ORDER by exact distance, never the
+    candidate pool stage 1 produced."""
+    import math
+
+    emb, cbs, codes, centroids, assignments, queries = _ivfpq_parts(
+        spark, "/root/testdata/sf0.01"
+    )
+    got = pq.ivfpq_refine(
+        centroids, assignments, cbs, codes, queries, emb,
+        k=5, shortlist=20, n_probe=2,
+    ).collect()
+    short = pq.ivfpq_topk(
+        centroids, assignments, cbs, codes, queries, k=20, n_probe=2
+    ).collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    by_q: dict = {}
+    for r in short:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    expect = []
+    for q, nbs in by_q.items():
+        scored = sorted(
+            ((-cos(vecs[q], vecs[nb]), nb) for nb in nbs)
+        )[:5]
+        for rank, (negc, nb) in enumerate(scored, start=1):
+            expect.append((q, nb, rank))
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in got) \
+        == sorted(expect)
+    # and the reported cosine IS the exact cosine
+    for r in got:
+        assert abs(r.cosine - cos(vecs[r.query_id], vecs[r.neighbor_id])) < 1e-9
+
+
+def test_ivfpq_refine_plan_no_python_no_cartesian(spark, sf_dir):
+    emb, cbs, codes, centroids, assignments, queries = _ivfpq_parts(
+        spark, sf_dir
+    )
+    plan = (
+        pq.ivfpq_refine(
+            centroids, assignments, cbs, codes, queries, emb, k=5
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filtered_recall_registry_shape(spark):
+    """ann_filtered_recall: one row per panel query, hits <= exact_k
+    <= 5, recall the exact int/int division — and the exact leg really
+    is filtered (its denominator counts label-3 neighbors only, so
+    exact_k <= the label-3 population)."""
+    from palegislature_spark.catalog import load as _load
+    from palegislature_spark.queries.vectors import ann_filtered_recall
+
+    sf = "/root/testdata/sf0.01"
+    rows = ann_filtered_recall(spark, sf).collect()
+    assert len(rows) == 20
+    n_label3 = (
+        _load(spark, sf, "embeddings").filter(F.col("label") == 3).count()
+    )
+    for r in rows:
+        assert 0 <= r.hits <= r.exact_k <= min(5, n_label3)
+        assert r.recall == r.hits / r.exact_k
