@@ -86,6 +86,22 @@ ALLOW_NESTED_LOOP = {
     # frozen-centroid attach on BOTH generations (assign_to_centroids
     # twice); everything downstream is list_id-keyed aggregation (r10)
     "audit_embedding_drift",
+    # IVFPQ: probe_lists' conditionless query x broadcast centroid
+    # attach (index-sized, the knn_ivf shape) — the candidate join is
+    # a list_id equi-join and ADC is a (sub_id, code_id) equi-join
+    # against the broadcast per-query distance table (r11)
+    "ann_ivfpq_topk",
+    # same IVFPQ centroid attach; the re-rank stage is two broadcast
+    # EQUI joins (shortlist ids -> raw vectors, query vectors) (r11)
+    "ann_ivfpq_refine",
+    # PQ leg has no NLJ (all equi); the exact leg is the bounded
+    # query-panel non-equi broadcast (the knn_bruteforce shape) —
+    # linear BY DESIGN, it IS the recall measurement (r11)
+    "ann_pq_recall",
+    # filtered twin of ann_recall_audit: centroid attach on the index
+    # leg + the panel x filtered-corpus brute-force measurement leg;
+    # the measurement join is a (query_id, neighbor_id) equi-join (r11)
+    "ann_filtered_recall",
     # grand-total crossJoin(broadcast(<1-row count>)) replacing the
     # former single-partition count(*) OVER () window (VERDICT r5 fix)
     "filter_null_coalesce",
