@@ -85,6 +85,8 @@ HEADLINE = [
     "binary_image_ahash",
     "ann_ivfpq_refine",
     "ann_filtered_recall",
+    "ann_int8_recall",
+    "audit_profile_wide",
 ]
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _as_double(vec_col: str):
@@ -55,6 +56,91 @@ def dequantize(qvec_col: str, scale_col: str) -> F.Column:
     """Reconstruct the double vector: ``q_i * scale``."""
     return F.transform(
         F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k under int8 quantization: rank by the cosine of the
+    QUANTIZED vectors — (query_id, neighbor_id, rank, cosine), rank 1
+    = highest quantized cosine, ties to the smaller neighbor_id.
+
+    The symmetric per-vector scales CANCEL in cosine
+    (dot(q_a*s_a, q_b*s_b) / (s_a|q_a| * s_b|q_b|) =
+    dot_int(q_a, q_b) / (|q_a| |q_b|)), so the ranking is pure
+    integer arithmetic — an exact int64 dot and two exact int64
+    squared norms — plus one correctly-rounded sqrt/divide, which is
+    what lets the DuckDB twin replay the ORDER bit-for-bit and the
+    serving index store codes only, never scales, for ranking.
+
+    This is the measurement leg of the int8 trade
+    (compress_embeddings_int8 prices the storage side; recall of this
+    ranking vs exact float cosine — ann_int8_recall — prices the
+    quality side).  Scale: the query panel broadcasts against one
+    linear corpus pass (the knn_bruteforce shape — the exact
+    measurement IS the cost); the served scale paths remain
+    IVF/LSH/PQ."""
+    qq = with_quantized(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        vec_col, out_vec="__qa", out_scale="__sa",
+    ).select(
+        "query_id",
+        "__qa",
+        F.aggregate(
+            F.col("__qa"), F.lit(0).cast("long"),
+            lambda a, x: a + (x * x).cast("long"),
+        ).alias("__na2"),
+    )
+    qc = with_quantized(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        vec_col, out_vec="__qb", out_scale="__sb",
+    ).select(
+        "neighbor_id",
+        "__qb",
+        F.aggregate(
+            F.col("__qb"), F.lit(0).cast("long"),
+            lambda a, x: a + (x * x).cast("long"),
+        ).alias("__nb2"),
+    )
+    pairs = (
+        F.broadcast(qq)
+        .join(qc, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qa"), F.col("__qb"),
+                        lambda x, y: (x * y).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("__na2").cast("double"))
+                    * F.sqrt(F.col("__nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
     )
 
 

@@ -1268,6 +1268,100 @@ def compress_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall@k of int8-quantized cosine vs exact float cosine: the
+# quantize chain is compress_embeddings_int8's replay; the scales
+# cancel in cosine, so the approximate leg ranks by exact-integer
+# dot / int-norm arithmetic (one correctly-rounded sqrt/divide).
+_INT8_RECALL_ORACLE = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+  FROM emb
+),
+q AS (
+  SELECT vec_id, v,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+         END AS qv
+  FROM s
+),
+qn AS (
+  SELECT vec_id, v, qv,
+         list_reduce(list_transform(qv, x -> CAST(x AS BIGINT) * x),
+                     (a, b) -> a + b) AS n2
+  FROM q
+),
+qpairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_reduce(
+           list_transform(range(1, len(a.qv) + 1),
+                          i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]),
+           (x, y) -> x + y) AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+  FROM qn a JOIN qn b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+),
+qranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM qpairs
+),
+approx AS (SELECT query_id, neighbor_id FROM qranked WHERE rank <= 5),
+bpairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM emb q JOIN emb e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
+),
+branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM bpairs
+),
+exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS exact_k,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_int8_recall",
+    covers="similarity/storage extension: recall@k of int8-quantized "
+    "cosine ranking vs exact float cosine over the same query panel — "
+    "the QUALITY side of the SQ8 storage trade "
+    "(compress_embeddings_int8 prices the storage side); the scales "
+    "cancel in cosine, so the quantized leg ranks by exact-integer "
+    "dot/norm arithmetic and the oracle replays BOTH legs exactly, "
+    "hash-checking the quantized ranking's MISSES",
+    oracle=_INT8_RECALL_ORACLE,
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8-code cosine vs exact float cosine, first-20
+    panel.
+
+    Completes the compression-knob audit set: ann_recall_audit prices
+    IVF list pruning, ann_pq_recall prices PQ code compression,
+    ann_filtered_recall prices pruning under a predicate — this one
+    prices scalar quantization, the knob every serving index turns
+    FIRST (4x storage cut for typically <1% recall).  The quantized
+    leg (operators/quantize.py int8_topk) never touches the scales at
+    ranking time — symmetric scales cancel in cosine — so a production
+    index stores codes only; recall_vs_exact joins the two
+    k-row-per-query frames, O(|panel| x k) however large the corpus,
+    with the exact leg the audit's entire cost (linear BY DESIGN, the
+    ann_recall_audit precedent)."""
+    from palegislature_spark.operators import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = quantize.int8_topk(emb, queries, k=5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.recall_vs_exact(approx, exact)
+
+
 def _bloom_oracle() -> str:
     def pos(probe, col):
         h = f"md5('b{probe}|' || CAST({col} AS VARCHAR))"

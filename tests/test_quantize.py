@@ -73,3 +73,36 @@ def test_quantized_knn_recall(spark, vecs):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.8
+
+
+def test_int8_topk_matches_dequantized_ranking(spark, vecs):
+    """The scale-cancellation identity: ranking by integer-code cosine
+    (int8_topk — scales never read) equals ranking dequantized vectors
+    by float cosine, because cosine(q*s_a, c*s_b) == cosine(q, c)."""
+    real = vecs.filter("vec_id < 100")
+    queries = real.filter("vec_id < 10")
+    got = quantize.int8_topk(real, queries, k=3)
+    dq = quantize.with_quantized(real).select(
+        "vec_id", quantize.dequantize("qvec", "scale").alias("embedding")
+    )
+    want = similarity.brute_force_topk(dq, dq.filter("vec_id < 10"), k=3)
+    g = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect())
+    w = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in want.collect())
+    assert g == w
+
+
+def test_int8_recall_registry_shape(spark):
+    """ann_int8_recall: one row per panel query, hits <= exact_k <= 5,
+    recall the exact int/int division — and int8's measured quality on
+    the worst-case near-uniform corpus stays above the random floor."""
+    from palegislature_spark.queries.vectors import ann_int8_recall
+
+    rows = ann_int8_recall(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.hits <= r.exact_k <= 5
+        assert r.recall == r.hits / r.exact_k
+    mean = sum(r.recall for r in rows) / len(rows)
+    # random recall@5 over a 500-vector corpus is ~1%; SQ8 keeps most
+    # of the exact order even on unclustered vectors
+    assert mean >= 0.5

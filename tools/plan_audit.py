@@ -102,6 +102,10 @@ ALLOW_NESTED_LOOP = {
     # leg + the panel x filtered-corpus brute-force measurement leg;
     # the measurement join is a (query_id, neighbor_id) equi-join (r11)
     "ann_filtered_recall",
+    # both legs are the bounded query-panel non-equi broadcast (the
+    # knn_bruteforce shape): int8-code cosine and exact float cosine —
+    # linear BY DESIGN, they ARE the recall measurement (r11)
+    "ann_int8_recall",
     # grand-total crossJoin(broadcast(<1-row count>)) replacing the
     # former single-partition count(*) OVER () window (VERDICT r5 fix)
     "filter_null_coalesce",
