@@ -679,14 +679,114 @@ def save_minhash_index(index: DataFrame, path: str) -> None:
     _band_gen_commit(spark, base, 0)
 
 
-def load_minhash_index(spark, path: str) -> DataFrame:
-    """The current committed generation's (id, band, band_key) rows —
-    the ``index`` input of :func:`minhash_lsh_pairs_incremental`."""
+_DELTA_MARKER = "_BANDDELTA-"
+
+
+def _folded_high_water(fs, HPath, gen_dir: str) -> int:
+    """Highest delta batch id folded into ``gen_dir`` (the
+    ``_FOLDED-<id>`` file written by :func:`compact_minhash_index`
+    before the generation commits, so it becomes visible atomically
+    WITH the generation), or -1. Readers ignore committed deltas at or
+    below this mark — which is what makes the compact's
+    delete-after-commit of folded deltas pure garbage collection: a
+    crash between commit and deletion leaves stale deltas that are
+    already invisible."""
+    if not fs.exists(HPath(gen_dir)):
+        return -1
+    best = -1
+    for st in fs.listStatus(HPath(gen_dir)):
+        name = st.getPath().getName()
+        if name.startswith("_FOLDED-"):
+            try:
+                best = max(best, int(name[len("_FOLDED-"):]))
+            except ValueError:
+                continue
+    return best
+
+
+def _committed_delta_ids(fs, HPath, base: str) -> list[int]:
+    """Batch ids with a committed ``_BANDDELTA-<id>`` marker."""
+    ids = []
+    for st in fs.listStatus(HPath(base)):
+        name = st.getPath().getName()
+        if name.startswith(_DELTA_MARKER):
+            try:
+                ids.append(int(name[len(_DELTA_MARKER):]))
+            except ValueError:
+                continue
+    return ids
+
+
+def append_minhash_index_delta(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> bool:
+    """Streaming-grade append: index a micro-batch as its OWN
+    ``delta-<batch_id>`` directory published by an atomic marker —
+    the crash-safe twin of :func:`append_minhash_index` (which
+    appends part-files into the live generation directly and so
+    relies on a single well-behaved batch writer).
+
+    Idempotence under foreachBatch's at-least-once contract: a replay
+    whose ``batch_id`` already has a committed marker — or is already
+    folded into the current generation (``_FOLDED`` high-water) — is
+    a no-op, so replays never double-index a window.  A crash between
+    the delta write and the marker rename leaves an UNCOMMITTED
+    directory that readers ignore and the replay overwrites.  Returns
+    True iff the batch was newly committed.  O(batch) work per batch;
+    :func:`compact_minhash_index` folds accumulated deltas back into
+    one band-clustered generation."""
+    from palegislature_spark.sources.merge import _hadoop_fs
+
     base = path.rstrip("/")
     gen = _band_gen_current(spark, base)
     if gen is None:
         raise ValueError(f"no committed MinHash index at {base}")
-    return spark.read.parquet(f"{base}/gen-{gen:06d}")
+    fs, HPath = _hadoop_fs(spark, base)
+    marker = HPath(f"{base}/{_DELTA_MARKER}{batch_id:06d}")
+    if fs.exists(marker):
+        return False
+    if batch_id <= _folded_high_water(fs, HPath, f"{base}/gen-{gen:06d}"):
+        return False
+    keys = minhash_index(new_docs, id_col, text_col, n, num_hashes, bands)
+    keys.repartition("band").write.mode("overwrite").parquet(
+        f"{base}/delta-{batch_id:06d}"
+    )
+    tmp = HPath(f"{base}/{_DELTA_MARKER[:-1]}.tmp")
+    out = fs.create(tmp, True)
+    out.close()
+    fs.rename(tmp, marker)
+    return True
+
+
+def load_minhash_index(spark, path: str) -> DataFrame:
+    """The current committed generation's (id, band, band_key) rows —
+    the ``index`` input of :func:`minhash_lsh_pairs_incremental` —
+    UNIONed with every committed streaming delta the generation has
+    not yet folded (``_FOLDED`` high-water; uncommitted delta
+    directories are invisible by construction)."""
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    base = path.rstrip("/")
+    gen = _band_gen_current(spark, base)
+    if gen is None:
+        raise ValueError(f"no committed MinHash index at {base}")
+    gen_dir = f"{base}/gen-{gen:06d}"
+    fs, HPath = _hadoop_fs(spark, base)
+    fw = _folded_high_water(fs, HPath, gen_dir)
+    paths = [gen_dir] + [
+        f"{base}/delta-{d:06d}"
+        for d in sorted(_committed_delta_ids(fs, HPath, base))
+        if d > fw
+    ]
+    return spark.read.parquet(*paths)
 
 
 def append_minhash_index(
@@ -721,7 +821,9 @@ def append_minhash_index(
 def compact_minhash_index(spark, path: str) -> dict:
     """Fold the accumulated per-batch band files into ONE
     band-clustered dataset (VERDICT r9 #5): read the current
-    generation, repartition on ``band`` and sort each partition by
+    generation PLUS every committed-but-unfolded streaming delta
+    (:func:`append_minhash_index_delta`), repartition on ``band`` and
+    sort each partition by
     (band, band_key) — so row-group min/max stats prune candidate
     lookups and the file count drops from O(appended batches x
     partitions) back to O(bands) — then publish as generation N+1 via
@@ -751,7 +853,11 @@ def compact_minhash_index(spark, path: str) -> dict:
 
     cur_dir = f"{base}/gen-{gen:06d}"
     nxt_dir = f"{base}/gen-{gen + 1:06d}"
-    cur = spark.read.parquet(cur_dir)
+    fw = _folded_high_water(fs, HPath, cur_dir)
+    delta_ids = sorted(
+        d for d in _committed_delta_ids(fs, HPath, base) if d > fw
+    )
+    cur = load_minhash_index(spark, base)  # gen + unfolded deltas
     rows = cur.count()
     (
         cur.repartition("band")
@@ -759,12 +865,25 @@ def compact_minhash_index(spark, path: str) -> dict:
         .write.mode("overwrite")
         .parquet(nxt_dir)
     )
-    files_before, files_after = n_files(cur_dir), n_files(nxt_dir)
+    # the folded high-water rides INSIDE the new generation directory,
+    # so it becomes visible atomically with the generation commit;
+    # folded deltas are then invisible to readers even before they are
+    # garbage-collected below (crash-safe delete-after-commit)
+    new_fw = max([fw] + delta_ids)
+    if new_fw >= 0:
+        out = fs.create(HPath(f"{nxt_dir}/_FOLDED-{new_fw:06d}"), True)
+        out.close()
+    files_before = n_files(cur_dir) + sum(
+        n_files(f"{base}/delta-{d:06d}") for d in delta_ids
+    )
     _band_gen_commit(spark, base, gen + 1)
+    for d in delta_ids:
+        fs.delete(HPath(f"{base}/delta-{d:06d}"), True)
+        fs.delete(HPath(f"{base}/{_DELTA_MARKER}{d:06d}"), False)
     return {
         "generation": gen + 1,
         "files_before": files_before,
-        "files_after": files_after,
+        "files_after": n_files(nxt_dir),
         "rows": rows,
     }
 

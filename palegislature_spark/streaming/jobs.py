@@ -1041,3 +1041,53 @@ def corpus_delta_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def minhash_index_stream(
+    stream: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> "StreamingQuery":
+    """Streaming ingest leg of the persisted MinHash index lifecycle
+    (operators/dedup.py save -> append xN -> compact): every ingest
+    window's documents are signed and committed as their OWN
+    ``delta-<batch_id>`` directory under the index
+    (``append_minhash_index_delta``), so the banded index that
+    ``minhash_lsh_pairs_incremental`` probes stays CURRENT as the
+    corpus streams in — new-vs-corpus candidates are visible one
+    window after arrival, instead of waiting for a batch re-index.
+
+    Cost and safety shape: O(window) signature work per window
+    (shingles + signatures for the batch only — the batch append's
+    cost contract, unchanged); each delta is published by an atomic
+    marker rename, so foreachBatch's at-least-once replay no-ops on
+    committed batch ids and a crash mid-write leaves an invisible,
+    replay-overwritten directory.  ``compact_minhash_index`` remains
+    the maintenance pass — it folds committed deltas into the next
+    band-clustered generation (the ``_FOLDED`` high-water making the
+    fold atomic with the generation commit) and the file count drops
+    back to O(bands).  Bootstrap the index first with
+    ``save_minhash_index`` (empty corpus is fine); parameters must
+    match the saved index's, as with every probe of a prebuilt index.
+    """
+    from palegislature_spark.operators.dedup import (
+        append_minhash_index_delta,
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        append_minhash_index_delta(
+            batch.sparkSession, path, batch, batch_id,
+            id_col=id_col, text_col=text_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )

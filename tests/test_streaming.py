@@ -866,3 +866,106 @@ def test_corpus_delta_stream_planted_churn(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(table + "/fingerprints").collect()
     } == {1, 3, 4, 5}
+
+
+def test_minhash_index_stream_lifecycle(spark, tmp_path):
+    """Streaming ingest leg of the persisted MinHash index: two
+    streamed windows land as atomically-committed deltas; the loaded
+    index equals the batch signature pass over the full corpus; an
+    uncommitted delta directory is invisible; a checkpoint-wiped
+    replay no-ops; compact folds the deltas into the next generation
+    (rows preserved, delta dirs pruned) and the _FOLDED high-water
+    keeps a stale replayed delta invisible afterwards."""
+    import shutil
+
+    from palegislature_spark.operators.dedup import (
+        compact_minhash_index,
+        load_minhash_index,
+        minhash_index,
+        save_minhash_index,
+    )
+
+    schema = "doc_id long, text string"
+    base_docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+    ]
+    w1 = [(3, "the quick brown fox jumps over the lazy dogs")]
+    w2 = [
+        (4, "sphinx of black quartz judge my vow"),
+        (5, "pack my box with five dozen liquor jugs today"),
+    ]
+    idx_path = str(tmp_path / "mh_index")
+    save_minhash_index(
+        minhash_index(
+            spark.createDataFrame(base_docs, schema), "doc_id", "text"
+        ),
+        idx_path,
+    )
+    d = tmp_path / "mh_stream"
+    sschema = spark.createDataFrame([], schema).schema
+
+    def run():
+        q = streaming.minhash_index_stream(
+            streaming.read_stream(spark, str(d), sschema),
+            idx_path,
+            id_col="doc_id",
+            text_col="text",
+        )
+        drain(q)
+
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(w2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+
+    want = sorted(
+        map(
+            tuple,
+            minhash_index(
+                spark.createDataFrame(base_docs + w1 + w2, schema),
+                "doc_id",
+                "text",
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, load_minhash_index(spark, idx_path).collect()))
+    assert got == want
+
+    # an uncommitted delta directory (no marker) is invisible
+    spark.createDataFrame([(99, "phantom uncommitted doc")], schema).write.mode(
+        "overwrite"
+    ).parquet(idx_path + "/delta-000099")
+    assert sorted(
+        map(tuple, load_minhash_index(spark, idx_path).collect())
+    ) == want
+    shutil.rmtree(idx_path + "/delta-000099")
+
+    # at-least-once replay: wipe the checkpoint; committed batch ids
+    # no-op, the index is unchanged
+    shutil.rmtree(idx_path + "_cp")
+    run()
+    assert sorted(
+        map(tuple, load_minhash_index(spark, idx_path).collect())
+    ) == want
+
+    # compact folds the deltas: same rows, delta dirs pruned, and a
+    # stale delta at or below the folded high-water stays invisible
+    import os
+
+    stats = compact_minhash_index(spark, idx_path)
+    assert stats["rows"] == len(want)
+    assert not [
+        f for f in os.listdir(idx_path) if f.startswith("delta-")
+    ]
+    assert sorted(
+        map(tuple, load_minhash_index(spark, idx_path).collect())
+    ) == want
+    run()  # replayed stream against the folded index: still a no-op
+    assert sorted(
+        map(tuple, load_minhash_index(spark, idx_path).collect())
+    ) == want
