@@ -621,6 +621,183 @@ FROM samp_s s LEFT JOIN sums m ON m.sk = s.sk"""
     return sql, keep
 
 
+def _ivfpq_bounded_sql(refine: bool) -> str:
+    """Shared bounded replay for the IVFPQ chain (ann_ivfpq_topk /
+    ann_ivfpq_refine): the registry oracle's FORMULATION — corpus-wide
+    row_number windows carrying 64-double vectors, a corpus-wide PQ
+    encode, CTEs re-evaluated per consumer — spills >90 GB at the
+    100x replica; the ANSWER (a 100-row panel top-k) is tiny.  Same
+    rewrite discipline as _recall_audit_bounded:
+
+    * both IVF assignment windows -> hash-agg argmax over NARROW
+      MATERIALIZED (vec_id, list_id, cos) tables;
+    * the PQ encode argmin (pcodes r=1) -> the same argmax trick over
+      narrow (vec_id, sub_id, code_id, d), and CONFINED to the
+      candidate ids the ADC stage actually reads (the probed lists'
+      members — exactly the confinement the Spark plan itself has);
+    * query-side distance tables stay panel-sized; the ADC fold and
+      every tie-break keep the registry oracle's exact shape
+      (sub-id-ordered fold; first-min = smallest code_id; rank ties
+      to the smaller neighbor_id)."""
+    ivfpq = """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mix1 AS (
+  SELECT vec_id, v,
+         (xor(vec_id & 2147483647, (vec_id & 2147483647) >> 16) * 73244475) & 2147483647 AS h1
+  FROM emb
+),
+mix2 AS (
+  SELECT vec_id, v, (xor(h1, h1 >> 16) * 73244475) & 2147483647 AS h2 FROM mix1
+),
+picked AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY xor(h2, h2 >> 16), vec_id) AS pick
+  FROM mix2
+),
+centroids AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cvec
+  FROM picked WHERE pick <= 8
+),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cvec) AS cos
+  FROM emb e CROSS JOIN centroids c
+),
+amax AS (SELECT vec_id, max(cos) AS mc FROM assign GROUP BY vec_id),
+assignments AS (
+  SELECT a.vec_id, min(a.list_id) AS list_id
+  FROM assign a JOIN amax m ON m.vec_id = a.vec_id AND a.cos = m.mc
+  GROUP BY a.vec_id
+),
+lists AS (
+  SELECT s.list_id, list(e.v ORDER BY e.vec_id) AS vs,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM assignments s JOIN emb e USING (vec_id) GROUP BY s.list_id
+),
+refined AS (
+  SELECT list_id,
+         list_transform(
+           list_reduce(vs, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+           x -> x / n) AS cvec
+  FROM lists
+),
+assign2 AS MATERIALIZED (
+  SELECT e.vec_id, c.list_id, list_cosine_similarity(e.v, c.cvec) AS cos
+  FROM emb e CROSS JOIN refined c
+),
+amax2 AS (SELECT vec_id, max(cos) AS mc FROM assign2 GROUP BY vec_id),
+assignments2 AS (
+  SELECT a.vec_id, min(a.list_id) AS list_id
+  FROM assign2 a JOIN amax2 m ON m.vec_id = a.vec_id AND a.cos = m.mc
+  GROUP BY a.vec_id
+),
+qprobe AS (
+  SELECT e.vec_id AS query_id, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
+  FROM emb e CROSS JOIN refined c WHERE e.vec_id < 20
+),
+probes AS (SELECT query_id, list_id FROM qprobe WHERE r <= 2),
+cand AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assignments2 a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+cand_ids AS (SELECT DISTINCT neighbor_id AS vec_id FROM cand),
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code_id, v
+  FROM picked WHERE pick <= 16
+),
+subs AS (SELECT unnest(range(4)) AS sub_id),
+codebook AS (
+  SELECT s.sub_id, c.code_id,
+         list_slice(c.v, s.sub_id * 16 + 1, (s.sub_id + 1) * 16) AS cvec
+  FROM cb0 c CROSS JOIN subs s
+),
+esub AS (
+  SELECT e.vec_id, s.sub_id,
+         list_slice(e.v, s.sub_id * 16 + 1, (s.sub_id + 1) * 16) AS sv
+  FROM emb e JOIN cand_ids ci ON ci.vec_id = e.vec_id CROSS JOIN subs s
+),
+scored AS MATERIALIZED (
+  SELECT es.vec_id, es.sub_id, cb.code_id,
+         list_reduce(
+           list_transform(range(1, 17),
+                          i -> (es.sv[i] - cb.cvec[i]) * (es.sv[i] - cb.cvec[i])),
+           (a, b) -> a + b) AS d
+  FROM esub es JOIN codebook cb USING (sub_id)
+),
+smin AS (SELECT vec_id, sub_id, min(d) AS md FROM scored GROUP BY vec_id, sub_id),
+ncodes AS (
+  SELECT s.vec_id, s.sub_id, min(s.code_id) AS code_id
+  FROM scored s
+  JOIN smin m ON m.vec_id = s.vec_id AND m.sub_id = s.sub_id AND s.d = m.md
+  GROUP BY s.vec_id, s.sub_id
+),
+qsub AS (
+  SELECT e.vec_id AS query_id, s.sub_id,
+         list_slice(e.v, s.sub_id * 16 + 1, (s.sub_id + 1) * 16) AS sv
+  FROM emb e CROSS JOIN subs s WHERE e.vec_id < 20
+),
+qtab AS (
+  SELECT q.query_id, q.sub_id, cb.code_id,
+         list_reduce(
+           list_transform(range(1, 17),
+                          i -> (q.sv[i] - cb.cvec[i]) * (q.sv[i] - cb.cvec[i])),
+           (a, b) -> a + b) AS d
+  FROM qsub q JOIN codebook cb USING (sub_id)
+),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_reduce(list(t.d ORDER BY t.sub_id), (a, b) -> a + b) AS dist
+  FROM cand cd
+  JOIN ncodes c ON c.vec_id = cd.neighbor_id
+  JOIN qtab t ON t.query_id = cd.query_id AND t.sub_id = c.sub_id
+             AND t.code_id = c.code_id
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+adcranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank,
+         dist
+  FROM adc
+)"""
+    if not refine:
+        return ivfpq + """
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(dist, 6) AS adc_dist
+FROM adcranked WHERE rank <= 5"""
+    return ivfpq + """,
+short AS (SELECT query_id, neighbor_id FROM adcranked WHERE rank <= 20),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM short s
+  JOIN emb q ON q.vec_id = s.query_id
+  JOIN emb e ON e.vec_id = s.neighbor_id
+),
+rranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM rer
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cos, 6) AS cosine
+FROM rranked WHERE rank <= 5"""
+
+
+def _ivfpq_topk_bounded(con, stride: int):
+    """Full-output bounded replay of ann_ivfpq_topk (``stride``
+    accepted for the SAMPLED signature and unused — the output is
+    panel-sized, every spark row is checked)."""
+    return _ivfpq_bounded_sql(refine=False), (lambda row: True)
+
+
+def _ivfpq_refine_bounded(con, stride: int):
+    """Full-output bounded replay of ann_ivfpq_refine (see
+    _ivfpq_topk_bounded)."""
+    return _ivfpq_bounded_sql(refine=True), (lambda row: True)
+
+
 def _recall_audit_bounded(con, stride: int):
     """Bounded oracle for ann_recall_audit (VERDICT r10 #4): the FULL
     20-row audit, replayed with the n x sqrt(n) blowups removed — the
@@ -748,6 +925,12 @@ GROUP BY e.query_id"""
 # stays O(300 x n) at any replica size
 SAMPLED = {
     "ann_recall_audit": (_vec_stride, _recall_audit_bounded),
+    # full-output bounded replays (panel-sized answers; the registry
+    # formulation's corpus-wide windows + unconfined PQ encode spill
+    # >90 GB at the 100x replica — the rewrite, not the answer, is
+    # what's bounded)
+    "ann_ivfpq_topk": (_vec_stride, _ivfpq_topk_bounded),
+    "ann_ivfpq_refine": (_vec_stride, _ivfpq_refine_bounded),
     "centrality_rank_suppliers": (_node_stride, _pagerank_sampled),
     "embedding_near_dup": (_vec_stride, _near_dup_sampled),
     "cluster_semantic_dedup": (_vec_stride, _semantic_sampled),
