@@ -999,13 +999,159 @@ def save_ivf_index(
     )
 
 
-def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assignments) for :func:`ivf_probe`."""
+_IVF_DELTA_MARKER = "_IVFDELTA-"
+
+
+def _ivf_folded_high_water(fs, HPath, assign_dir: str) -> int:
+    """Highest delta batch id folded into the assignments dataset
+    (the ``_FOLDED-<id>`` file :func:`compact_ivf_index` writes into
+    the staged dataset BEFORE promoting it, so it becomes visible
+    atomically with the fold), or -1."""
+    if not fs.exists(HPath(assign_dir)):
+        return -1
+    best = -1
+    for st in fs.listStatus(HPath(assign_dir)):
+        name = st.getPath().getName()
+        if name.startswith("_FOLDED-"):
+            try:
+                best = max(best, int(name[len("_FOLDED-"):]))
+            except ValueError:
+                continue
+    return best
+
+
+def _ivf_committed_delta_ids(fs, HPath, base: str) -> list[int]:
+    ids = []
+    for st in fs.listStatus(HPath(base)):
+        name = st.getPath().getName()
+        if name.startswith(_IVF_DELTA_MARKER):
+            try:
+                ids.append(int(name[len(_IVF_DELTA_MARKER):]))
+            except ValueError:
+                continue
+    return ids
+
+
+def ivf_append_delta(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Streaming-grade :func:`ivf_append`: assign the micro-batch
+    against the FROZEN persisted centroids and publish it as its OWN
+    ``delta-<batch_id>`` directory with an atomic marker — the
+    operators/dedup.py ``append_minhash_index_delta`` discipline on
+    the IVF layout.  Idempotent under at-least-once replay (committed
+    marker, or batch id at or below the assignments' ``_FOLDED``
+    high-water => no-op); a crash mid-write leaves an uncommitted,
+    replay-overwritten directory.  Returns True iff newly committed.
+    O(batch * n_lists) work, the ivf_append cost contract."""
+    from palegislature_spark.sources.merge import _hadoop_fs
+
     base = path.rstrip("/")
+    fs, HPath = _hadoop_fs(spark, base)
+    marker = HPath(f"{base}/{_IVF_DELTA_MARKER}{batch_id:06d}")
+    if fs.exists(marker):
+        return False
+    if batch_id <= _ivf_folded_high_water(
+        fs, HPath, f"{base}/assignments"
+    ):
+        return False
+    cents = spark.read.parquet(f"{base}/centroids")
+    assigned = assign_to_centroids(new_vectors, cents, id_col, vec_col)
+    assigned.repartition("list_id").write.mode("overwrite").parquet(
+        f"{base}/delta-{batch_id:06d}"
+    )
+    tmp = HPath(f"{base}/{_IVF_DELTA_MARKER[:-1]}.tmp")
+    out = fs.create(tmp, True)
+    out.close()
+    fs.rename(tmp, marker)
+    return True
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) for :func:`ivf_probe` — assignments
+    are the base dataset UNIONed with every committed streaming delta
+    (:func:`ivf_append_delta`) not yet folded by
+    :func:`compact_ivf_index`; uncommitted delta directories are
+    invisible by construction."""
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    base = path.rstrip("/")
+    assign_dir = f"{base}/assignments"
+    fs, HPath = _hadoop_fs(spark, base)
+    fw = _ivf_folded_high_water(fs, HPath, assign_dir)
+    paths = [assign_dir] + [
+        f"{base}/delta-{d:06d}"
+        for d in sorted(_ivf_committed_delta_ids(fs, HPath, base))
+        if d > fw
+    ]
     return (
         spark.read.parquet(f"{base}/centroids"),
-        spark.read.parquet(f"{base}/assignments"),
+        spark.read.parquet(*paths),
     )
+
+
+def compact_ivf_index(spark, path: str) -> dict:
+    """Fold committed streaming deltas back into ONE list-clustered
+    assignments dataset: read base + unfolded deltas, repartition on
+    ``list_id`` (each inverted list physically co-located again, the
+    save_ivf_index layout), stamp the new ``_FOLDED`` high-water
+    INSIDE the staged dataset, and promote it with the crash-safe
+    staging swap (streaming/jobs.py discipline: live is renamed aside
+    before staging promotes, so no crash point leaves zero live
+    copies).  Folded delta directories are then garbage-collected —
+    already invisible to readers via the high-water, so a crash
+    between promote and GC changes nothing.  Returns {"rows",
+    "deltas_folded", "high_water"}."""
+    from palegislature_spark.sources.merge import _hadoop_fs
+    from palegislature_spark.streaming.jobs import (
+        _recover_interrupted_swap,
+    )
+
+    base = path.rstrip("/")
+    assign_dir = f"{base}/assignments"
+    fs, HPath = _hadoop_fs(spark, base)
+    _recover_interrupted_swap(fs, HPath, assign_dir)
+    fw = _ivf_folded_high_water(fs, HPath, assign_dir)
+    delta_ids = sorted(
+        d for d in _ivf_committed_delta_ids(fs, HPath, base) if d > fw
+    )
+    _, assignments = load_ivf_index(spark, path)
+    merged = assignments.repartition("list_id").localCheckpoint()
+    rows = merged.count()
+    new_fw = max([fw] + delta_ids)
+    # the streaming swap discipline, inlined so the _FOLDED high-water
+    # lands inside STAGING before _SUCCESS marks it promotable —
+    # recovery must never promote a fold whose high-water is missing
+    # (deltas would double-count); _SUCCESS is deleted around the
+    # marker write and recreated last
+    staging = assign_dir + ".__staging__"
+    trash = assign_dir + ".__old__"
+    fs.delete(HPath(staging), True)
+    merged.write.mode("overwrite").parquet(staging)
+    fs.delete(HPath(staging + "/_SUCCESS"), False)
+    if new_fw >= 0:
+        out = fs.create(HPath(f"{staging}/_FOLDED-{new_fw:06d}"), True)
+        out.close()
+    out = fs.create(HPath(staging + "/_SUCCESS"), True)
+    out.close()
+    fs.delete(HPath(trash), True)
+    if fs.exists(HPath(assign_dir)):
+        fs.rename(HPath(assign_dir), HPath(trash))
+    fs.rename(HPath(staging), HPath(assign_dir))
+    fs.delete(HPath(trash), True)
+    for d in delta_ids:
+        fs.delete(HPath(f"{base}/delta-{d:06d}"), True)
+        fs.delete(HPath(f"{base}/{_IVF_DELTA_MARKER}{d:06d}"), False)
+    return {
+        "rows": rows,
+        "deltas_folded": len(delta_ids),
+        "high_water": new_fw,
+    }
 
 
 def max_cosine_vs_eval(

@@ -1091,3 +1091,44 @@ def minhash_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_index_stream(
+    stream: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "StreamingQuery":
+    """Streaming ingest leg of the persisted IVF index
+    (operators/similarity.py save_ivf_index -> ivf_append xN): every
+    window's vectors are assigned against the FROZEN persisted
+    centroids and committed as an atomic ``delta-<batch_id>``
+    directory (``ivf_append_delta``), so ``load_ivf_index`` +
+    ``ivf_probe`` serve new arrivals one window after ingest without
+    an index rebuild — the ``minhash_index_stream`` discipline on the
+    IVF layout (committed-marker idempotence under at-least-once
+    replay, uncommitted directories invisible, crash mid-write
+    overwritten by the replay).
+
+    Centroids stay frozen across windows (standard IVF serving:
+    probes must keep matching the lists existing vectors were filed
+    under); ``compact_ivf_index`` is the maintenance pass that folds
+    accumulated deltas back into the list-clustered assignments
+    dataset with a crash-safe staged swap.  O(window * n_lists)
+    assignment work per window.  Bootstrap with ``save_ivf_index``
+    first; ids are append-only across windows (dedup re-deliveries
+    via the merge layer upstream, as with the batch append)."""
+    from palegislature_spark.operators.similarity import ivf_append_delta
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ivf_append_delta(
+            batch.sparkSession, path, batch, batch_id,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -969,3 +969,90 @@ def test_minhash_index_stream_lifecycle(spark, tmp_path):
     assert sorted(
         map(tuple, load_minhash_index(spark, idx_path).collect())
     ) == want
+
+
+def test_ivf_index_stream_lifecycle(spark, tmp_path):
+    """Streaming ingest leg of the persisted IVF index: two streamed
+    windows land as atomic deltas assigned against the FROZEN
+    centroids; the loaded index equals base + batch frozen-assignment
+    of the streamed vectors; an uncommitted delta is invisible; a
+    checkpoint-wiped replay no-ops; compact folds deltas into the
+    list-clustered assignments with rows preserved and keeps a stale
+    replay invisible via the _FOLDED high-water."""
+    import os
+    import shutil
+
+    from palegislature_spark.operators.similarity import (
+        assign_to_centroids,
+        compact_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    def vec(i, shift):
+        return (i, [float((i * 7 + j) % 13) / 13.0 + shift for j in range(8)])
+
+    schema = "vec_id long, embedding array<double>"
+    base_vecs = [vec(i, 0.0) for i in range(40)]
+    w1 = [vec(100 + i, 0.1) for i in range(5)]
+    w2 = [vec(200 + i, 0.2) for i in range(7)]
+    idx = str(tmp_path / "ivf_idx")
+    save_ivf_index(
+        spark.createDataFrame(base_vecs, schema), idx,
+        n_lists=4, refine_iters=1,
+    )
+    cents, base_assign = load_ivf_index(spark, idx)
+    base_rows = sorted(
+        (r.vec_id, r.list_id) for r in base_assign.collect()
+    )
+
+    d = tmp_path / "ivf_stream"
+    sschema = spark.createDataFrame([], schema).schema
+
+    def run():
+        q = streaming.ivf_index_stream(
+            streaming.read_stream(spark, str(d), sschema), idx,
+        )
+        drain(q)
+
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(w2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+
+    streamed = assign_to_centroids(
+        spark.createDataFrame(w1 + w2, schema), cents
+    )
+    want = sorted(
+        base_rows + [(r.vec_id, r.list_id) for r in streamed.collect()]
+    )
+
+    def got():
+        _, a = load_ivf_index(spark, idx)
+        return sorted((r.vec_id, r.list_id) for r in a.collect())
+
+    assert got() == want
+
+    # uncommitted delta directory (no marker) is invisible
+    spark.createDataFrame([vec(999, 0.5)], schema).write.mode(
+        "overwrite"
+    ).parquet(idx + "/delta-000099")
+    assert got() == want
+    shutil.rmtree(idx + "/delta-000099")
+
+    # checkpoint-wiped replay: committed batch ids no-op
+    shutil.rmtree(idx + "_cp")
+    run()
+    assert got() == want
+
+    # compact: rows preserved, deltas pruned, stale replay still no-op
+    stats = compact_ivf_index(spark, idx)
+    assert stats["rows"] == len(want) and stats["deltas_folded"] == 2
+    assert not [f for f in os.listdir(idx) if f.startswith("delta-")]
+    assert got() == want
+    run()
+    assert got() == want
