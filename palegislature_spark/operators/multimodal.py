@@ -820,6 +820,15 @@ def wav_media_from_text(
     most 4 bits (the image seam's mean-preserving trick, restated for
     energies).
 
+    The text fills the sample window CYCLICALLY (text repeated, then
+    truncated), not by space-padding: a 240-sample window is longer
+    than many documents, and a shared space-pad suffix would make the
+    trailing frame energies IDENTICAL across every short doc — a
+    collision floor that explodes the candidate join at corpus scale
+    (measured: the padded variant's pair set exceeded the 1 GB driver
+    result cap at the 100x replica).  Cyclic fill keeps every frame's
+    energy a function of the doc's own bytes.
+
     Scale: one Arrow-batched linear pass; rows carry
     frames*frame_len-byte payloads plus the 44-byte RIFF header."""
     import io
@@ -835,7 +844,9 @@ def wav_media_from_text(
     n = frames * frame_len
 
     def samples_of(text: str) -> bytes:
-        s = (text + " " * (n + 3))[: n + 3]
+        reps = (n + 3) // max(len(text), 1) + 1
+        base = (text * reps)[: n + 3]
+        s = base + " " * (n + 3 - len(base))
         a = [ord(c) for c in s]
         return bytes(
             (a[i] * 95 + a[i + 1] * 193 + a[i + 2] * 31 + a[i + 3]) % 256

@@ -1724,7 +1724,15 @@ def binary_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "popcount verifies every candidate)",
     oracle="""
 WITH s AS (
-  SELECT doc_id, rpad(text, 243, ' ') AS s FROM documents
+  -- cyclic fill (text repeated, truncated, empty-doc space fallback):
+  -- a shared space-pad suffix would collide every short doc's
+  -- trailing frame energies — see wav_media_from_text
+  SELECT doc_id,
+         rpad(substr(repeat(text,
+                            CAST(243 // greatest(length(text), 1) AS INTEGER) + 1),
+                     1, 243),
+              243, ' ') AS s
+  FROM documents
 ),
 smp AS (
   SELECT doc_id,

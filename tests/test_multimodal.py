@@ -490,7 +490,9 @@ def test_audio_fingerprint_matches_pure_python(spark):
     got = {r.media_id: r.afp for r in mm.audio_fingerprint(media).collect()}
 
     def samples_of(text):
-        s = (text + " " * 243)[:243]
+        reps = 243 // max(len(text), 1) + 1
+        base = (text * reps)[:243]
+        s = base + " " * (243 - len(base))
         a = [ord(c) for c in s]
         return [
             (a[i] * 95 + a[i + 1] * 193 + a[i + 2] * 31 + a[i + 3]) % 256
