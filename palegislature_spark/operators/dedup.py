@@ -857,7 +857,14 @@ def compact_minhash_index(spark, path: str) -> dict:
     delta_ids = sorted(
         d for d in _committed_delta_ids(fs, HPath, base) if d > fw
     )
-    cur = load_minhash_index(spark, base)  # gen + unfolded deltas
+    # fold EXACTLY the pinned delta_ids snapshot — re-listing via
+    # load_minhash_index would race a concurrent streaming commit: a
+    # delta landing between the two listings would be folded into
+    # gen N+1 yet excluded from its _FOLDED high-water and from GC,
+    # so readers would double-count its rows forever (ADVICE r11)
+    cur = spark.read.parquet(
+        cur_dir, *[f"{base}/delta-{d:06d}" for d in delta_ids]
+    )
     rows = cur.count()
     (
         cur.repartition("band")
@@ -877,9 +884,15 @@ def compact_minhash_index(spark, path: str) -> dict:
         n_files(f"{base}/delta-{d:06d}") for d in delta_ids
     )
     _band_gen_commit(spark, base, gen + 1)
-    for d in delta_ids:
-        fs.delete(HPath(f"{base}/delta-{d:06d}"), True)
-        fs.delete(HPath(f"{base}/{_DELTA_MARKER}{d:06d}"), False)
+    # GC by the committed high-water, not just this pass's delta_ids:
+    # a crash between a previous commit and its GC loop leaves folded
+    # deltas at/below the high-water that no later pass would revisit
+    # if GC were keyed on the current delta_ids — invisible to readers
+    # but a permanent disk/listing leak (ADVICE r11)
+    for d in _committed_delta_ids(fs, HPath, base):
+        if d <= new_fw:
+            fs.delete(HPath(f"{base}/delta-{d:06d}"), True)
+            fs.delete(HPath(f"{base}/{_DELTA_MARKER}{d:06d}"), False)
     return {
         "generation": gen + 1,
         "files_before": files_before,

@@ -1048,23 +1048,52 @@ def ivf_append_delta(
     marker, or batch id at or below the assignments' ``_FOLDED``
     high-water => no-op); a crash mid-write leaves an uncommitted,
     replay-overwritten directory.  Returns True iff newly committed.
-    O(batch * n_lists) work, the ivf_append cost contract."""
+    O(batch * n_lists) work, the ivf_append cost contract.
+
+    If the index was saved with ``meta_cols`` (filtered-serving
+    metadata beside each assignment row), the batch MUST carry those
+    columns too: they are joined into the delta so a later
+    ``ivf_probe(where=...)`` sees streamed vectors exactly like
+    built ones.  A batch missing a persisted metadata column raises —
+    silently writing NULL metadata would make every filtered probe
+    drop the streamed rows (ADVICE r11)."""
     from palegislature_spark.sources.merge import _hadoop_fs
 
     base = path.rstrip("/")
+    assign_dir = f"{base}/assignments"
     fs, HPath = _hadoop_fs(spark, base)
+    # self-heal an interrupted compact swap before consulting the
+    # _FOLDED high-water: with assignments/ missing the high-water
+    # reads -1 and replayed, already-folded batches would re-commit
+    from palegislature_spark.streaming.jobs import (
+        _recover_interrupted_swap,
+    )
+
+    _recover_interrupted_swap(fs, HPath, assign_dir)
     marker = HPath(f"{base}/{_IVF_DELTA_MARKER}{batch_id:06d}")
     if fs.exists(marker):
         return False
-    if batch_id <= _ivf_folded_high_water(
-        fs, HPath, f"{base}/assignments"
-    ):
+    if batch_id <= _ivf_folded_high_water(fs, HPath, assign_dir):
         return False
     cents = spark.read.parquet(f"{base}/centroids")
     assigned = assign_to_centroids(new_vectors, cents, id_col, vec_col)
-    assigned.repartition("list_id").write.mode("overwrite").parquet(
-        f"{base}/delta-{batch_id:06d}"
-    )
+    persisted_cols = spark.read.parquet(assign_dir).columns
+    extra = [c for c in persisted_cols if c not in assigned.columns]
+    if extra:
+        missing = [c for c in extra if c not in new_vectors.columns]
+        if missing:
+            raise ValueError(
+                f"index at {base} persists metadata columns {extra} "
+                f"but the batch lacks {missing}; filtered serving "
+                "(ivf_probe where=...) would silently drop every "
+                "streamed row written with NULL metadata"
+            )
+        assigned = assigned.join(
+            new_vectors.select(id_col, *extra), id_col
+        )
+    assigned.select(*persisted_cols).repartition(
+        "list_id"
+    ).write.mode("overwrite").parquet(f"{base}/delta-{batch_id:06d}")
     tmp = HPath(f"{base}/{_IVF_DELTA_MARKER[:-1]}.tmp")
     out = fs.create(tmp, True)
     out.close()
@@ -1077,12 +1106,22 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     are the base dataset UNIONed with every committed streaming delta
     (:func:`ivf_append_delta`) not yet folded by
     :func:`compact_ivf_index`; uncommitted delta directories are
-    invisible by construction."""
+    invisible by construction.
+
+    Self-heals an interrupted :func:`compact_ivf_index` swap first
+    (live renamed aside, crash before staging promoted), so a reader
+    arriving after a compactor crash sees the newest complete
+    assignments instead of a missing-directory error — the same
+    recovery discipline the streaming sinks run on entry."""
     from palegislature_spark.sources.merge import _hadoop_fs
+    from palegislature_spark.streaming.jobs import (
+        _recover_interrupted_swap,
+    )
 
     base = path.rstrip("/")
     assign_dir = f"{base}/assignments"
     fs, HPath = _hadoop_fs(spark, base)
+    _recover_interrupted_swap(fs, HPath, assign_dir)
     fw = _ivf_folded_high_water(fs, HPath, assign_dir)
     paths = [assign_dir] + [
         f"{base}/delta-{d:06d}"
@@ -1120,7 +1159,15 @@ def compact_ivf_index(spark, path: str) -> dict:
     delta_ids = sorted(
         d for d in _ivf_committed_delta_ids(fs, HPath, base) if d > fw
     )
-    _, assignments = load_ivf_index(spark, path)
+    # fold EXACTLY the pinned delta_ids snapshot — re-listing via
+    # load_ivf_index here would race a concurrent streaming commit:
+    # a delta landing between the two listings would be folded into
+    # the new generation yet excluded from the high-water and GC, so
+    # readers would double-count its rows forever (ADVICE r11)
+    assignments = spark.read.parquet(
+        assign_dir,
+        *[f"{base}/delta-{d:06d}" for d in delta_ids],
+    )
     merged = assignments.repartition("list_id").localCheckpoint()
     rows = merged.count()
     new_fw = max([fw] + delta_ids)
@@ -1144,9 +1191,15 @@ def compact_ivf_index(spark, path: str) -> dict:
         fs.rename(HPath(assign_dir), HPath(trash))
     fs.rename(HPath(staging), HPath(assign_dir))
     fs.delete(HPath(trash), True)
-    for d in delta_ids:
-        fs.delete(HPath(f"{base}/delta-{d:06d}"), True)
-        fs.delete(HPath(f"{base}/{_IVF_DELTA_MARKER}{d:06d}"), False)
+    # GC by the promoted high-water, not just this pass's delta_ids:
+    # a crash between a previous promote and its GC loop leaves folded
+    # deltas at/below the high-water that no later pass would revisit
+    # if GC were keyed on the current delta_ids — invisible to readers
+    # but a permanent disk/listing leak (ADVICE r11)
+    for d in _ivf_committed_delta_ids(fs, HPath, base):
+        if d <= new_fw:
+            fs.delete(HPath(f"{base}/delta-{d:06d}"), True)
+            fs.delete(HPath(f"{base}/{_IVF_DELTA_MARKER}{d:06d}"), False)
     return {
         "rows": rows,
         "deltas_folded": len(delta_ids),

@@ -1073,6 +1073,17 @@ def minhash_index_stream(
     back to O(bands).  Bootstrap the index first with
     ``save_minhash_index`` (empty corpus is fine); parameters must
     match the saved index's, as with every probe of a prebuilt index.
+
+    Contract (ADVICE r11): ONE stream per index path, with a STABLE
+    checkpoint location.  Delta idempotence is keyed on ``batch_id``
+    alone, so a second stream writing the same path — or wiping the
+    checkpoint so the source re-maps files to different batch ids —
+    can collide with an already-committed marker and silently no-op a
+    window that actually carries new documents.  Re-pointing a fresh
+    stream at an existing index requires a new checkpoint AND either
+    an empty delta namespace (run ``compact_minhash_index`` first,
+    which folds and GCs all committed deltas) or source data disjoint
+    from what the old stream committed.
     """
     from palegislature_spark.operators.dedup import (
         append_minhash_index_delta,
@@ -1117,7 +1128,15 @@ def ivf_index_stream(
     dataset with a crash-safe staged swap.  O(window * n_lists)
     assignment work per window.  Bootstrap with ``save_ivf_index``
     first; ids are append-only across windows (dedup re-deliveries
-    via the merge layer upstream, as with the batch append)."""
+    via the merge layer upstream, as with the batch append).
+
+    Contract (ADVICE r11): ONE stream per index path, with a STABLE
+    checkpoint location — delta idempotence is keyed on ``batch_id``
+    alone (see ``minhash_index_stream`` for the collision modes and
+    the compact-first recipe for re-pointing a fresh stream).  If the
+    index was saved with ``meta_cols``, the stream's rows must carry
+    those columns; ``ivf_append_delta`` raises otherwise rather than
+    write NULL metadata that filtered serving would silently drop."""
     from palegislature_spark.operators.similarity import ivf_append_delta
 
     def sink(batch: DataFrame, batch_id: int) -> None:

@@ -1056,3 +1056,218 @@ def test_ivf_index_stream_lifecycle(spark, tmp_path):
     assert got() == want
     run()
     assert got() == want
+
+
+def test_ivf_reader_self_heals_interrupted_compact_swap(spark, tmp_path):
+    """ADVICE r11: a crash in compact_ivf_index between renaming live
+    aside and promoting staging leaves assignments/ missing.  Readers
+    (load_ivf_index) and the streaming append (ivf_append_delta) must
+    self-heal via _recover_interrupted_swap instead of raising — and
+    crucially the healed _FOLDED high-water must keep replayed,
+    already-folded batch ids as no-ops (with assignments/ missing the
+    high-water would read -1 and a replay would re-commit)."""
+    import os
+    import shutil
+
+    from palegislature_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_append_delta,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    vecs = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(30)]
+    idx = str(tmp_path / "ivf_heal")
+    save_ivf_index(
+        spark.createDataFrame(vecs, schema), idx, n_lists=4, refine_iters=1
+    )
+    batch = [(100, [1.0] * 8), (101, [2.0] * 8)]
+    assert ivf_append_delta(
+        spark, idx, spark.createDataFrame(batch, schema), 0
+    )
+    compact_ivf_index(spark, idx)
+
+    def rows():
+        _, a = load_ivf_index(spark, idx)
+        return sorted(r.vec_id for r in a.collect())
+
+    want = sorted([v[0] for v in vecs] + [100, 101])
+    assert rows() == want
+    assign = idx + "/assignments"
+
+    # crash state 1: live renamed aside, staging never promoted
+    os.rename(assign, assign + ".__old__")
+    assert rows() == want  # reader healed from .__old__
+    # replay of the folded batch 0 against the healed index: no-op
+    os.rename(assign, assign + ".__old__")
+    assert not ivf_append_delta(
+        spark, idx, spark.createDataFrame(batch, schema), 0
+    )
+    assert rows() == want
+    assert not [f for f in os.listdir(idx) if f.startswith("delta-")]
+
+    # crash state 2: staging fully committed (_SUCCESS), live missing
+    shutil.copytree(assign, assign + ".__staging__")
+    shutil.rmtree(assign)
+    assert rows() == want  # reader promoted the committed staging
+
+
+def test_ivf_compact_gc_clears_stale_folded_deltas(spark, tmp_path):
+    """ADVICE r11: a crash between a compact's promote and its GC
+    loop leaves folded deltas at/below the _FOLDED high-water.  They
+    are invisible to readers, but a later compact must garbage-collect
+    them (GC keys on the promoted high-water, not just the delta ids
+    folded in that pass)."""
+    import os
+    import shutil
+
+    from palegislature_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_append_delta,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    vecs = [(i, [float((i * 5 + j) % 11) for j in range(8)]) for i in range(30)]
+    idx = str(tmp_path / "ivf_gc")
+    save_ivf_index(
+        spark.createDataFrame(vecs, schema), idx, n_lists=4, refine_iters=1
+    )
+    assert ivf_append_delta(
+        spark, idx, spark.createDataFrame([(100, [1.0] * 8)], schema), 0
+    )
+    # snapshot the committed delta, then compact (folds + GCs it)
+    shutil.copytree(idx + "/delta-000000", str(tmp_path / "d0"))
+    compact_ivf_index(spark, idx)
+    # simulate crash-before-GC: the folded delta + marker reappear
+    shutil.copytree(str(tmp_path / "d0"), idx + "/delta-000000")
+    open(idx + "/_IVFDELTA-000000", "w").close()
+
+    def rows():
+        _, a = load_ivf_index(spark, idx)
+        return sorted(r.vec_id for r in a.collect())
+
+    want = sorted([v[0] for v in vecs] + [100, 101])
+    assert rows() == want[:-1]  # stale folded delta invisible
+
+    # next maintenance pass folds a NEW delta and must GC the stale one
+    assert ivf_append_delta(
+        spark, idx, spark.createDataFrame([(101, [2.0] * 8)], schema), 1
+    )
+    compact_ivf_index(spark, idx)
+    assert rows() == want
+    left = [f for f in os.listdir(idx) if "DELTA" in f or f.startswith("delta-")]
+    assert left == [], f"stale folded delta survived GC: {left}"
+
+
+def test_minhash_compact_gc_clears_stale_folded_deltas(spark, tmp_path):
+    """The MinHash twin of the stale-folded-delta GC pin (ADVICE r11):
+    compact_minhash_index must GC every committed delta at/below the
+    generation's _FOLDED high-water, not only the ids folded in the
+    current pass."""
+    import os
+    import shutil
+
+    from palegislature_spark.operators.dedup import (
+        append_minhash_index_delta,
+        compact_minhash_index,
+        load_minhash_index,
+        minhash_index,
+        save_minhash_index,
+    )
+
+    docs = [(i, f"some document body number {i} with shared tokens")
+            for i in range(20)]
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "mh_gc")
+    save_minhash_index(
+        minhash_index(
+            spark.createDataFrame(docs, schema), "doc_id", "text"
+        ),
+        idx,
+    )
+    b0 = spark.createDataFrame([(100, "streamed doc one hundred")], schema)
+    assert append_minhash_index_delta(spark, idx, b0, 0, "doc_id", "text")
+    shutil.copytree(idx + "/delta-000000", str(tmp_path / "d0"))
+    compact_minhash_index(spark, idx)
+    # crash-before-GC replica: folded delta + marker reappear
+    shutil.copytree(str(tmp_path / "d0"), idx + "/delta-000000")
+    open(idx + "/_BANDDELTA-000000", "w").close()
+
+    def ids():
+        return sorted(
+            set(r.doc_id for r in load_minhash_index(spark, idx).collect())
+        )
+
+    assert ids() == sorted([d[0] for d in docs] + [100])
+
+    b1 = spark.createDataFrame([(101, "streamed doc one oh one")], schema)
+    assert append_minhash_index_delta(spark, idx, b1, 1, "doc_id", "text")
+    compact_minhash_index(spark, idx)
+    assert ids() == sorted([d[0] for d in docs] + [100, 101])
+    left = [f for f in os.listdir(idx)
+            if "BANDDELTA" in f or f.startswith("delta-")]
+    assert left == [], f"stale folded delta survived GC: {left}"
+
+
+def test_ivf_append_delta_carries_meta_cols(spark, tmp_path):
+    """ADVICE r11: on an index saved with meta_cols, a streamed delta
+    must persist the batch's metadata columns (so filtered serving
+    sees streamed vectors), and a batch MISSING a persisted metadata
+    column must raise instead of silently writing NULLs that every
+    ivf_probe(where=...) would drop."""
+    import pytest as _pytest
+
+    from palegislature_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_append_delta,
+        ivf_probe,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    schema = "vec_id long, embedding array<double>, tag int"
+    vecs = [
+        (i, [float((i * 7 + j) % 13) for j in range(8)], i % 2)
+        for i in range(30)
+    ]
+    idx = str(tmp_path / "ivf_meta")
+    save_ivf_index(
+        spark.createDataFrame(vecs, schema), idx,
+        n_lists=4, refine_iters=1, meta_cols=["tag"],
+    )
+    # streamed vector carrying tag=1, colinear with the tag=1 query
+    streamed = spark.createDataFrame(
+        [(500, [float(j) for j in range(8)], 1)], schema
+    )
+    assert ivf_append_delta(spark, idx, streamed, 0)
+
+    def probe():
+        cents, assigns = load_ivf_index(spark, idx)
+        # query under a DIFFERENT id (probes drop self-matches) with
+        # the streamed vector's exact direction: cosine 1.0, so 500
+        # must rank in the top-k iff its metadata survived the delta
+        q = spark.createDataFrame(
+            [(9999, [float(j) for j in range(8)], 1)], schema
+        )
+        return ivf_probe(
+            cents, assigns, q, k=3, n_probe=4,
+            where=F.col("tag") == 1,
+        )
+
+    res = probe()
+    hits = {r.neighbor_id for r in res.collect()}
+    assert 500 in hits, "filtered probe dropped the streamed vector"
+
+    # the metadata survives compaction too
+    compact_ivf_index(spark, idx)
+    assert 500 in {r.neighbor_id for r in probe().collect()}
+
+    # a batch without the persisted metadata column must raise
+    bare = spark.createDataFrame(
+        [(600, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="tag"):
+        ivf_append_delta(spark, idx, bare, 1)
