@@ -410,3 +410,178 @@ def ivfpq_refine(
             "cosine",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted PQ codes lifecycle: save -> encode-delta xN -> compact
+#
+# The streaming-freshness leg of IVFPQ serving (VERDICT r11 #1): the
+# IVF side already ingests per-window deltas (similarity.ivf_append_delta),
+# but ivfpq_topk ranks through the CODES table — without a codes delta a
+# streamed vector is probe-reachable yet un-rankable, so ADC serving
+# silently goes stale the moment a window commits.  Same discipline as
+# the IVF/MinHash twins: atomic per-batch delta markers, readers union
+# committed-but-unfolded deltas, compaction folds a PINNED snapshot with
+# the _FOLDED high-water promoted inside the staged swap, GC keyed on
+# the high-water.
+# --------------------------------------------------------------------------
+
+_PQ_DELTA_MARKER = "_PQDELTA-"
+
+
+def _pq_committed_delta_ids(fs, HPath, base: str) -> list[int]:
+    ids = []
+    for st in fs.listStatus(HPath(base)):
+        name = st.getPath().getName()
+        if name.startswith(_PQ_DELTA_MARKER):
+            try:
+                ids.append(int(name[len(_PQ_DELTA_MARKER):]))
+            except ValueError:
+                continue
+    return ids
+
+
+def save_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+) -> None:
+    """Build PQ codebooks + codes and persist them as two Parquet
+    datasets under ``path``: ``codebooks/`` (m*k rows, the frozen
+    model every later encode uses) and ``codes/`` (one narrow row per
+    vector).  Point ``path`` at the same base as
+    :func:`~palegislature_spark.operators.similarity.save_ivf_index`
+    and the directory is a complete disk-resident IVFPQ index —
+    centroids + assignments bound WHICH vectors a probe touches,
+    codebooks + codes bound what each touched vector COSTS."""
+    cb = pq_codebooks(embeddings, id_col, vec_col, m, k)
+    codes = pq_encode(embeddings, cb, id_col, vec_col)
+    base = path.rstrip("/")
+    cb.write.mode("overwrite").parquet(f"{base}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{base}/codes")
+
+
+def pq_encode_delta(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Streaming-grade incremental encode: PQ-encode the micro-batch
+    against the FROZEN persisted codebooks (codebooks are a model, the
+    frozen-centroid rule of ``ivf_append_delta`` applied to PQ — ADC
+    tables must keep matching the codes existing vectors were written
+    with) and publish it as its own ``codes-delta-<batch_id>``
+    directory with an atomic marker.  Idempotent under at-least-once
+    replay (committed marker, or batch id at or below the codes
+    dataset's ``_FOLDED`` high-water => no-op); a crash mid-write
+    leaves an uncommitted, replay-overwritten directory.  Returns True
+    iff newly committed.  O(batch * m * k) encode work — the one
+    linear whole-stage-codegen pass of :func:`pq_encode`."""
+    from palegislature_spark.operators.similarity import (
+        _ivf_folded_high_water as _folded_hw,
+    )
+    from palegislature_spark.sources.merge import _hadoop_fs
+    from palegislature_spark.streaming.jobs import (
+        _recover_interrupted_swap,
+    )
+
+    base = path.rstrip("/")
+    codes_dir = f"{base}/codes"
+    fs, HPath = _hadoop_fs(spark, base)
+    _recover_interrupted_swap(fs, HPath, codes_dir)
+    marker = HPath(f"{base}/{_PQ_DELTA_MARKER}{batch_id:06d}")
+    if fs.exists(marker):
+        return False
+    if batch_id <= _folded_hw(fs, HPath, codes_dir):
+        return False
+    cb = spark.read.parquet(f"{base}/codebooks")
+    codes = pq_encode(new_vectors, cb, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(
+        f"{base}/codes-delta-{batch_id:06d}"
+    )
+    tmp = HPath(f"{base}/{_PQ_DELTA_MARKER[:-1]}.tmp")
+    out = fs.create(tmp, True)
+    out.close()
+    fs.rename(tmp, marker)
+    return True
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, codes) for :func:`pq_adc_topk` / :func:`ivfpq_topk`
+    — codes are the base dataset UNIONed with every committed
+    streaming delta (:func:`pq_encode_delta`) not yet folded by
+    :func:`compact_pq_codes`; uncommitted delta directories are
+    invisible by construction.  Self-heals an interrupted compact swap
+    on entry, the load_ivf_index discipline."""
+    from palegislature_spark.operators.similarity import (
+        _ivf_folded_high_water as _folded_hw,
+    )
+    from palegislature_spark.sources.merge import _hadoop_fs
+    from palegislature_spark.streaming.jobs import (
+        _recover_interrupted_swap,
+    )
+
+    base = path.rstrip("/")
+    codes_dir = f"{base}/codes"
+    fs, HPath = _hadoop_fs(spark, base)
+    _recover_interrupted_swap(fs, HPath, codes_dir)
+    fw = _folded_hw(fs, HPath, codes_dir)
+    paths = [codes_dir] + [
+        f"{base}/codes-delta-{d:06d}"
+        for d in sorted(_pq_committed_delta_ids(fs, HPath, base))
+        if d > fw
+    ]
+    return (
+        spark.read.parquet(f"{base}/codebooks"),
+        spark.read.parquet(*paths),
+    )
+
+
+def compact_pq_codes(spark, path: str) -> dict:
+    """Fold committed codes deltas back into ONE codes dataset: read
+    base + the PINNED unfolded-delta snapshot (never re-list — the
+    compaction-race rule, ADVICE r11), stamp the new ``_FOLDED``
+    high-water inside the staged dataset, promote with the crash-safe
+    staging swap, then GC every committed delta at or below the
+    promoted high-water.  Returns {"rows", "deltas_folded",
+    "high_water"}."""
+    from palegislature_spark.operators.similarity import (
+        _ivf_folded_high_water as _folded_hw,
+        _promote_folded,
+    )
+    from palegislature_spark.sources.merge import _hadoop_fs
+    from palegislature_spark.streaming.jobs import (
+        _recover_interrupted_swap,
+    )
+
+    base = path.rstrip("/")
+    codes_dir = f"{base}/codes"
+    fs, HPath = _hadoop_fs(spark, base)
+    _recover_interrupted_swap(fs, HPath, codes_dir)
+    fw = _folded_hw(fs, HPath, codes_dir)
+    delta_ids = sorted(
+        d for d in _pq_committed_delta_ids(fs, HPath, base) if d > fw
+    )
+    codes = spark.read.parquet(
+        codes_dir,
+        *[f"{base}/codes-delta-{d:06d}" for d in delta_ids],
+    )
+    merged = codes.localCheckpoint()
+    rows = merged.count()
+    new_fw = max([fw] + delta_ids)
+    _promote_folded(fs, HPath, codes_dir, merged, new_fw)
+    for d in _pq_committed_delta_ids(fs, HPath, base):
+        if d <= new_fw:
+            fs.delete(HPath(f"{base}/codes-delta-{d:06d}"), True)
+            fs.delete(HPath(f"{base}/{_PQ_DELTA_MARKER}{d:06d}"), False)
+    return {
+        "rows": rows,
+        "deltas_folded": len(delta_ids),
+        "high_water": new_fw,
+    }

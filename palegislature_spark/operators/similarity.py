@@ -1134,6 +1134,31 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def _promote_folded(fs, HPath, live_dir: str, merged, new_fw: int) -> None:
+    """Promote a folded dataset over ``live_dir`` with the streaming
+    swap discipline, the ``_FOLDED`` high-water landing inside STAGING
+    before ``_SUCCESS`` marks it promotable — recovery must never
+    promote a fold whose high-water is missing (deltas would
+    double-count); ``_SUCCESS`` is deleted around the marker write and
+    recreated last.  Shared by the IVF assignments and PQ codes
+    compactors (operators/pq.py)."""
+    staging = live_dir + ".__staging__"
+    trash = live_dir + ".__old__"
+    fs.delete(HPath(staging), True)
+    merged.write.mode("overwrite").parquet(staging)
+    fs.delete(HPath(staging + "/_SUCCESS"), False)
+    if new_fw >= 0:
+        out = fs.create(HPath(f"{staging}/_FOLDED-{new_fw:06d}"), True)
+        out.close()
+    out = fs.create(HPath(staging + "/_SUCCESS"), True)
+    out.close()
+    fs.delete(HPath(trash), True)
+    if fs.exists(HPath(live_dir)):
+        fs.rename(HPath(live_dir), HPath(trash))
+    fs.rename(HPath(staging), HPath(live_dir))
+    fs.delete(HPath(trash), True)
+
+
 def compact_ivf_index(spark, path: str) -> dict:
     """Fold committed streaming deltas back into ONE list-clustered
     assignments dataset: read base + unfolded deltas, repartition on
@@ -1171,26 +1196,7 @@ def compact_ivf_index(spark, path: str) -> dict:
     merged = assignments.repartition("list_id").localCheckpoint()
     rows = merged.count()
     new_fw = max([fw] + delta_ids)
-    # the streaming swap discipline, inlined so the _FOLDED high-water
-    # lands inside STAGING before _SUCCESS marks it promotable —
-    # recovery must never promote a fold whose high-water is missing
-    # (deltas would double-count); _SUCCESS is deleted around the
-    # marker write and recreated last
-    staging = assign_dir + ".__staging__"
-    trash = assign_dir + ".__old__"
-    fs.delete(HPath(staging), True)
-    merged.write.mode("overwrite").parquet(staging)
-    fs.delete(HPath(staging + "/_SUCCESS"), False)
-    if new_fw >= 0:
-        out = fs.create(HPath(f"{staging}/_FOLDED-{new_fw:06d}"), True)
-        out.close()
-    out = fs.create(HPath(staging + "/_SUCCESS"), True)
-    out.close()
-    fs.delete(HPath(trash), True)
-    if fs.exists(HPath(assign_dir)):
-        fs.rename(HPath(assign_dir), HPath(trash))
-    fs.rename(HPath(staging), HPath(assign_dir))
-    fs.delete(HPath(trash), True)
+    _promote_folded(fs, HPath, assign_dir, merged, new_fw)
     # GC by the promoted high-water, not just this pass's delta_ids:
     # a crash between a previous promote and its GC loop leaves folded
     # deltas at/below the high-water that no later pass would revisit

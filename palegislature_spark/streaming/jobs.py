@@ -1151,3 +1151,50 @@ def ivf_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivfpq_index_stream(
+    stream: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "StreamingQuery":
+    """Streaming ingest leg of the persisted IVFPQ index (VERDICT r11
+    #1): every window is BOTH filed into its IVF list
+    (``ivf_append_delta`` — probe reachability) AND PQ-encoded against
+    the frozen persisted codebooks (``pq_encode_delta`` — ADC
+    rankability), so ``ivfpq_topk`` over ``load_ivf_index`` +
+    ``load_pq_index`` ranks a streamed vector one window after ingest.
+    Without the codes leg a streamed vector lands in the candidate set
+    but has no codes row, and ADC serving silently drops it until a
+    batch re-encode — the exact staleness this stream closes.
+
+    The two commits ride separate atomic markers and are individually
+    idempotent, so a crash BETWEEN them is repaired by the replay: the
+    committed leg no-ops, the missing leg commits.  Between those two
+    moments the vector is probe-visible but not yet rankable — the
+    same not-yet-arrived window semantics readers already tolerate,
+    never a wrong rank.  Bootstrap with ``save_ivf_index`` +
+    ``save_pq_index`` on the SAME base path; centroids and codebooks
+    stay frozen across windows (re-train offline, then re-encode).
+    Single stream per index path with a stable checkpoint, as with
+    ``ivf_index_stream``."""
+    from palegislature_spark.operators.pq import pq_encode_delta
+    from palegislature_spark.operators.similarity import ivf_append_delta
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ivf_append_delta(
+            batch.sparkSession, path, batch, batch_id,
+            id_col=id_col, vec_col=vec_col,
+        )
+        pq_encode_delta(
+            batch.sparkSession, path, batch, batch_id,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", path.rstrip("/") + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
