@@ -25,6 +25,8 @@ xxhash64 / conv / bit ops are whole-stage-codegen expressions.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -328,6 +330,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -354,6 +357,14 @@ def minhash_lsh_pairs(
     broadcast vs shuffle semi-join at runtime from the OBSERVED
     candidate-set size, which is exactly the high-dup-rate guard a
     static hint can't give.
+
+    ``max_bucket`` (opt-in) anti-joins away (band, band_key) buckets
+    past that many members before the candidate self-join — the
+    hot-bucket guard (VERDICT r11 #2): an identical-prefix flood or a
+    boilerplate band shared corpus-wide makes one bucket quadratic,
+    and the exact verify then pays O(bucket²) shingle joins.  The
+    recall trade is documented at :func:`hot_bucket_audit`; default
+    None keeps the operator exactly equal to the jaccard oracle.
     """
     rows = num_hashes // bands
     sh = hashed_shingles(df, id_col, text_col, n)
@@ -368,6 +379,10 @@ def minhash_lsh_pairs(
     band_key = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
     )
+    if max_bucket is not None:
+        band_key = _drop_hot_buckets(
+            band_key, ["band", "band_key"], max_bucket
+        )
     b1 = band_key.select(F.col(id_col).alias("id_1"), "band", "band_key")
     b2 = band_key.select(F.col(id_col).alias("id_2"), "band", "band_key")
     cand = (
@@ -501,42 +516,44 @@ def simhash_pairs(
     )
 
 
-def hamming_pairs(
+def chunk_plan(
+    n_bits: int, max_hamming: int, band_chunks: int, min_chunks: int = 4
+) -> tuple[list[int], list[int]]:
+    """(widths, offsets) of the generalized-pigeonhole chunking used
+    by :func:`hamming_pairs` — ``max(min_chunks, max_hamming +
+    band_chunks)`` chunks, uneven widths fine for the pigeonhole
+    argument (the first ``n_bits % m`` chunks get the extra bit).
+    Public so SQL oracles can replay the exact band keys."""
+    need = max(min_chunks, max_hamming + band_chunks)
+    base, extra = divmod(n_bits, need)
+    widths = [base + (1 if i < extra else 0) for i in range(need)]
+    offsets = [sum(widths[:i]) for i in range(need)]
+    return widths, offsets
+
+
+def hamming_band_keys(
     sig: DataFrame,
     id_col: str,
     hash_col: str,
     max_hamming: int = 6,
     n_bits: int = _SIMHASH_BITS,
     min_chunks: int = 4,
-    band_chunks: int | None = None,
-    n_rows: int | None = None,
+    band_chunks: int = 1,
 ) -> DataFrame:
-    """Pairs within Hamming distance ``max_hamming`` over ANY <=60-bit
-    integer signature column — the banded generalized-pigeonhole
-    search :func:`simhash_pairs` documents (Manku et al., WWW'07),
-    factored out (VERDICT r10 #5) so non-text signatures plug in: the
-    image perceptual hash (operators/multimodal.py ``image_ahash``)
-    rides the identical machinery.  Output is band-invariant — the
-    exact popcount verifies every candidate — and the rung ladder /
-    auto policy is exactly simhash_pairs' (its docstring is the
-    reference; ``n_rows`` skips the sizing count() when cardinality
-    is known).
-    """
-    if band_chunks is None:
-        if n_rows is None:
-            n_rows = sig.count()
-        band_chunks = 1 if n_rows < 20_000 else (2 if n_rows < 1_000_000 else 3)
+    """The banded candidate KEYS of :func:`hamming_pairs`, exposed:
+    one row per (id, band) with the band's chunk values ``v1..vB`` —
+    the exact frame the candidate self-join buckets on.  This is the
+    observability seam for :func:`hot_bucket_audit`: a degenerate key
+    (a constant signature region shared corpus-wide) shows up here as
+    one bucket holding a large fraction of ids, BEFORE the join goes
+    quadratic on it."""
     if band_chunks < 1 or band_chunks + max_hamming > n_bits:
         raise ValueError(
             f"band_chunks must be >= 1 with band_chunks + max_hamming <= "
-            f"{n_bits}, or None (auto); got {band_chunks!r}"
+            f"{n_bits}; got {band_chunks!r}"
         )
-    need = max(min_chunks, max_hamming + band_chunks)
-    # uneven chunk widths are fine for the pigeonhole argument; the
-    # first (n_bits % m) chunks get the extra bit
-    base, extra = divmod(n_bits, need)
-    widths = [base + (1 if i < extra else 0) for i in range(need)]
-    offsets = [sum(widths[:i]) for i in range(need)]
+    widths, offsets = chunk_plan(n_bits, max_hamming, band_chunks, min_chunks)
+    need = len(widths)
 
     def chunk_val(i: int) -> F.Column:
         return F.expr(
@@ -552,10 +569,99 @@ def hamming_pairs(
         )
         for b, combo in enumerate(combinations(range(need), band_chunks))
     ]
-    key_cols = ["band"] + [f"v{t + 1}" for t in range(band_chunks)]
-    chunked = sig.select(
+    return sig.select(
         id_col, hash_col, F.explode(F.array(*bands)).alias("__b")
     ).select(id_col, hash_col, "__b.*")
+
+
+def hot_bucket_audit(
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    threshold: int = 1000,
+) -> DataFrame:
+    """Bucket-cardinality alarm for banded candidate joins (VERDICT
+    r11 #2): per bucket key, the member count and the pair count the
+    self-join would expand it to — rows only for buckets at or above
+    ``threshold`` (violations-as-data, the er/validate.py idiom).
+
+    Why this exists: a degenerate band key — a constant signature
+    region shared corpus-wide, like the audio pad-suffix collision
+    floor (commit a667848) — turns a banded join silently QUADRATIC
+    in that bucket; at 100 TB the first symptom is an executor OOM,
+    not a wrong answer.  This audit is one map-side-combined
+    aggregation over the key frame (O(keys), no join), so it can run
+    ahead of every pair join as a gate: alarm rows mean "salt, raise
+    the band resolution, or cap this bucket" before paying the join.
+    The ``max_bucket`` parameter of :func:`hamming_pairs` /
+    :func:`minhash_lsh_pairs` is the enforcement half."""
+    n = F.count(F.lit(1))
+    return (
+        keys.groupBy(*key_cols)
+        .agg(
+            n.cast("long").alias("n_ids"),
+            (n * (n - 1) / 2).cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("n_ids") >= threshold)
+    )
+
+
+def _drop_hot_buckets(chunked: DataFrame, key_cols: list, max_bucket: int):
+    """Anti-join away buckets past ``max_bucket`` members — the
+    enforcement half of :func:`hot_bucket_audit`.  Dropping a bucket
+    is a RECALL trade (pairs whose only agreeing band is the hot one
+    are lost), which is the right trade exactly when the bucket is a
+    collision floor: its pairs are overwhelmingly non-dups sharing a
+    degenerate key, and the alternative is a quadratic join blow-up.
+    The aggregation shuffles on the same key as the join it guards,
+    map-side combined."""
+    hot = (
+        chunked.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select(*key_cols)
+    )
+    return chunked.join(hot, list(key_cols), "left_anti")
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+    n_bits: int = _SIMHASH_BITS,
+    min_chunks: int = 4,
+    band_chunks: int | None = None,
+    n_rows: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` over ANY <=60-bit
+    integer signature column — the banded generalized-pigeonhole
+    search :func:`simhash_pairs` documents (Manku et al., WWW'07),
+    factored out (VERDICT r10 #5) so non-text signatures plug in: the
+    image perceptual hash (operators/multimodal.py ``image_ahash``)
+    rides the identical machinery.  Output is band-invariant — the
+    exact popcount verifies every candidate — and the rung ladder /
+    auto policy is exactly simhash_pairs' (its docstring is the
+    reference; ``n_rows`` skips the sizing count() when cardinality
+    is known).
+
+    ``max_bucket`` (opt-in) drops candidate buckets past that many
+    members before the self-join — the hot-bucket guard (VERDICT r11
+    #2; see :func:`hot_bucket_audit` for the measurement half and the
+    recall trade).  Default None keeps the operator exact over its
+    band construction, as every oracle-pinned caller requires.
+    """
+    if band_chunks is None:
+        if n_rows is None:
+            n_rows = sig.count()
+        band_chunks = 1 if n_rows < 20_000 else (2 if n_rows < 1_000_000 else 3)
+    chunked = hamming_band_keys(
+        sig, id_col, hash_col, max_hamming, n_bits, min_chunks, band_chunks
+    )
+    key_cols = ["band"] + [f"v{t + 1}" for t in range(band_chunks)]
+    if max_bucket is not None:
+        chunked = _drop_hot_buckets(chunked, key_cols, max_bucket)
     c1 = chunked.select(
         F.col(id_col).alias("id_1"), F.col(hash_col).alias("h1"), *key_cols
     )

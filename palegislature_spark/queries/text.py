@@ -91,11 +91,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_1", "id_2", "jaccard")
 
 
-@register(
-    "banded_simhash_dedup",
-    covers="J5/J7 extension: SimHash near-dup pairs (md5 hash family, banded Hamming search)",
-    oracle="""
-WITH words AS (
+# Shared oracle CTE: the 60-bit md5-nibble SimHash signature per doc
+# (the simhash_signatures construction, replayed bit-exactly in SQL).
+_SIMHASH_SIG_CTE = """
+words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
 toks AS (
@@ -114,6 +113,14 @@ sig AS (
          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit_idx) ELSE 0 END) AS simhash
   FROM votes GROUP BY doc_id
 )
+"""
+
+
+@register(
+    "banded_simhash_dedup",
+    covers="J5/J7 extension: SimHash near-dup pairs (md5 hash family, banded Hamming search)",
+    oracle=f"""
+WITH {_SIMHASH_SIG_CTE}
 SELECT a.doc_id AS id_1, b.doc_id AS id_2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -125,6 +132,66 @@ def banded_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6).select(
         "id_1", "id_2", "hamming"
+    )
+
+
+# The exact chunk plan banded_simhash_dedup's candidate join buckets
+# on (band_chunks=1 at this corpus size), interpolated into the oracle
+# so DuckDB replays the identical band keys.
+_HB_BANDS_VALUES = ", ".join(
+    f"({b}, {off}, {(1 << w) - 1})"
+    for b, (w, off) in enumerate(zip(*dedup.chunk_plan(60, 6, 1)))
+)
+
+
+@register(
+    "audit_hot_buckets",
+    covers="hot-bucket guard for banded joins (VERDICT r11 #2): bucket-"
+    "cardinality alarm over the SimHash chunk-band keys — the candidate "
+    "buckets the banded Hamming self-join would expand quadratically",
+    oracle=f"""
+WITH {_SIMHASH_SIG_CTE},
+bands(band, off, mask) AS (VALUES {_HB_BANDS_VALUES}),
+keys AS (
+  SELECT doc_id, band, (CAST(simhash AS BIGINT) >> off) & mask AS band_key
+  FROM sig, bands
+)
+SELECT CAST(band AS BIGINT) AS band, band_key,
+       count(*) AS n_ids,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+FROM keys GROUP BY 1, 2 HAVING count(*) >= 10
+""",
+)
+def audit_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-band-key alarm BEFORE the pair join goes quadratic.
+
+    The audio pad-suffix collision floor (commit a667848) was found by
+    a driver OOM at the 100x replica — one shared band key had turned
+    the banded-Hamming join quadratic with zero in-engine signal.
+    This query is that signal as a first-class, oracle-gated audit:
+    one map-side-combined aggregation over the exact band keys the
+    ``banded_simhash_dedup`` candidate join buckets on, emitting every
+    bucket of >= 10 members with the pair count the self-join would
+    expand it to (violations-as-data, the er/validate.py idiom).  The
+    enforcement half is the opt-in ``max_bucket`` guard on
+    ``hamming_pairs`` / ``minhash_lsh_pairs``.
+
+    Scale: O(corpus) signature pass + one aggregation shuffled on the
+    band key — the same key the guarded join shuffles on — and output
+    is alarm-sized.  Never joins, so it is safe to run on a corpus
+    whose pair join would already be the failure."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(docs, "doc_id", "text")
+    keys = dedup.hamming_band_keys(
+        sig, "doc_id", "simhash", max_hamming=6, band_chunks=1
+    )
+    return dedup.hot_bucket_audit(
+        keys, ["band", "v1"], "doc_id", threshold=10
+    ).select(
+        F.col("band").cast("long").alias("band"),
+        F.col("v1").alias("band_key"),
+        "n_ids",
+        "n_pairs",
     )
 
 

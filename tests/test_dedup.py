@@ -339,3 +339,104 @@ def test_soft_dedup_weights_unit_mass_per_cluster(spark, tmp_path):
     for r in out.values():
         mass[r.cluster_id] += r.weight
     assert all(abs(m - 1.0) < 1e-9 for m in mass.values())
+
+
+def test_hot_bucket_audit_reports_planted_degenerate_key(spark):
+    """VERDICT r11 #2: a constant signature region shared corpus-wide
+    (the audio pad-suffix collision-floor shape) must surface in
+    hot_bucket_audit as ONE bucket holding the flood — with the pair
+    count the banded self-join would expand it to — while normal
+    buckets stay below threshold."""
+    # 60 ids whose low 9 bits (chunk 0 of the [9,9,9,9,8,8,8] plan)
+    # are all zero; every OTHER chunk carries a per-id distinct value
+    # so no other bucket heats
+    def enc(i):
+        return (i << 1) | (bin(i).count("1") & 1)
+
+    def spread(v):
+        return (v << 9) | (v << 18) | (v << 27) | (v << 36) | (v << 44) | (v << 52)
+
+    sig_rows = [(i, spread(enc(i + 1))) for i in range(60)]
+    sig = spark.createDataFrame(sig_rows, "id long, h long")
+    keys = dedup.hamming_band_keys(sig, "id", "h", max_hamming=6, band_chunks=1)
+    hot = dedup.hot_bucket_audit(keys, ["band", "v1"], "id", threshold=50)
+    got = [(r.band, r.v1, r.n_ids, r.n_pairs) for r in hot.collect()]
+    assert got == [(0, 0, 60, 60 * 59 // 2)]
+
+
+def test_hamming_pairs_max_bucket_drops_flood_keeps_true_pairs(spark):
+    """The enforcement half: max_bucket anti-joins the degenerate
+    bucket away before the self-join.  A planted near-dup pair that
+    agrees on a NON-hot chunk survives; a pair whose ONLY agreeing
+    chunk is the hot one is lost (the documented recall trade); and
+    the guarded output is a subset of the unguarded one."""
+    # flood: 60 ids sharing chunk0 == 0, mutually far apart in every
+    # other chunk (parity coding => pairwise per-chunk distance >= 2,
+    # so flood members are never true pairs: hamming >= 12 > 6)
+    def enc(i):
+        return (i << 1) | (bin(i).count("1") & 1)
+
+    def spread(v):
+        return (v << 9) | (v << 18) | (v << 27) | (v << 36) | (v << 44) | (v << 52)
+
+    flood = [(i, spread(enc(i + 1))) for i in range(60)]
+    # true pair agreeing on chunk 0 (= 5, a COLD bucket of 2): differs
+    # in exactly one bit (bit 40), hamming 1
+    h100 = 5 | (3 << 9) | (7 << 18) | (11 << 27) | (13 << 36) | (17 << 44) | (19 << 52)
+    pair_cold = [(100, h100), (101, h100 ^ (1 << 40))]
+    # pair agreeing ONLY on the hot chunk 0 (= 0): one bit flipped in
+    # each of the six other chunks -> hamming 6, every other chunk
+    # value differs
+    h200 = (3 << 9) | (7 << 18) | (11 << 27) | (13 << 36) | (17 << 44) | (19 << 52)
+    h201 = h200 ^ (1 << 9) ^ (1 << 18) ^ (1 << 27) ^ (1 << 36) ^ (1 << 44) ^ (1 << 52)
+    sig = spark.createDataFrame(
+        flood + pair_cold + [(200, h200), (201, h201)], "id long, h long"
+    )
+
+    def pairs(max_bucket):
+        return {
+            (r.id_1, r.id_2)
+            for r in dedup.hamming_pairs(
+                sig, "id", "h", max_hamming=6, band_chunks=1,
+                max_bucket=max_bucket,
+            ).collect()
+        }
+
+    unguarded = pairs(None)
+    assert (100, 101) in unguarded and (200, 201) in unguarded
+    guarded = pairs(50)
+    assert (100, 101) in guarded          # cold-bucket pair survives
+    assert (200, 201) not in guarded      # hot-only pair is the trade
+    assert guarded <= unguarded
+    # (200, 201) is the ONLY pair the guard can lose here: the flood
+    # members are mutually far apart, so they were never true pairs
+    assert unguarded - guarded == {(200, 201)}
+
+
+def test_minhash_max_bucket_drops_identical_flood(spark):
+    """An identical-document flood makes every one of its MinHash
+    band buckets quadratic.  max_bucket drops those buckets (losing
+    the flood's own C(n,2) pairs — exactly the pairs exact_dedup
+    already handles at O(n)) while a distinct near-dup pair in a cold
+    bucket is still found and exactly verified."""
+    flood = [(i, "the same boilerplate body repeated verbatim "
+                 "across the whole flood of documents") for i in range(30)]
+    near = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(flood + near, "doc_id long, text string")
+
+    def pairs(max_bucket):
+        return {
+            (r.id_1, r.id_2)
+            for r in dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_bucket=max_bucket
+            ).collect()
+        }
+
+    unguarded = pairs(None)
+    assert (100, 101) in unguarded
+    assert len(unguarded) == 30 * 29 // 2 + 1
+    guarded = pairs(20)
+    assert guarded == {(100, 101)}
