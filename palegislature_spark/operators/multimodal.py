@@ -948,3 +948,210 @@ def audio_fingerprint(
             )
 
     return df.select("media_id", "payload").mapInPandas(gen, out_schema)
+
+
+def _avi_of(frames_list: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal REAL RIFF/AVI container around raw 8-bit grayscale
+    frames — the video twin of the stdlib ``wave`` writer: RIFF('AVI ')
+    { LIST('hdrl'){ avih + LIST('strl'){ strh, strf } }, LIST('movi')
+    { '00db' frame ... } }, every box in the documented 4-byte-size
+    layout, so :func:`video_stats`'s avih parse reads geometry /
+    frame count / fps off the genuine header and
+    :func:`_avi_frames` walks the genuine movi list."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    n = len(frames_list)
+    fb = len(frames_list[0]) if frames_list else 0
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<10I", usec, fb * fps, 0, 0, n, 0, 1, fb, width, height
+    ) + b"\x00" * 16
+    strh = b"vids" + b"RAW " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, fb, 0xFFFFFFFF, 0
+    ) + struct.pack("<4H", 0, 0, width, height)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, fb, 0, 0, 256, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames_list))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(payload: bytes) -> list[bytes]:
+    """Decode the frames of a RIFF/AVI payload: walk the top-level
+    chunks to LIST('movi') and collect every '00db' (uncompressed DIB)
+    chunk body, in order — the read half of :func:`_avi_of`, pure
+    stdlib ``struct`` like the rest of the video seam."""
+    import struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return []
+    frames_list: list[bytes] = []
+    off, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while off + 8 <= end:
+        fourcc = payload[off:off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        body = off + 8
+        if fourcc == b"LIST" and payload[body:body + 4] == b"movi":
+            m = body + 4
+            while m + 8 <= body + size:
+                fcc = payload[m:m + 4]
+                fsz = struct.unpack_from("<I", payload, m + 4)[0]
+                if fcc == b"00db":
+                    frames_list.append(payload[m + 8:m + 8 + fsz])
+                m += 8 + fsz + (fsz & 1)
+        off = body + size + (size & 1)
+    return frames_list
+
+
+def avi_media_from_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 120,
+    width: int = 4,
+    height: int = 2,
+    variant_every: int = 7,
+) -> DataFrame:
+    """Deterministic REAL-AVI media synthesis from a text corpus — the
+    video member of the synthesis trio (:func:`png_media_from_text`,
+    :func:`wav_media_from_text`), the ingest seam for the video
+    near-dup family: every doc becomes one RIFF/AVI payload
+    (media_id = 2*id) of ``n_frames`` raw 8-bit grayscale
+    ``width x height`` frames, where global pixel k is the shared
+    base-31 Karp-Rabin mix of text chars [k, k+3] — cyclic text fill
+    (the wav seam's collision-floor lesson), pure integer arithmetic
+    an SQL oracle replays from ord().
+
+    Every ``variant_every``-th doc additionally yields a PLANTED
+    near-duplicate (media_id = 2*id+1) that (a) PERMUTES the frames a
+    stride-2 sampler reads — frame 0 <-> 6 and 2 <-> 4 swap, so the
+    sampled-frame fingerprint moves at most 4 bits — and (b) INVERTS
+    every pixel of UNSAMPLED frame 1 (p -> 255-p flips its above-mean
+    set), which a correct stride-2 fingerprint must not see: the
+    planted pair is within the Hamming gate iff sampling actually
+    skips odd frames."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+    fb = width * height
+    n = n_frames * fb
+
+    def pixels_of(text: str) -> bytes:
+        reps = (n + 3) // max(len(text), 1) + 1
+        base = (text * reps)[: n + 3]
+        s = base + " " * (n + 3 - len(base))
+        a = [ord(c) for c in s]
+        return bytes(
+            (a[i] * 95 + a[i + 1] * 193 + a[i + 2] * 31 + a[i + 3]) % 256
+            for i in range(n)
+        )
+
+    meta = {
+        "format": "avi", "width": width, "height": height,
+        "sample_rate": None, "n_frames": n_frames, "frame_bytes": fb,
+    }
+
+    def frames_of(px: bytes) -> list[bytes]:
+        return [px[f * fb:(f + 1) * fb] for f in range(n_frames)]
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                fr = frames_of(pixels_of(text))
+                ids.append(int(i) * 2)
+                payloads.append(_avi_of(fr, width, height))
+                if int(i) % variant_every == 0:
+                    vf = list(fr)
+                    vf[0], vf[6] = fr[6], fr[0]
+                    vf[2], vf[4] = fr[4], fr[2]
+                    vf[1] = bytes(255 - b for b in fr[1])
+                    ids.append(int(i) * 2 + 1)
+                    payloads.append(_avi_of(vf, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "meta": [meta] * len(ids),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def video_fingerprint(
+    df: DataFrame, every_n: int = 2, n_bits: int = 60
+) -> DataFrame:
+    """Per-video perceptual fingerprint via Arrow-batched mapInPandas
+    — the video member of the signature trio (:func:`image_ahash`,
+    :func:`audio_fingerprint`): decode the RIFF/AVI payload with the
+    real stdlib-struct movi walk (:func:`_avi_frames`), SAMPLE every
+    ``every_n``-th frame (the :func:`sample_frames` stride — pixel
+    work on a bounded subset however long the video), reduce each
+    sampled frame to its aHash POPCOUNT (the number of above-frame-
+    mean pixels, ``n_px * p > frame_total`` exact-integer — the
+    image_ahash bit test, so within-frame permutations and payload
+    frames the stride skips move nothing), and set signature bit i
+    iff sampled frame i's popcount is above the mean popcount
+    (``n_sampled * pc[i] > total_pc``).  Every comparison is exact
+    integer, so an SQL oracle over the same deterministic pixels
+    replays every bit; 60 sampled frames => the signature rides the
+    60-bit banded-Hamming machinery (dedup.hamming_pairs) unchanged.
+
+    Output: (media_id, vfp long).  Perceptual by construction:
+    reordering pixels within a frame moves nothing, permuting sampled
+    frames moves only the permuted bits, global brightness shifts
+    preserving each frame's above-mean set move nothing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("vfp", T.LongType()),
+        ]
+    )
+
+    def fp_of(payload: bytes) -> int:
+        fr = _avi_frames(bytes(payload))[::every_n][:n_bits]
+        pcs = []
+        for f in fr:
+            npx = len(f)
+            tot = sum(f)
+            pcs.append(sum(1 for p in f if npx * p > tot))
+        total = sum(pcs)
+        ns = len(pcs)
+        h = 0
+        for i, pc in enumerate(pcs):
+            if ns * pc > total:
+                h |= 1 << i
+        return h
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "vfp": [fp_of(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, out_schema)

@@ -1882,3 +1882,125 @@ def binary_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=6,
         n_rows=n_rows + n_rows // 7 + 1,
     )
+
+
+@register(
+    "binary_video_fingerprint",
+    covers="multimodal + dedup extension: VIDEO perceptual near-dup "
+    "pairs completing the near-dup trio (VERDICT r11 #3) — real "
+    "RIFF/AVI payloads synthesized deterministically from the "
+    "documents corpus (stdlib-struct container writer; planted "
+    "variants permute the stride-sampled frames AND invert an "
+    "unsampled frame the fingerprint must skip), decoded through the "
+    "real movi-walk path, per-sampled-frame aHash popcounts folded "
+    "into a 60-bit above-mean signature in exact integer arithmetic, "
+    "paired by the same banded-Hamming machinery as simhash / image "
+    "aHash / audio; the DuckDB oracle replays sampled-frame pixels "
+    "from ord() arithmetic, popcounts, bits, and a fixed banding "
+    "rung (output is band-invariant: exact popcount verifies every "
+    "candidate)",
+    oracle="""
+WITH s AS (
+  -- cyclic fill to 960 pixels (+3 for the mix window); see
+  -- avi_media_from_text and the wav seam's collision-floor lesson
+  SELECT doc_id,
+         rpad(substr(repeat(text,
+                            CAST(963 // greatest(length(text), 1) AS INTEGER) + 1),
+                     1, 963),
+              963, ' ') AS s
+  FROM documents
+),
+smp AS (
+  SELECT doc_id,
+         [ (ord(s[k]) * 95 + ord(s[k+1]) * 193 + ord(s[k+2]) * 31
+            + ord(s[k+3])) % 256
+           FOR k IN range(1, 961) ] AS smp
+  FROM s
+),
+media AS (
+  SELECT doc_id * 2 AS media_id, smp FROM smp
+  UNION ALL
+  -- planted variant: frame 0 <-> 6 and 2 <-> 4 content swaps
+  -- (8-pixel blocks), unsampled frame 1 inverted (255 - p) — the
+  -- stride-2 fingerprint must not see the inversion
+  SELECT doc_id * 2 + 1,
+         smp[49:56] || [255 - p FOR p IN smp[9:16]] || smp[33:40]
+         || smp[25:32] || smp[17:24] || smp[41:48] || smp[1:8]
+         || smp[57:960]
+  FROM smp WHERE doc_id % 7 = 0
+),
+-- sampled frame i (1..60) = payload frame 2*(i-1): pixels at
+-- global 1-based indexes (i-1)*16 + j, j in 1..8
+ft AS (
+  SELECT media_id, smp,
+         [ list_sum([ smp[(i-1)*16 + j] FOR j IN range(1, 9) ])
+           FOR i IN range(1, 61) ] AS tot
+  FROM media
+),
+pc AS (
+  SELECT media_id,
+         [ list_sum([ CASE WHEN 8 * smp[(i-1)*16 + j] > tot[i]
+                      THEN 1 ELSE 0 END FOR j IN range(1, 9) ])
+           FOR i IN range(1, 61) ] AS pc
+  FROM ft
+),
+pt AS (SELECT media_id, pc, list_sum(pc) AS total FROM pc),
+sig AS (
+  SELECT media_id,
+         CAST(list_sum([CASE WHEN 60 * pc[i] > total
+                             THEN (1::BIGINT << (i - 1)) ELSE 0 END
+                        FOR i IN range(1, 61)]) AS BIGINT) AS vfp
+  FROM pt
+),
+chunks(cix, off, w) AS (
+  VALUES (0,0,9),(1,9,9),(2,18,9),(3,27,9),(4,36,8),(5,44,8),(6,52,8)
+),
+keyed AS (
+  SELECT g.media_id, g.vfp, c.cix,
+         (g.vfp >> c.off) & ((1::BIGINT << c.w) - 1) AS val
+  FROM sig g CROSS JOIN chunks c
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_1, b.media_id AS id_2,
+         a.vfp AS h1, b.vfp AS h2
+  FROM keyed a
+  JOIN keyed b ON a.cix = b.cix AND a.val = b.val
+              AND a.media_id < b.media_id
+)
+SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 6
+""",
+)
+def binary_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs at Hamming <= 6 over a 60-bit sampled-
+    frame fingerprint — completes the multimodal near-dup trio
+    (image r10, audio r11, video r12):
+
+    (1) operators/multimodal.py avi_media_from_text — every doc
+    becomes a real RIFF/AVI of 120 raw 4x2 grayscale frames
+    (stdlib-struct container writer; video_stats parses its genuine
+    avih header), docs at doc_id % 7 == 0 also yield a PLANTED
+    near-dup whose sampled-frame swaps (0<->6, 2<->4) move at most 4
+    fingerprint bits while an INVERTED unsampled frame pins that the
+    stride-2 sampler really skips odd frames;
+    (2) video_fingerprint — real movi-walk decode + per-sampled-frame
+    aHash popcounts + exact-integer above-mean bits;
+    (3) dedup.hamming_pairs — the shared banded machinery, exact
+    popcount verify (band-invariant output).
+    100 TB: two linear Arrow-batched passes over bounded per-row
+    payloads; the stride bounds pixel work per video; banded pairing
+    never all-pairs — the image/audio/simhash cost shape."""
+    from palegislature_spark.operators import multimodal
+    from palegislature_spark.operators.dedup import hamming_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.avi_media_from_text(docs)
+    sigs = multimodal.video_fingerprint(media, every_n=2)
+    n_rows = docs.count()
+    return hamming_pairs(
+        sigs,
+        "media_id",
+        "vfp",
+        max_hamming=6,
+        n_rows=n_rows + n_rows // 7 + 1,
+    )

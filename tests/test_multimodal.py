@@ -549,3 +549,115 @@ def test_binary_audio_fingerprint_planted_pairs_found(spark):
     )
     assert rung1 == rung2
     assert set((r.id_1, r.id_2, r.hamming) for r in out) == rung1
+
+
+def test_video_fingerprint_sampled_permutation_and_skip(spark):
+    """The planted-variant property for video: frame swaps 0<->6 and
+    2<->4 permute sampled-frame popcounts, so the fingerprint moves
+    at most 4 bits; the INVERTED unsampled frame 1 contributes
+    nothing (the stride-2 sampler must skip it); and video_stats
+    parses the genuine avih header of the synthesized container."""
+    docs = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog " * 6)],
+        "doc_id long, text string",
+    )
+    media = mm.avi_media_from_text(docs)
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert set(rows) == {14, 15}
+    st = mm.video_stats(rows[14], None)
+    assert st["parsed"] and (st["width"], st["height"], st["n_frames"]) == (
+        4, 2, 120,
+    )
+    frames = mm._avi_frames(rows[15])
+    assert len(frames) == 120 and all(len(f) == 8 for f in frames)
+    sigs = {r.media_id: r.vfp for r in mm.video_fingerprint(media).collect()}
+    assert bin(sigs[14] ^ sigs[15]).count("1") <= 4
+
+    # a variant WITHOUT the frame swaps but WITH the frame-1 inversion
+    # must fingerprint identically to the base: sampling skips it
+    base_frames = mm._avi_frames(rows[14])
+    only_inv = list(base_frames)
+    only_inv[1] = bytes(255 - b for b in base_frames[1])
+    inv_payload = mm._avi_of(only_inv, 4, 2)
+    media2 = spark.createDataFrame(
+        [(99, inv_payload)], "media_id long, payload binary"
+    )
+    sig2 = {r.media_id: r.vfp for r in mm.video_fingerprint(media2).collect()}
+    assert sig2[99] == sigs[14]
+
+
+def test_video_fingerprint_matches_pure_python(spark):
+    """Decode-parity: the mapInPandas fingerprint (through the real
+    RIFF/AVI movi walk) equals a pure-Python recomputation from the
+    deterministic pixel formula — pinning synthesis and decode
+    against each other, the audio/image twin test."""
+    from palegislature_spark.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    media = mm.avi_media_from_text(docs)
+    got = {r.media_id: r.vfp for r in mm.video_fingerprint(media).collect()}
+
+    def pixels_of(text):
+        reps = 963 // max(len(text), 1) + 1
+        base = (text * reps)[:963]
+        s = base + " " * (963 - len(base))
+        a = [ord(c) for c in s]
+        return [
+            (a[i] * 95 + a[i + 1] * 193 + a[i + 2] * 31 + a[i + 3]) % 256
+            for i in range(960)
+        ]
+
+    def fp(px):
+        pcs = []
+        for i in range(60):
+            f = px[i * 16:i * 16 + 8]  # sampled frame i = payload frame 2i
+            tot = sum(f)
+            pcs.append(sum(1 for p in f if 8 * p > tot))
+        t = sum(pcs)
+        return sum(1 << i for i, pc in enumerate(pcs) if 60 * pc > t)
+
+    for r in docs.select("doc_id", "text").collect():
+        px = pixels_of(r.text)
+        assert got[r.doc_id * 2] == fp(px)
+        if r.doc_id % 7 == 0:
+            v = (px[48:56] + [255 - p for p in px[8:16]] + px[32:40]
+                 + px[24:32] + px[16:24] + px[40:48] + px[0:8] + px[56:])
+            assert got[r.doc_id * 2 + 1] == fp(v)
+
+
+def test_binary_video_fingerprint_planted_pairs_found(spark):
+    """Registry-query end-to-end: every planted (base, variant) pair
+    surfaces at hamming <= 4, and the banding rung does not change
+    the output (band-invariance, as for the image/audio families)."""
+    from palegislature_spark.operators.dedup import hamming_pairs
+    from palegislature_spark.catalog import load
+    from palegislature_spark.queries.text import binary_video_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    out = binary_video_fingerprint(spark, sf).collect()
+    pairs = {(r.id_1, r.id_2): r.hamming for r in out}
+    docs = load(spark, sf, "documents")
+    planted = [
+        (r.doc_id * 2, r.doc_id * 2 + 1)
+        for r in docs.filter("doc_id % 7 = 0").select("doc_id").collect()
+    ]
+    assert planted, "fixture must plant variants"
+    for p in planted:
+        assert p in pairs and pairs[p] <= 4, p
+
+    sigs = mm.video_fingerprint(mm.avi_media_from_text(docs))
+    rung1 = set(
+        (r.id_1, r.id_2, r.hamming)
+        for r in hamming_pairs(
+            sigs, "media_id", "vfp", max_hamming=6, band_chunks=1
+        ).collect()
+    )
+    rung2 = set(
+        (r.id_1, r.id_2, r.hamming)
+        for r in hamming_pairs(
+            sigs, "media_id", "vfp", max_hamming=6, band_chunks=2
+        ).collect()
+    )
+    assert rung1 == rung2
+    assert set((r.id_1, r.id_2, r.hamming) for r in out) == rung1
