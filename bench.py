@@ -88,6 +88,8 @@ HEADLINE = [
     "ann_int8_recall",
     "audit_profile_wide",
     "binary_audio_fingerprint",
+    "audit_hot_buckets",
+    "binary_video_fingerprint",
 ]
 
 

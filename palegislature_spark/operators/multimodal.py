@@ -249,11 +249,22 @@ class _PngCodec:
         }
 
     def gray_pixels(self, payload: bytes) -> list[int]:
+        import numpy as np
+
         w, h, ch, _color, px = self._decode(payload)
-        return [
-            self._gray(tuple(px[i * ch : i * ch + ch]), ch)
-            for i in range(w * h)
-        ]
+        a = (
+            np.frombuffer(bytes(px), dtype=np.uint8)
+            .astype(np.int64)
+            .reshape(w * h, ch)
+        )
+        if ch <= 2:  # gray / gray+alpha: luminance is the first band
+            return a[:, 0].tolist()
+        # the same exact integer ITU-R 601-2 transform as _gray,
+        # vectorized (VERDICT r11 #5)
+        return (
+            (a[:, 0] * 19595 + a[:, 1] * 38470 + a[:, 2] * 7471 + 0x8000)
+            >> 16
+        ).tolist()
 
     def resize(self, payload: bytes, w: int, h: int) -> bytes:
         sw, sh, ch, color, px = self._decode(payload)
@@ -769,30 +780,52 @@ def image_ahash(df: DataFrame, codec=None) -> DataFrame:
     )
     codec = codec or _codec()
 
-    def ahash_of(payload: bytes) -> int:
-        px = codec.gray_pixels(payload)
-        n = len(px)
-        if n == 0:
-            return 0
-        total = sum(px)
-        h = 0
-        for i, p in enumerate(px[:AHASH_BITS]):
-            if n * p > total:
-                h |= 1 << i
-        return h
-
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
+            # decode through the codec seam, then vectorize the bit
+            # math across the batch per pixel-count group (VERDICT
+            # r11 #5): one (B, n) integer matrix comparison instead
+            # of a per-pixel Python loop; _ahash_py is the
+            # equality-tested twin
+            pxs = [codec.gray_pixels(bytes(p)) for p in pdf["payload"]]
+            sigs = [0] * len(pxs)
+            groups: dict[int, list[int]] = {}
+            for ix, px in enumerate(pxs):
+                if px:
+                    groups.setdefault(len(px), []).append(ix)
+            for ln, idxs in groups.items():
+                mat = np.array([pxs[i] for i in idxs], dtype=np.int64)
+                tot = mat.sum(axis=1, keepdims=True)
+                bits = (ln * mat[:, :AHASH_BITS]) > tot
+                vals = (
+                    bits.astype(np.int64)
+                    << np.arange(bits.shape[1], dtype=np.int64)
+                ).sum(axis=1)
+                for i, v in zip(idxs, vals):
+                    sigs[i] = int(v)
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "ahash": [ahash_of(bytes(p)) for p in pdf["payload"]],
-                }
+                {"media_id": pdf["media_id"], "ahash": sigs}
             )
 
     return df.select("media_id", "payload").mapInPandas(gen, out_schema)
+
+
+def _ahash_py(px: list, n_bits: int = AHASH_BITS) -> int:
+    """Pure-Python aHash twin of the vectorized kernel in
+    :func:`image_ahash` — the property-test reference (the
+    arrow-vs-expression equality idiom)."""
+    n = len(px)
+    if n == 0:
+        return 0
+    total = sum(px)
+    h = 0
+    for i, p in enumerate(px[:n_bits]):
+        if n * p > total:
+            h |= 1 << i
+    return h
 
 
 def wav_media_from_text(
@@ -922,32 +955,59 @@ def audio_fingerprint(
         ]
     )
 
-    def fp_of(payload: bytes) -> int:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            pcm = w.readframes(w.getnframes())
-        energies = []
-        for i in range(frames):
-            seg = pcm[i * frame_len:(i + 1) * frame_len]
-            energies.append(sum((b - 128) * (b - 128) for b in seg))
-        total = sum(energies)
-        h = 0
-        for i, e in enumerate(energies):
-            if frames * e > total:
-                h |= 1 << i
-        return h
+    n = frames * frame_len
 
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "afp": [fp_of(bytes(p)) for p in pdf["payload"]],
-                }
-            )
+            # stdlib wave decode per payload (the real path), then ONE
+            # vectorized (B, frames, frame_len) energy/bit computation
+            # for the whole Arrow batch (VERDICT r11 #5).  Padding
+            # with 128 is exact: a 128 sample has zero energy, which
+            # is precisely what the per-slice Python twin
+            # (_audio_fp_py) computes for bytes past the payload.
+            mats = []
+            for p in pdf["payload"]:
+                with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                    pcm = w.readframes(w.getnframes())
+                arr = np.frombuffer(pcm[:n], dtype=np.uint8).astype(np.int64)
+                if arr.size < n:
+                    arr = np.pad(arr, (0, n - arr.size), constant_values=128)
+                mats.append(arr)
+            if mats:
+                d = np.stack(mats).reshape(len(mats), frames, frame_len) - 128
+                e = (d * d).sum(axis=2)
+                tot = e.sum(axis=1, keepdims=True)
+                bits = frames * e > tot
+                sigs = [
+                    int(v)
+                    for v in (
+                        bits.astype(np.int64)
+                        << np.arange(frames, dtype=np.int64)
+                    ).sum(axis=1)
+                ]
+            else:
+                sigs = []
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": sigs})
 
     return df.select("media_id", "payload").mapInPandas(gen, out_schema)
+
+
+def _audio_fp_py(pcm: bytes, frames: int = 60, frame_len: int = 4) -> int:
+    """Pure-Python frame-energy twin of the vectorized kernel in
+    :func:`audio_fingerprint` — the property-test reference."""
+    energies = []
+    for i in range(frames):
+        seg = pcm[i * frame_len:(i + 1) * frame_len]
+        energies.append(sum((b - 128) * (b - 128) for b in seg))
+    total = sum(energies)
+    h = 0
+    for i, e in enumerate(energies):
+        if frames * e > total:
+            h |= 1 << i
+    return h
 
 
 def _avi_of(frames_list: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
@@ -1128,30 +1188,60 @@ def video_fingerprint(
         ]
     )
 
-    def fp_of(payload: bytes) -> int:
-        fr = _avi_frames(bytes(payload))[::every_n][:n_bits]
-        pcs = []
-        for f in fr:
-            npx = len(f)
-            tot = sum(f)
-            pcs.append(sum(1 for p in f if npx * p > tot))
-        total = sum(pcs)
-        ns = len(pcs)
-        h = 0
-        for i, pc in enumerate(pcs):
-            if ns * pc > total:
-                h |= 1 << i
-        return h
-
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "vfp": [fp_of(p) for p in pdf["payload"]],
-                }
-            )
+            # real movi-walk decode per payload, then ONE vectorized
+            # (B, ns, fb) popcount/bit computation per uniform shape
+            # group (VERDICT r11 #5); payloads with ragged frame
+            # shapes fall back to the pure-Python twin (_video_fp_py),
+            # which is also the property-test reference
+            sampled = [
+                _avi_frames(bytes(p))[::every_n][:n_bits]
+                for p in pdf["payload"]
+            ]
+            sigs = [0] * len(sampled)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for ix, fr in enumerate(sampled):
+                if fr and all(len(f) == len(fr[0]) for f in fr):
+                    groups.setdefault((len(fr), len(fr[0])), []).append(ix)
+                elif fr:
+                    sigs[ix] = _video_fp_py(fr)
+            for (ns, fb), idxs in groups.items():
+                mat = np.frombuffer(
+                    b"".join(b"".join(sampled[i]) for i in idxs),
+                    dtype=np.uint8,
+                ).astype(np.int64).reshape(len(idxs), ns, fb)
+                tot = mat.sum(axis=2)
+                pcs = (fb * mat > tot[:, :, None]).sum(axis=2)
+                ptot = pcs.sum(axis=1, keepdims=True)
+                bits = ns * pcs > ptot
+                vals = (
+                    bits.astype(np.int64)
+                    << np.arange(ns, dtype=np.int64)
+                ).sum(axis=1)
+                for i, v in zip(idxs, vals):
+                    sigs[i] = int(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "vfp": sigs})
 
     return df.select("media_id", "payload").mapInPandas(gen, out_schema)
+
+
+def _video_fp_py(fr: list, n_bits: int = 60) -> int:
+    """Pure-Python sampled-frame twin of the vectorized kernel in
+    :func:`video_fingerprint` (also the ragged-shape fallback) — the
+    property-test reference."""
+    pcs = []
+    for f in fr[:n_bits]:
+        npx = len(f)
+        tot = sum(f)
+        pcs.append(sum(1 for p in f if npx * p > tot))
+    total = sum(pcs)
+    ns = len(pcs)
+    h = 0
+    for i, pc in enumerate(pcs):
+        if ns * pc > total:
+            h |= 1 << i
+    return h

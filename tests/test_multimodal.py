@@ -661,3 +661,68 @@ def test_binary_video_fingerprint_planted_pairs_found(spark):
     )
     assert rung1 == rung2
     assert set((r.id_1, r.id_2, r.hamming) for r in out) == rung1
+
+
+def test_vectorized_fingerprints_equal_python_twins_on_edge_shapes(spark):
+    """VERDICT r11 #5 (codec-seam vectorization): the numpy batch
+    kernels must equal the pure-Python twins bit-for-bit on edge
+    payloads — short audio (128-padding must be exact), empty audio,
+    images of different sizes in ONE batch, and ragged video frames
+    (the per-payload fallback path)."""
+    import io
+    import wave as wave_mod
+
+    def wav_of(samples: bytes) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(samples)
+        return buf.getvalue()
+
+    # audio: full, short (partial last frame), very short, empty, long
+    pcms = [
+        bytes((i * 37 + 5) % 256 for i in range(240)),
+        bytes((i * 11 + 9) % 256 for i in range(93)),
+        b"\x05\xf0",
+        b"",
+        bytes((i * 7) % 256 for i in range(300)),
+    ]
+    media = spark.createDataFrame(
+        [(i, wav_of(p)) for i, p in enumerate(pcms)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.afp for r in mm.audio_fingerprint(media).collect()}
+    for i, p in enumerate(pcms):
+        assert got[i] == mm._audio_fp_py(p), f"audio payload {i}"
+
+    # images: two sizes in one batch (per-size vectorized groups)
+    pix_a = bytes((i * 13 + 3) % 256 for i in range(60))
+    pix_b = bytes((i * 29 + 1) % 256 for i in range(24))
+    imgs = spark.createDataFrame(
+        [
+            (0, mm._PngCodec.encode(10, 6, 0, pix_a)),
+            (1, mm._PngCodec.encode(4, 6, 0, pix_b)),
+        ],
+        "media_id long, payload binary",
+    )
+    codec = mm._PngCodec()
+    got_i = {r.media_id: r.ahash for r in mm.image_ahash(imgs, codec=codec).collect()}
+    assert got_i[0] == mm._ahash_py(list(pix_a))
+    assert got_i[1] == mm._ahash_py(list(pix_b))
+
+    # video: uniform payload + ragged payload (frame sizes differ ->
+    # pure-Python fallback) in one batch
+    uni = [bytes((f * 8 + j) % 256 for j in range(8)) for f in range(120)]
+    ragged = [
+        bytes((f * 5 + j) % 256 for j in range(8 if f % 3 else 6))
+        for f in range(20)
+    ]
+    vids = spark.createDataFrame(
+        [(0, mm._avi_of(uni, 4, 2)), (1, mm._avi_of(ragged, 4, 2))],
+        "media_id long, payload binary",
+    )
+    got_v = {r.media_id: r.vfp for r in mm.video_fingerprint(vids).collect()}
+    assert got_v[0] == mm._video_fp_py(uni[::2][:60])
+    assert got_v[1] == mm._video_fp_py(ragged[::2][:60])
