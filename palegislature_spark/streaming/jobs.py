@@ -1051,6 +1051,7 @@ def minhash_index_stream(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 16,
+    max_deltas: int | None = None,
 ) -> "StreamingQuery":
     """Streaming ingest leg of the persisted MinHash index lifecycle
     (operators/dedup.py save -> append xN -> compact): every ingest
@@ -1084,17 +1085,32 @@ def minhash_index_stream(
     an empty delta namespace (run ``compact_minhash_index`` first,
     which folds and GCs all committed deltas) or source data disjoint
     from what the old stream committed.
+
+    ``max_deltas`` (opt-in) bounds read amplification: every committed
+    delta a reader must union adds a directory to each probe's scan,
+    so probe latency grows with the uncompacted-delta count (the
+    measured curve is the ``ivf_probe_deltas_*`` bench rows).  When
+    the unfolded count exceeds the threshold after an append, the sink
+    runs ``compact_minhash_index`` inline — safe under the
+    single-writer contract above, and folded batches stay no-ops on
+    replay via the ``_FOLDED`` high-water.
     """
     from palegislature_spark.operators.dedup import (
         append_minhash_index_delta,
+        compact_minhash_index,
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         append_minhash_index_delta(
-            batch.sparkSession, path, batch, batch_id,
+            spark, path, batch, batch_id,
             id_col=id_col, text_col=text_col,
             n=n, num_hashes=num_hashes, bands=bands,
         )
+        if max_deltas is not None and _unfolded_minhash_deltas(
+            spark, path
+        ) > max_deltas:
+            compact_minhash_index(spark, path)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -1109,6 +1125,7 @@ def ivf_index_stream(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_deltas: int | None = None,
 ) -> "StreamingQuery":
     """Streaming ingest leg of the persisted IVF index
     (operators/similarity.py save_ivf_index -> ivf_append xN): every
@@ -1137,13 +1154,20 @@ def ivf_index_stream(
     index was saved with ``meta_cols``, the stream's rows must carry
     those columns; ``ivf_append_delta`` raises otherwise rather than
     write NULL metadata that filtered serving would silently drop."""
-    from palegislature_spark.operators.similarity import ivf_append_delta
+    from palegislature_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_append_delta,
+    )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         ivf_append_delta(
-            batch.sparkSession, path, batch, batch_id,
-            id_col=id_col, vec_col=vec_col,
+            spark, path, batch, batch_id, id_col=id_col, vec_col=vec_col,
         )
+        if max_deltas is not None and _unfolded_ivf_deltas(
+            spark, path
+        ) > max_deltas:
+            compact_ivf_index(spark, path)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -1153,11 +1177,46 @@ def ivf_index_stream(
     )
 
 
+def _unfolded_minhash_deltas(spark, path: str) -> int:
+    """Committed MinHash deltas the current generation has not folded
+    — the reader's union width, the auto-compaction trigger metric."""
+    from palegislature_spark.operators.dedup import (
+        _band_gen_current,
+        _committed_delta_ids,
+        _folded_high_water,
+    )
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    base = path.rstrip("/")
+    gen = _band_gen_current(spark, base)
+    fs, HPath = _hadoop_fs(spark, base)
+    fw = _folded_high_water(fs, HPath, f"{base}/gen-{gen:06d}")
+    return sum(1 for d in _committed_delta_ids(fs, HPath, base) if d > fw)
+
+
+def _unfolded_ivf_deltas(spark, path: str) -> int:
+    """Committed IVF deltas not folded into assignments — the
+    reader's union width, the auto-compaction trigger metric."""
+    from palegislature_spark.operators.similarity import (
+        _ivf_committed_delta_ids,
+        _ivf_folded_high_water,
+    )
+    from palegislature_spark.sources.merge import _hadoop_fs
+
+    base = path.rstrip("/")
+    fs, HPath = _hadoop_fs(spark, base)
+    fw = _ivf_folded_high_water(fs, HPath, f"{base}/assignments")
+    return sum(
+        1 for d in _ivf_committed_delta_ids(fs, HPath, base) if d > fw
+    )
+
+
 def ivfpq_index_stream(
     stream: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_deltas: int | None = None,
 ) -> "StreamingQuery":
     """Streaming ingest leg of the persisted IVFPQ index (VERDICT r11
     #1): every window is BOTH filed into its IVF list
@@ -1178,19 +1237,31 @@ def ivfpq_index_stream(
     ``save_pq_index`` on the SAME base path; centroids and codebooks
     stay frozen across windows (re-train offline, then re-encode).
     Single stream per index path with a stable checkpoint, as with
-    ``ivf_index_stream``."""
-    from palegislature_spark.operators.pq import pq_encode_delta
-    from palegislature_spark.operators.similarity import ivf_append_delta
+    ``ivf_index_stream``; ``max_deltas`` auto-compacts BOTH sides
+    past the unfolded-delta threshold (the read-amplification bound —
+    see ``minhash_index_stream``)."""
+    from palegislature_spark.operators.pq import (
+        compact_pq_codes,
+        pq_encode_delta,
+    )
+    from palegislature_spark.operators.similarity import (
+        compact_ivf_index,
+        ivf_append_delta,
+    )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         ivf_append_delta(
-            batch.sparkSession, path, batch, batch_id,
-            id_col=id_col, vec_col=vec_col,
+            spark, path, batch, batch_id, id_col=id_col, vec_col=vec_col,
         )
         pq_encode_delta(
-            batch.sparkSession, path, batch, batch_id,
-            id_col=id_col, vec_col=vec_col,
+            spark, path, batch, batch_id, id_col=id_col, vec_col=vec_col,
         )
+        if max_deltas is not None and _unfolded_ivf_deltas(
+            spark, path
+        ) > max_deltas:
+            compact_ivf_index(spark, path)
+            compact_pq_codes(spark, path)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -1377,3 +1377,69 @@ def test_ivfpq_index_stream_ranks_streamed_vectors(spark, tmp_path):
     assert got() == want
     res = serve(9999, [v for v in dict(w2)[200]])
     assert 200 in {r.neighbor_id for r in res.collect()}
+
+
+def test_index_streams_auto_compact_past_max_deltas(spark, tmp_path):
+    """VERDICT r11 #6: max_deltas bounds read amplification — after
+    each window the sink compacts when the unfolded-delta count
+    exceeds the threshold, so the reader's union width stays bounded
+    while the loaded index stays exactly equal to the unbounded
+    twin's.  Checked for both the IVF and IVFPQ streams (the IVFPQ
+    leg must fold BOTH sides)."""
+    import os
+
+    from palegislature_spark.operators.pq import (
+        load_pq_index,
+        pq_encode,
+        save_pq_index,
+    )
+    from palegislature_spark.operators.similarity import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from palegislature_spark.streaming.jobs import _unfolded_ivf_deltas
+
+    def vec(i, shift):
+        return (i, [float((i * 7 + j) % 13) / 13.0 + shift for j in range(8)])
+
+    schema = "vec_id long, embedding array<double>"
+    base_vecs = [vec(i, 0.0) for i in range(40)]
+    windows = [
+        [vec(100 * (w + 1) + i, 0.1 * (w + 1)) for i in range(4)]
+        for w in range(3)
+    ]
+    idx = str(tmp_path / "auto_idx")
+    corpus = spark.createDataFrame(base_vecs, schema)
+    save_ivf_index(corpus, idx, n_lists=4, refine_iters=1)
+    save_pq_index(corpus, idx, m=4, k=8)
+
+    d = tmp_path / "auto_stream"
+    sschema = spark.createDataFrame([], schema).schema
+    for w in windows:
+        spark.createDataFrame(w, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        q = streaming.ivfpq_index_stream(
+            streaming.read_stream(spark, str(d), sschema), idx,
+            max_deltas=1,
+        )
+        drain(q)
+
+    # the reader's union width stayed bounded by the threshold
+    assert _unfolded_ivf_deltas(spark, idx) <= 1
+    n_dirs = [f for f in os.listdir(idx) if f.startswith("delta-")]
+    assert len(n_dirs) <= 1
+    # and the state equals the unbounded composition
+    streamed = [v for w in windows for v in w]
+    _, assigns = load_ivf_index(spark, idx)
+    assert sorted(r.vec_id for r in assigns.collect()) == sorted(
+        [v[0] for v in base_vecs] + [v[0] for v in streamed]
+    )
+    cb, codes = load_pq_index(spark, idx)
+    full = spark.createDataFrame(base_vecs + streamed, schema)
+    want = sorted(
+        (r.vec_id, tuple(r.codes)) for r in pq_encode(full, cb).collect()
+    )
+    assert sorted(
+        (r.vec_id, tuple(r.codes)) for r in codes.collect()
+    ) == want
