@@ -167,7 +167,11 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 20 vec_ids, candidate ranking. Ends at the `ranked` CTE, no trailing
 # comma, so consumers append either the final SELECT (_IVF_ORACLE) or
 # further CTEs (_RECALL_ORACLE).
-_IVF_CTES = """
+# Base chain through qprobe (query-to-list ranks over ALL lists) so
+# tails can pick their own probe depth: _IVF_CTES pins r <= 2 (the
+# serving rung every oracle-pinned query uses); the n_probe sweep
+# oracle parameterizes it with a VALUES table instead.
+_IVF_BASE_CTES = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 -- mix31(vec_id): the shared 31-bit xorshift-multiply hash
 -- (operators/similarity.py _mix31), replayed as plain SQL.
@@ -221,7 +225,9 @@ qprobe AS (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.list_id) AS r
   FROM emb e CROSS JOIN refined c WHERE e.vec_id < 20
-),
+)"""
+
+_IVF_CTES = _IVF_BASE_CTES + """,
 probes AS (SELECT query_id, qv, list_id FROM qprobe WHERE r <= 2),
 pairs AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -363,6 +369,119 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = similarity.brute_force_topk(emb, queries, k=5)
     return similarity.recall_vs_exact(approx, exact)
+
+
+# Recall/cost grid across probe depths (VERDICT r11 #9): the same
+# base chain, with the probe rank parameterized by a VALUES table so
+# ONE query emits every rung of the tuning curve.
+_PROBE_SWEEP_ORACLE = _IVF_BASE_CTES + """,
+nps(np) AS (VALUES (1), (2), (4), (8)),
+pairs AS (
+  SELECT n.np, p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, a.v) AS cos
+  FROM nps n
+  JOIN qprobe p ON p.r <= n.np
+  JOIN assignments2 a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT np, query_id, neighbor_id,
+         row_number() OVER (PARTITION BY np, query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+),
+approx AS (SELECT np, query_id, neighbor_id FROM ranked WHERE rank <= 5),
+bpairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM emb q JOIN emb e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
+),
+branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM bpairs
+),
+exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+SELECT CAST(n.np AS BIGINT) AS n_probe,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS exact_k,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall,
+       CAST((SELECT count(*) FROM pairs pp WHERE pp.np = n.np) AS BIGINT)
+         AS n_candidates
+FROM nps n
+CROSS JOIN exact e
+LEFT JOIN approx a ON a.np = n.np AND a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id
+GROUP BY n.np
+"""
+
+
+@register(
+    "ann_probe_sweep",
+    covers="similarity-search extension: recall-vs-n_probe tuning grid "
+    "(VERDICT r11 #9) — ONE plan emits (n_probe, hits, exact_k, "
+    "recall, n_candidates) for n_probe in {1,2,4,8} over the shared "
+    "panel, turning the last manual IVF tuning loop into a measured "
+    "table; the oracle parameterizes the shared IVF CTE chain's probe "
+    "rank with a VALUES table",
+    oracle=_PROBE_SWEEP_ORACLE.format(n_lists=_SQRT_LISTS),
+)
+def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost grid an IVF deployment tunes n_probe against.
+
+    The index is built ONCE (ivf_assignments, exact-replay fold for
+    the oracle; lazily localCheckpointed so the four serve legs share
+    one computed assignment set instead of re-clustering per rung),
+    the exact leg runs ONCE, and each rung contributes (a) the
+    recall_vs_exact measurement of its ivf_probe serve and (b) its
+    candidate-pair count — the actual cost axis: candidates scale
+    with n_probe/n_lists while recall saturates, and this table is
+    where the knee shows up.  Output: 4 rows however large the
+    corpus; the exact leg is the audit's entire cost, as with
+    ann_recall_audit."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents, assigns = similarity.ivf_assignments(
+        emb, n_lists=None, refine_iters=1, exact_replay=True
+    )
+    cents = cents.localCheckpoint(eager=False)
+    assigns = assigns.localCheckpoint(eager=False)
+    exact = similarity.brute_force_topk(emb, queries, k=5).localCheckpoint(
+        eager=False
+    )
+    legs = []
+    for np_ in (1, 2, 4, 8):
+        rec = similarity.recall_vs_exact(
+            similarity.ivf_probe(cents, assigns, queries, k=5, n_probe=np_),
+            exact,
+        )
+        agg = rec.agg(
+            F.sum("hits").cast("long").alias("hits"),
+            F.sum("exact_k").cast("long").alias("exact_k"),
+        ).select(
+            F.lit(np_).cast("long").alias("n_probe"),
+            "hits",
+            "exact_k",
+            (F.col("hits").cast("double") / F.col("exact_k")).alias(
+                "recall"
+            ),
+        )
+        cand = (
+            similarity.probe_lists(cents, queries, n_probe=np_)
+            .select("query_id", "list_id")
+            .join(
+                assigns.select(F.col("vec_id").alias("neighbor_id"), "list_id"),
+                "list_id",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        legs.append(agg.crossJoin(cand))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 # CTE chain shared by every PQ oracle (the _IVF_CTES composition
