@@ -659,6 +659,15 @@ def hamming_pairs(
     chunked = hamming_band_keys(
         sig, id_col, hash_col, max_hamming, n_bits, min_chunks, band_chunks
     )
+    # Both sides of the candidate self-join derive from `chunked` with
+    # DIFFERENT projections, so exchange reuse never fires and the whole
+    # signature subtree (for the multimodal callers: synthesis + real
+    # codec decode + fingerprint) executes TWICE per action.  One lazy
+    # checkpoint of the band-key frame — C(m,j) small-int rows per id,
+    # output-shaped like minhash_lsh_pairs' `cand` — halves that
+    # (guide §2.4: two consumers, one computation; measured 2.9s -> 1.7s
+    # on binary_video_fingerprint at sf0.1).
+    chunked = chunked.localCheckpoint(eager=False)
     key_cols = ["band"] + [f"v{t + 1}" for t in range(band_chunks)]
     if max_bucket is not None:
         chunked = _drop_hot_buckets(chunked, key_cols, max_bucket)

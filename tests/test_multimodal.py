@@ -726,3 +726,29 @@ def test_vectorized_fingerprints_equal_python_twins_on_edge_shapes(spark):
     got_v = {r.media_id: r.vfp for r in mm.video_fingerprint(vids).collect()}
     assert got_v[0] == mm._video_fp_py(uni[::2][:60])
     assert got_v[1] == mm._video_fp_py(ragged[::2][:60])
+
+
+def test_kr_mix_np_equals_py():
+    """The vectorized Karp-Rabin mix is byte-identical to the per-char
+    Python twin on every window shape the synthesis seams build:
+    ASCII, high codepoints (utf-32 decode == ord), short/empty text
+    after pad/cyclic fill, and both window lengths (60 png / 240 wav /
+    960 avi)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 30,
+        "",
+        "a",
+        "naïve café — ünïcödé \U0001F600\U0010FFFF mixed in",
+        " " * 7,
+        "x" * 5000,
+    ]
+    for n in (60, 240, 960):
+        for t in texts:
+            # png-style space pad
+            s_pad = (t + " " * (n + 3))[: n + 3]
+            assert mm._kr_mix_np(s_pad, n) == mm._kr_mix_py(s_pad, n)
+            # wav/avi-style cyclic fill
+            reps = (n + 3) // max(len(t), 1) + 1
+            base = (t * reps)[: n + 3]
+            s_cyc = base + " " * (n + 3 - len(base))
+            assert mm._kr_mix_np(s_cyc, n) == mm._kr_mix_py(s_cyc, n)
