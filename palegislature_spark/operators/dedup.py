@@ -379,6 +379,13 @@ def minhash_lsh_pairs(
     band_key = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
     )
+    # b1/b2 below are DIFFERENT projections of this frame, so exchange
+    # reuse never fires and the shingle+signature pipeline would run
+    # twice inside the candidate join alone (guide §2.4: two consumers,
+    # one computation).  The frame is narrow — `bands` rows of three
+    # longs per id — so one lazy checkpoint halves the expensive pass
+    # (measured 2.6s -> 1.9s on dedup_minhash_lsh at sf0.1).
+    band_key = band_key.localCheckpoint(eager=False)
     if max_bucket is not None:
         band_key = _drop_hot_buckets(
             band_key, ["band", "band_key"], max_bucket
@@ -402,7 +409,16 @@ def minhash_lsh_pairs(
         .union(cand.select("id_2"))
         .distinct()
     )
-    sh_pruned = sh.join(cand_ids, id_col, "left_semi")
+    # _pair_jaccard consumes its input THREE ways (two join sides plus
+    # the per-id size aggregate, which the planner additionally copies
+    # for c1/c2) — without a checkpoint the scan+shingle+semi-join
+    # subtree executes 4x per action (counted in the captured physical
+    # plan, plans/r12/dedup_minhash_lsh_before.txt).  The pruned
+    # shingle set is candidate-bounded, so materializing it once is
+    # cheap while each recomputation is a full corpus shingle pass.
+    sh_pruned = sh.join(cand_ids, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
     verified = _pair_jaccard(sh_pruned, id_col).join(cand, ["id_1", "id_2"], "left_semi")
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -1043,6 +1059,11 @@ def minhash_lsh_pairs_incremental(
     new_keys = minhash_index(
         new_docs, id_col, text_col, n, num_hashes, bands
     )
+    # k1/k2 are different projections of the batch key frame — one
+    # lazy checkpoint keeps the batch shingle+signature pipeline from
+    # running twice in the candidate join (guide §2.4; the
+    # minhash_lsh_pairs band_key discipline).
+    new_keys = new_keys.localCheckpoint(eager=False)
     k1 = new_keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     k2 = new_keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     old = index.select(F.col(id_col).alias("id_b"), "band", "band_key")
@@ -1065,9 +1086,11 @@ def minhash_lsh_pairs_incremental(
     touched = new_docs.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
     )
+    # candidate-bounded, consumed 4x by _pair_jaccard — the
+    # minhash_lsh_pairs sh_pruned discipline
     sh = hashed_shingles(
         touched.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
-    )
+    ).localCheckpoint(eager=False)
     verified = _pair_jaccard(sh, id_col).join(
         cand, ["id_1", "id_2"], "left_semi"
     )
