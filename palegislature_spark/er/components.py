@@ -50,15 +50,29 @@ def connected_components(
         .agg(F.min("b").alias("comp"))
         .localCheckpoint()
     )
+    # Per-round join shape (guide §2.4/§3.1, the pagerank r12 gate):
+    # the label table is VERTEX-sized, the edge list EDGE-sized, and
+    # checkpointed frames carry no stats, so the planner sort-merge-
+    # joins — re-shuffling `sym` on `b` EVERY round.  Below the gate
+    # (vertices = near-dup doc ids, a table of two longs per vertex)
+    # broadcast the label side so `sym` is never shuffled; above it,
+    # hash-partition `sym` by the join key ONCE so every round reuses
+    # that one exchange.  Join strategy never changes join results —
+    # min-label propagation is order-free.
+    n_vertices = labels.count()
+    small_labels = n_vertices <= int(2e6)
+    if not small_labels:
+        sym = sym.repartition("b").localCheckpoint()
+    _bcast = F.broadcast if small_labels else (lambda df: df)
     for _ in range(max_iterations):
         # propagate: candidate label for a = min over neighbors' labels
         neighbor_labels = (
-            sym.join(labels.withColumnRenamed("a", "b"), "b")
+            sym.join(_bcast(labels.withColumnRenamed("a", "b")), "b")
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
         new_labels = (
-            labels.join(neighbor_labels, "a", "left")
+            labels.join(_bcast(neighbor_labels), "a", "left")
             .select(
                 "a",
                 F.least(
@@ -69,7 +83,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "a")
+            .join(_bcast(labels.alias("o")), "a")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .limit(1)
             .count()

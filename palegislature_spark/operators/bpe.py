@@ -61,6 +61,46 @@ def _pairs():
     ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
 
 
+# --- boundary-wrapped string representation of a symbol sequence ----
+#
+# The DuckDB oracle replays every merge as a string replace over
+# \x01<sym>\x02-wrapped symbols (queries/text.py _bpe_oracle) — and its
+# hash-equality against the Spark fold is the standing proof the two
+# constructions agree.  r12 adopts the SAME construction on the Spark
+# side (guide §4.1, prefer built-ins): one native string `replace` per
+# merge instead of an interpreted per-element `aggregate` fold that
+# copies the symbol array once per element.  Words that themselves
+# contain \x01/\x02 cannot use the wrapped form (the delimiter would
+# collide); training excludes them outright (`vocabulary`), and
+# `apply_bpe` routes them through the fold twin, so observable results
+# are bit-identical everywhere.
+
+_SYM_PAT = "\x01([^\x01]*)\x02"
+
+
+def _wrap(col):
+    """'abc' -> '\\x01a\\x02\\x01b\\x02\\x01c\\x02' (one code point per
+    symbol — the oracle's chr(1)||c||chr(2) wrap, as one native
+    regexp_replace)."""
+    return F.regexp_replace(col, "(?s)(.)", "\x01$1\x02")
+
+
+def _replace_merge(scol, a: str, b: str):
+    """Apply merge (a,b) -> ab on the wrapped form: Java's replace is
+    left-to-right non-overlapping, exactly the published BPE fold
+    semantics (and exactly DuckDB's replace — the oracle equivalence)."""
+    return F.replace(
+        scol,
+        F.lit(f"\x01{a}\x02\x01{b}\x02"),
+        F.lit(f"\x01{a + b}\x02"),
+    )
+
+
+def _unwrap_toks(scol):
+    """Wrapped form back to the symbol array."""
+    return F.regexp_extract_all(scol, F.lit(_SYM_PAT), 1)
+
+
 def vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, cnt): distinct whitespace tokens with corpus frequencies.
 
@@ -137,9 +177,13 @@ def bpe_merge_table(
     shrink ~merge_batch-fold while each stays two jobs.
     """
     spark = docs.sparkSession
+    # training vocabulary excludes \x01/\x02 words (`vocabulary`), so
+    # every word round-trips the oracle's boundary-wrapped string form:
+    # each round's merge is ONE native string replace instead of an
+    # interpreted per-symbol aggregate fold (r12; see the wrap helpers)
     words = (
         vocabulary(docs, text_col)
-        .withColumn("syms", F.split("w", ""))
+        .withColumn("s", _wrap(F.col("w")))
         .localCheckpoint()
     )
     merges: list[tuple] = []
@@ -147,7 +191,8 @@ def bpe_merge_table(
         want = n_merges - len(merges)
         batch = min(merge_batch, want)
         ranked = (
-            words.select("cnt", F.explode(_pairs()).alias("p"))
+            words.select("cnt", _unwrap_toks(F.col("s")).alias("syms"))
+            .select("cnt", F.explode(_pairs()).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), "a", "b")
@@ -159,11 +204,11 @@ def bpe_merge_table(
         if not ranked:
             break
         chosen = _batch_prefix(ranked, batch)
-        col = F.col("syms")
+        scol = F.col("s")
         for a, b, n in chosen:
             merges.append((len(merges) + 1, a, b, a + b, n))
-            col = _fold_syms(col, _make_step(a, b))
-        words = words.withColumn("syms", col).localCheckpoint()
+            scol = _replace_merge(scol, a, b)
+        words = words.withColumn("s", scol).localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
@@ -208,12 +253,25 @@ def apply_bpe(
         ).alias("pos", "w"),
     )
     vocab = word_pos.select("w").distinct()
-    col = F.split("w", "")
+    # fast path: the oracle-equivalent boundary-wrapped string replay —
+    # one native replace per rule.  A word containing \x01/\x02 would
+    # collide with the wrap delimiters, so those rows take the fold
+    # twin (the original interpreted construction); the conditional is
+    # evaluated per row and the untaken branch costs nothing at
+    # runtime.  Trained rule symbols never contain the control chars
+    # (vocabulary() excludes them), so the split is exhaustive.
+    scol = _wrap(F.col("w"))
+    fold_col = F.split("w", "")
     for a, b in rules:
+        scol = _replace_merge(scol, a, b)
         # PySpark's higher-order-function bridge inspects lambda
         # signatures (default args would read as extra lambda params),
         # so each rule's fold is built by a closure factory
-        col = _fold_syms(col, _make_step(a, b))
+        fold_col = _fold_syms(fold_col, _make_step(a, b))
+    col = F.when(
+        F.col("w").contains("\x01") | F.col("w").contains("\x02"),
+        fold_col,
+    ).otherwise(_unwrap_toks(scol))
     word_toks = vocab.select("w", col.alias("toks"))
     if broadcast_vocab:
         word_toks = F.broadcast(word_toks)

@@ -57,16 +57,38 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    # Join-strategy gate (guide §3.1 / §2.4): the rank and degree
+    # tables are NODE-sized while the edge list is EDGE-sized, yet the
+    # checkpointed frames carry no size stats, so the planner
+    # sort-merge-joins every round — shuffling the whole edge list on
+    # `src` once per iteration (captured in
+    # plans/r12/centrality_rank_suppliers_before.txt: one Exchange of
+    # `e` per round).  Gate on the actual node count (the decontam
+    # count-gated broadcast-flip precedent): below the threshold the
+    # node-sized tables broadcast and `e` is never shuffled at all
+    # (the one fundamental shuffle left per round is the map-side-
+    # combined groupBy(dst)); above it — the 100 TB graph — hash-
+    # partition `e` by `src` ONCE at build so every round's join and
+    # the degree aggregate reuse that exchange instead of repaying it
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange).  Both regimes compute identical values: the
+    # exact_replay fold is order-pinned by array_sort, and join
+    # strategy never changes join RESULTS.
+    n_nodes = nodes.count()
+    small_nodes = n_nodes <= int(2e6)
+    if not small_nodes:
+        e = e.repartition("src").localCheckpoint()
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .localCheckpoint()
     )
+    _bcast = F.broadcast if small_nodes else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e.join(_bcast(ranks.withColumnRenamed("node", "src")), "src")
+            .join(_bcast(deg), "src")
             .select("dst", "src", (F.col("rank") / F.col("deg")).alias("c"))
         )
         if exact_replay:
@@ -83,7 +105,7 @@ def pagerank(
         else:
             sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = nodes.join(
-            sums.withColumnRenamed("dst", "node"), "node", "left"
+            _bcast(sums.withColumnRenamed("dst", "node")), "node", "left"
         ).select(
             "node",
             (

@@ -111,7 +111,18 @@ def _codebook_literal(codebooks: DataFrame):
     one ``from_json`` literal column ``array<array<array<double>>>``
     indexed [sub_id][code_id-1][dim] — the ``max_cosine_vs_eval``
     literal-folding seam, so encode plans carry ONE folded constant
-    instead of m*k*dim expression nodes."""
+    instead of m*k*dim expression nodes.
+
+    The collect is memoized ON the codebooks frame: every PQ query
+    passes the same ``pq_codebooks`` handle to both the encode and the
+    serve operator, and each used to pay its own full-corpus
+    smallest-mix31 pick job at plan-build time (two driver jobs per
+    query for one constant — guide §1.2 step 1, don't compute things
+    twice).  The memo lives on the DataFrame object, so a different
+    codebooks frame can never see a stale literal."""
+    cached = getattr(codebooks, "_pq_cb_literal", None)
+    if cached is not None:
+        return cached
     rows = codebooks.select("sub_id", "code_id", "cvec").collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in rows:
@@ -123,7 +134,12 @@ def _codebook_literal(codebooks: DataFrame):
     lit = F.from_json(
         F.lit(json.dumps(nested)), "array<array<array<double>>>"
     )
-    return lit, m, len(nested[0]) if nested else 0
+    result = (lit, m, len(nested[0]) if nested else 0)
+    try:
+        codebooks._pq_cb_literal = result
+    except AttributeError:
+        pass
+    return result
 
 
 def pq_encode(

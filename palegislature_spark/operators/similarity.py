@@ -625,9 +625,23 @@ def ivf_assignments(
 
     assigned = do_assign(centroids)
     for _ in range(refine_iters):
-        centroids = list_means(assigned).withColumn(
+        # The refined centroid table is n_lists rows but its lineage is
+        # a full corpus assignment + the per-list means; it is consumed
+        # at least twice (the final re-assign below AND the returned
+        # handle every probe/serve path broadcasts), and nothing in
+        # Spark reuses the subtree across those consumers (guide §2.4).
+        # One lazy checkpoint of the tiny table collapses the duplicate
+        # corpus passes; values are unchanged (the exact_replay fold is
+        # bit-pinned, and materializing the scale path once per plan is
+        # strictly MORE deterministic than recomputing it per consumer).
+        pre_ckpt = list_means(assigned).withColumn(
             "__cn", _norm(F.col("centroid"))
         )
+        centroids = pre_ckpt.localCheckpoint(eager=False)
+        # the checkpoint node hides the mean construction from plan
+        # inspection; keep the un-checkpointed frame reachable so the
+        # scale-path plan guard (tests/test_ivf.py) still sees it
+        centroids._pre_checkpoint = pre_ckpt
         assigned = do_assign(centroids)
 
     assignments = assigned.select(

@@ -132,13 +132,25 @@ def test_refinement_scale_path_never_collects_full_lists(skewed):
     100 TB a list is corpus/n_lists vectors). The exact_replay twin
     (used only by the knn_ivf oracle) is the one allowed to fold."""
     centroids, _ = similarity.ivf_assignments(skewed, n_lists=4, refine_iters=1)
-    plan = centroids._jdf.queryExecution().optimizedPlan().toString()
+    # the refined centroid table is lazily checkpointed (r12 shared-
+    # subtree optimization), so inspect the pre-checkpoint construction
+    # the operator exposes for exactly this guard
+    plan = (
+        centroids._pre_checkpoint._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
     assert "__svs" not in plan  # the full-list collect_list alias
     assert "posexplode" in plan or "PosExplode" in plan
     exact_c, _ = similarity.ivf_assignments(
         skewed, n_lists=4, refine_iters=1, exact_replay=True
     )
-    assert "__svs" in exact_c._jdf.queryExecution().optimizedPlan().toString()
+    assert (
+        "__svs"
+        in exact_c._pre_checkpoint._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
 
 
 @pytest.fixture(scope="module")
