@@ -48,18 +48,26 @@ def cms_sketch(
     and re-sum (row, bucket) to sketch the combined corpus.
     """
     w = F.col(weight_col) if weight_col else F.lit(1)
-    rows = [
-        tokens.select(
-            F.lit(r).alias("row"),
-            _bucket(F.col(token_col), r),
-            w.alias("__w"),
-        )
-        for r in range(DEPTH)
-    ]
-    un = rows[0]
-    for other in rows[1:]:
-        un = un.unionByName(other)
-    return un.groupBy("row", "bucket").agg(F.sum("__w").alias("cnt"))
+    # One pass: each input row emits its DEPTH (row, bucket) pairs via
+    # a single explode.  The r11 form unioned DEPTH projections of the
+    # input frame, which re-instantiated the input's whole lineage per
+    # sketch row (cms_heavy_hitters paid its corpus explode+aggregate
+    # DEPTH times — guide §2.4, remove duplicate passes); the (row,
+    # bucket, weight) multiset, and therefore the sketch, is identical.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _bucket(F.col(token_col), r)
+            )
+            for r in range(DEPTH)
+        ]
+    )
+    return (
+        tokens.select(F.explode(pairs).alias("rb"), w.alias("__w"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"), "__w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
 
 
 def cms_estimate(
@@ -70,12 +78,21 @@ def cms_estimate(
     The sketch is sketch-sized — broadcast; per item this is DEPTH
     lookups and a min, no shuffle on the data side.
     """
-    probes = None
-    for r in range(DEPTH):
-        p = items.select(
-            F.col(token_col), F.lit(r).alias("row"), _bucket(F.col(token_col), r)
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    # same one-pass explode as cms_sketch: the r11 DEPTH-way union
+    # re-instantiated the items frame's lineage per sketch row
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _bucket(F.col(token_col), r)
+            )
+            for r in range(DEPTH)
+        ]
+    )
+    probes = items.select(F.col(token_col), F.explode(pairs).alias("rb")).select(
+        token_col,
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+    )
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"])
     return joined.groupBy(token_col).agg(F.min("cnt").alias("est"))
 
@@ -101,10 +118,15 @@ def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
     build on a join key's build side, broadcast, and prune the probe
     side BEFORE the shuffle (what Spark's runtime bloom pushdown does
     internally — here it is an explicit, persistable operator)."""
-    probes = None
-    for p in range(BLOOM_K):
-        one = df.select(_bit_pos(F.col(value_col), p).alias("pos"))
-        probes = one if probes is None else probes.unionByName(one)
+    # one pass over the build side (the r11 BLOOM_K-way union re-read
+    # the build side's lineage per probe — same fix as cms_sketch)
+    probes = df.select(
+        F.explode(
+            F.array(
+                *[_bit_pos(F.col(value_col), p) for p in range(BLOOM_K)]
+            )
+        ).alias("pos")
+    )
     # shiftleft's bit count must be a column here, which the Python
     # helper only takes as an int literal — drop to the SQL form
     return (
@@ -127,18 +149,21 @@ def bloom_might_contain(
     safe); true may be a false positive at the filter's design rate.
     The bitmap is sketch-sized and broadcasts; probing is a linear
     pass."""
-    probes = None
-    for p in range(BLOOM_K):
-        one = items.select(
-            F.col(value_col), _bit_pos(F.col(value_col), p).alias("pos")
-        ).select(
-            F.col(value_col),
-            F.expr(f"pos DIV {_WORD_BITS}").alias("word"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
-            ).alias("m"),
-        )
-        probes = one if probes is None else probes.unionByName(one)
+    # one pass over the probe side (same union→explode fix as above)
+    probes = items.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[_bit_pos(F.col(value_col), p) for p in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    ).select(
+        F.col(value_col),
+        F.expr(f"pos DIV {_WORD_BITS}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD_BITS} AS INT))"
+        ).alias("m"),
+    )
     hit = (
         probes.join(F.broadcast(bloom), "word", "left")
         .select(

@@ -1037,7 +1037,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     cms = sketch.cms_sketch(counts, "token", weight_col="cnt")
-    top50 = counts.orderBy(F.desc("cnt"), "token").limit(50)
+    # top50 (50 rows) feeds the estimate probe AND the final join; its
+    # lineage is the full corpus aggregation + sort, so checkpoint the
+    # tiny table once instead of paying that subtree per consumer
+    top50 = (
+        counts.orderBy(F.desc("cnt"), "token").limit(50).localCheckpoint(eager=False)
+    )
     est = sketch.cms_estimate(cms, top50, "token")
     return (
         top50.join(est, "token")

@@ -1533,7 +1533,9 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
-    okeys = orders.select(F.col("o_custkey")).distinct()
+    # the distinct key set feeds the filter build AND the truth join —
+    # checkpoint it once so the distinct shuffle isn't paid per consumer
+    okeys = orders.select(F.col("o_custkey")).distinct().localCheckpoint(eager=False)
     bloom = sketch.bloom_build(okeys, "o_custkey")
     hits = sketch.bloom_might_contain(
         bloom, customer.select(F.col("c_custkey")), "c_custkey"
