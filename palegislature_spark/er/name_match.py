@@ -23,7 +23,7 @@ blocked candidate join evaluates it inside whole-stage codegen.
 
 from __future__ import annotations
 
-from itertools import chain
+import json
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -119,12 +119,18 @@ NICKNAMES: dict[str, list[str]] = {
 }
 
 def _nick_map() -> Column:
-    # built lazily: Column literals need an active SparkContext
-    return F.create_map(
-        *chain.from_iterable(
-            (F.lit(nick), F.array(*[F.lit(x) for x in fulls]))
-            for nick, fulls in NICKNAMES.items()
-        )
+    # built lazily: Column literals need an active SparkContext.
+    # ONE from_json literal instead of a create_map of ~300 literal
+    # nodes: Catalyst constant-folds JsonToStructs of a literal at
+    # optimization time (same plan constant either way), but the
+    # py4j-side CONSTRUCTION drops from ~300 gateway calls to 2 —
+    # names_match builds this twice per call, and the build cost was
+    # showing up as whole seconds of driver time per plan compile
+    # (guide §1.2 step 2: per-task work includes the driver's
+    # expression assembly when plans are rebuilt per query).
+    return F.from_json(
+        F.lit(json.dumps(NICKNAMES, sort_keys=True)),
+        "map<string,array<string>>",
     )
 
 
@@ -171,16 +177,23 @@ def _match_middle(m1: Column, m2: Column) -> Column:
     One side empty -> the other; equal -> either; initial vs full ->
     full; anything else fails (the reference warns and returns None).
     """
-    resolved = _resolve_initial(m1, m2)
-    value = (
-        F.when(m1.isNotNull() & m2.isNull(), m1)
-        .when(m2.isNotNull() & m1.isNull(), m2)
-        .when(m1.isNull() & m2.isNull(), F.lit(None).cast("string"))
-        .when(m1 == m2, m1)
-        .otherwise(resolved)
+    # bind the resolve-initial subtree once (referenced by both the
+    # value branch and the ok predicate)
+    return let(
+        _resolve_initial(m1, m2),
+        lambda resolved: F.struct(
+            (
+                m1.isNull() | m2.isNull() | (m1 == m2) | resolved.isNotNull()
+            ).alias("ok"),
+            (
+                F.when(m1.isNotNull() & m2.isNull(), m1)
+                .when(m2.isNotNull() & m1.isNull(), m2)
+                .when(m1.isNull() & m2.isNull(), F.lit(None).cast("string"))
+                .when(m1 == m2, m1)
+                .otherwise(resolved)
+            ).alias("value"),
+        ),
     )
-    ok = m1.isNull() | m2.isNull() | (m1 == m2) | resolved.isNotNull()
-    return F.struct(ok.alias("ok"), value.alias("value"))
 
 
 def merge_names(n1: Column, n2: Column, require_suffix: bool = True) -> Column:
@@ -238,13 +251,18 @@ def _merge_impl(n1: Column, n2: Column, require_suffix: bool) -> Column:
         & m1.isNull()
         & (_resolve_initial(f1, m2).isNotNull() | (f1 == m2))
     )
-    first_val = (
-        F.when(f1 == f2, f1)
-        .when(_is_nick(f1, f2), f2)
-        .when(_is_nick(f2, f1), f1)
-        .when(_resolve_initial(f1, f2).isNotNull(), _resolve_initial(f1, f2))
-        .when(fs1, f1)
-        .when(fs2, f2)
+    # bind the resolve-initial subtree once (it used to be BUILT and
+    # carried twice — once for the isNotNull guard, once for the value)
+    first_val = let(
+        _resolve_initial(f1, f2),
+        lambda ri: (
+            F.when(f1 == f2, f1)
+            .when(_is_nick(f1, f2), f2)
+            .when(_is_nick(f2, f1), f1)
+            .when(ri.isNotNull(), ri)
+            .when(fs1, f1)
+            .when(fs2, f2)
+        ),
     )
 
     def assemble(lv: Column, fv: Column) -> Column:

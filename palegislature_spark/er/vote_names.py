@@ -32,6 +32,26 @@ from palegislature_spark.er.name_match import (
     parse_vote_name,
 )
 
+# Unresolved-expression templates, built once per SparkContext.  The
+# match/parse when-trees are large enough that ASSEMBLING them over
+# py4j costs whole seconds of driver time; the assembled Column is an
+# immutable unresolved expression over fixed input names ("name",
+# "vname", "mname"), so it is reusable across every plan that binds
+# those names — the compile-the-regex-once discipline (guide §4.5),
+# applied to the driver.  This caches CODE (an expression template),
+# never data or results.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_expr(key: str, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    ck = (id(sc), key)
+    if ck not in _EXPR_CACHE:
+        _EXPR_CACHE[ck] = build()
+    return _EXPR_CACHE[ck]
+
 
 def roll_years(roll_calls: DataFrame, session_days: DataFrame) -> DataFrame:
     """(roll id, year, chamber): stamp year, else session-day year
@@ -77,6 +97,21 @@ def match_vote_names(
     anti-join for the review report).
     """
     years = roll_years(roll_calls, session_days)
+    # parse_vote_name is a pure function of the raw STRING, and the
+    # same spellings recur across every (year, chamber) a member
+    # serves — parse each distinct string ONCE (dimension-sized) and
+    # attach by broadcast join instead of re-parsing the big when-tree
+    # per (year, chamber, name) row (guide §8: decide on small rows).
+    parsed = (
+        votes.select("name")
+        .distinct()
+        .select(
+            "name",
+            _cached_expr(
+                "parse_vote_name", lambda: parse_vote_name(F.col("name"))
+            ).alias("vname"),
+        )
+    )
     # localCheckpoint: the distinct-name set is dimension-sized but its
     # lineage scans every vote; it feeds pass 1, the pass-2 residue AND
     # the final union, so without the checkpoint the fact scan re-runs
@@ -85,7 +120,7 @@ def match_vote_names(
         votes.join(years, "roll_id")
         .select("year", "chamber", "name")
         .distinct()
-        .withColumn("vname", parse_vote_name(F.col("name")))
+        .join(F.broadcast(parsed), "name")
         .withColumn("blk", F.lower(F.col("vname")["last"]))
         .localCheckpoint()
     )
@@ -95,10 +130,33 @@ def match_vote_names(
         F.count(F.lit(1)).alias("block_n")
     )
 
+    # names_match is likewise a pure function of the two name STRUCTS
+    # — year/chamber never enter it — so evaluate the (very large)
+    # match expression once per distinct (raw name, member) pair in
+    # the blocked universe and semi-join the verdicts back onto the
+    # (year, chamber)-blocked candidates.  At the bench shape this is
+    # a ~12x cut in match-expression evaluations (every member serves
+    # every year, so each pair used to be re-evaluated per year); the
+    # candidate ROW SET is unchanged, because the semi-join key
+    # (name, member_id) determines (vname, mname) exactly.
+    vname_d = vote_names.select("name", "vname", "blk").distinct()
+    members_d = ros.select("member_id", "mname", "blk").distinct()
+    ok_pairs = (
+        vname_d.join(F.broadcast(members_d), "blk")
+        .filter(
+            _cached_expr(
+                "names_match_nosfx",
+                lambda: names_match(
+                    F.col("vname"), F.col("mname"), require_suffix=False
+                ),
+            )
+        )
+        .select("name", "member_id")
+    )
     cand = (
         vote_names.join(F.broadcast(ros), ["year", "chamber", "blk"])
         .join(F.broadcast(block_sizes), ["year", "chamber", "blk"])
-        .filter(names_match(F.col("vname"), F.col("mname"), require_suffix=False))
+        .join(F.broadcast(ok_pairs), ["name", "member_id"], "left_semi")
         # multi-member block requires a parsed first name
         # (match_names.py:33-34)
         .filter((F.col("block_n") == 1) | F.col("vname")["first"].isNotNull())
