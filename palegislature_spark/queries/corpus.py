@@ -818,7 +818,9 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palegislature_spark.operators.bpe import apply_bpe, bpe_merge_table
 
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_merge_table(docs, "text", n_merges=8)
+    # merge_batch=8: identical output in ~2-3 driver rounds instead of
+    # 8 (see bpe_train_merges; equality pinned in tests/test_bpe.py)
+    merges = bpe_merge_table(docs, "text", n_merges=8, merge_batch=8)
     # words containing \x01/\x02 are excluded from TRAINING on both
     # engines (vocabulary(); the oracle's boundary-wrap replay needs
     # them); the oracle's encode dictionary inherits that exclusion

@@ -641,7 +641,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palegislature_spark.operators.bpe import bpe_merge_table
 
     docs = load(spark, sf_dir, "documents")
-    return bpe_merge_table(docs, "text", n_merges=8)
+    # merge_batch=8: the production batched-round path — each round
+    # applies the maximal mutually-disjoint prefix of top pairs, with
+    # output PROVABLY identical to one-at-a-time training (operators/
+    # bpe.py _batch_prefix; equality pytest- and Hypothesis-pinned in
+    # tests/test_bpe.py), so the oracle's unrolled one-at-a-time
+    # replay still matches while the driver loop shrinks from 8
+    # Spark rounds to ~2-3 (guide §1.2 step 1: fewer passes).
+    return bpe_merge_table(docs, "text", n_merges=8, merge_batch=8)
 
 
 def _split_oracle() -> str:
