@@ -445,6 +445,95 @@ def _hyperplane_sign_bits(vec_col, dim: int, n_planes: int):
     return bucket
 
 
+def _assign_exact_arrow(
+    cents: DataFrame,
+    src: DataFrame,
+    id_name: str,
+    vec_name: str,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """Arrow-batched argmax-cosine assignment that is BIT-IDENTICAL to
+    the expression path (``_dot``/``_norm`` folds + ``ORDER BY cos
+    DESC, list_id``), unlike the BLAS ``assign_arrow`` kernel whose
+    matmul re-associates the sum.
+
+    Exactness argument (the multimodal-codec discipline — same IEEE
+    ops in the same order, vectorized ACROSS rows instead of down
+    them):  dot and norm accumulate dimension-SEQUENTIALLY
+    (``acc += v_i * c_i`` / ``acc += x_i * x_i``, one rounding per
+    step, exactly the HOF left fold); the cosine is the same single
+    product-then-divide; ``np.argmax`` ties to the first maximum =
+    smallest ``list_id`` (rows sorted), and NaN propagates to "first
+    NaN wins" on both sides (Spark sorts NaN greatest, numpy argmax
+    returns the first NaN).  Equality is pinned in tests/test_ivf.py.
+
+    ``src`` must be ``(id_name, vec_name)`` with the vector already
+    cast to ``array<double>``; output is ``(out_id, list_id,
+    out_vec)`` with the input id/vector types preserved.  Collecting
+    ``cents`` (index-sized by construction) replaces the broadcast
+    the expression path paid.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = sorted(
+        cents.select("list_id", "centroid").collect(),
+        key=lambda r: r["list_id"],
+    )
+    np_list_dtype = "int64"
+    for f in cents.schema.fields:
+        if f.name == "list_id" and isinstance(f.dataType, T.IntegerType):
+            np_list_dtype = "int32"
+    list_ids = np.array([r["list_id"] for r in rows], dtype=np_list_dtype)
+    C = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+    n_c, dim = (C.shape[0], C.shape[1]) if C.ndim == 2 and len(rows) else (0, 0)
+    cn = np.zeros(n_c, dtype=np.float64)
+    for i in range(dim):
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(out_id, src.schema[id_name].dataType),
+            T.StructField(
+                "list_id",
+                cents.schema["list_id"].dataType
+                if "list_id" in cents.columns
+                else T.IntegerType(),
+            ),
+            T.StructField(out_vec, src.schema[vec_name].dataType),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+            vn = np.zeros(len(V), dtype=np.float64)
+            S = np.zeros((len(V), n_c), dtype=np.float64)
+            for i in range(V.shape[1]):
+                vi = V[:, i]
+                vn += vi * vi
+                S += vi[:, None] * C[None, :, i]
+            vn = np.sqrt(vn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = S / (vn[:, None] * cn[None, :])
+            best = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_name],
+                    "list_id": list_ids[best],
+                    out_vec: pdf[vec_name],
+                }
+            )
+
+    return src.mapInPandas(gen, out_schema)
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -452,7 +541,7 @@ def ivf_assignments(
     n_lists: int | None = 8,
     refine_iters: int = 0,
     exact_replay: bool = False,
-    assign_impl: str = "expr",
+    assign_impl: str = "arrow_exact",
     n_vectors: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index: (centroids, assignments).
@@ -620,8 +709,20 @@ def ivf_assignments(
             )
         )
 
+    def assign_exact(cents: DataFrame) -> DataFrame:
+        # bit-identical Arrow kernel (module helper): same folds, same
+        # tie-break — the default since r12 (the expression path cost
+        # ~n * n_lists interpreted HOF dots; measured ~0.6 ms/row)
+        return _assign_exact_arrow(
+            cents, vecs.select("__id", "__v"), "__id", "__v", "__id", "__v"
+        )
+
     list_means = list_means_exact if exact_replay else list_means_scale
-    do_assign = assign_arrow if assign_impl == "arrow" else assign
+    do_assign = {
+        "arrow": assign_arrow,
+        "expr": assign,
+        "arrow_exact": assign_exact,
+    }[assign_impl]
 
     assigned = do_assign(centroids)
     for _ in range(refine_iters):
@@ -660,7 +761,7 @@ def ivf_topk(
     n_probe: int = 2,
     refine_iters: int = 0,
     exact_replay: bool = False,
-    assign_impl: str = "expr",
+    assign_impl: str = "arrow_exact",
     n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: search only the ``n_probe``
@@ -931,7 +1032,7 @@ def semantic_dedup(
     if assign_impl is None:
         if n_vectors is None:
             n_vectors = embeddings.count()
-        assign_impl = "arrow" if n_vectors >= 100_000 else "expr"
+        assign_impl = "arrow" if n_vectors >= 100_000 else "arrow_exact"
     _, assignments = ivf_assignments(
         embeddings, id_col, vec_col, n_lists, refine_iters, exact_replay,
         assign_impl, n_vectors,
@@ -976,7 +1077,7 @@ def save_ivf_index(
     vec_col: str = "embedding",
     n_lists: int | None = None,
     refine_iters: int = 1,
-    assign_impl: str = "expr",
+    assign_impl: str = "arrow_exact",
     meta_cols: Sequence[str] = (),
 ) -> None:
     """Build the IVF index and persist it as two Parquet datasets:
@@ -1316,17 +1417,30 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow_exact",
 ) -> DataFrame:
     """Assign vectors to FIXED centroids — the exact argmax-cosine /
-    list_id tie-break expression the index build uses — returning rows
-    in the assignments schema ``(id_col, list_id, __vec)``.
+    list_id tie-break the index build uses — returning rows in the
+    assignments schema ``(id_col, list_id, __vec)``.
 
-    One broadcast of the n_lists-row centroid set, O(batch * n_lists)
-    scores, no shuffle beyond the per-id argmax window.
+    ``impl='arrow_exact'`` (default since r12) runs the bit-identical
+    Arrow kernel (:func:`_assign_exact_arrow` — dimension-sequential
+    folds, first-max tie-break); ``impl='expr'`` keeps the pure-
+    expression twin as the equality anchor.  O(batch * n_lists) scores
+    either way; the kernel collects the index-sized centroid set where
+    the expression path broadcast it.
     """
     vecs = vectors.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).withColumn("__n", _norm(F.col("__v")))
+    )
+    if impl == "arrow_exact":
+        out = _assign_exact_arrow(
+            centroids, vecs, "__id", "__v", "__id", "__vec"
+        )
+        return out.select(
+            F.col("__id").alias(id_col), "list_id", "__vec"
+        )
+    vecs = vecs.withColumn("__n", _norm(F.col("__v")))
     scored = vecs.join(F.broadcast(centroids)).select(
         "__id",
         "__v",

@@ -525,3 +525,51 @@ def test_recall_vs_exact_short_corpus_denominator(spark):
     exact = similarity.brute_force_topk(tiny, tiny, k=5)
     rows = similarity.recall_vs_exact(exact, exact).collect()
     assert all(r.exact_k == 2 and r.recall == 1.0 for r in rows)
+
+
+def test_arrow_exact_assign_bit_identical_to_expression(skewed):
+    """assign_impl='arrow_exact' (the r12 default) must be BIT-identical
+    to the expression path — assignments AND refined centroid doubles —
+    because the kernel accumulates dimension-sequentially (the same
+    IEEE left fold _dot/_norm compute) instead of re-associating like
+    the BLAS 'arrow' kernel.  Refinement composes assignment into the
+    Lloyd means, so exact equality here pins the whole chain."""
+    for kw in (
+        {"n_lists": 4, "refine_iters": 0},
+        {"n_lists": 4, "refine_iters": 2, "exact_replay": True},
+        {"n_lists": None, "refine_iters": 1},
+    ):
+        ce, ae = similarity.ivf_assignments(
+            skewed, assign_impl="expr", **kw
+        )
+        ck, ak = similarity.ivf_assignments(
+            skewed, assign_impl="arrow_exact", **kw
+        )
+        assigns_e = sorted(
+            map(tuple, ae.select("vec_id", "list_id").collect())
+        )
+        assigns_k = sorted(
+            map(tuple, ak.select("vec_id", "list_id").collect())
+        )
+        assert assigns_e == assigns_k, kw
+        cents_e = sorted(
+            (r["list_id"], tuple(r["centroid"])) for r in ce.collect()
+        )
+        cents_k = sorted(
+            (r["list_id"], tuple(r["centroid"])) for r in ck.collect()
+        )
+        assert cents_e == cents_k, kw  # exact doubles, no tolerance
+
+
+def test_assign_to_centroids_arrow_exact_bit_identical(skewed):
+    """assign_to_centroids (frozen-centroid batch path: ivf_append /
+    drift audits / streaming ingest) — kernel vs expression twin."""
+    cents, _ = similarity.ivf_assignments(skewed, n_lists=4, refine_iters=1)
+    batch = skewed.filter("vec_id % 3 = 0")
+    e = sorted(map(tuple, similarity.assign_to_centroids(
+        batch, cents, impl="expr"
+    ).select("vec_id", "list_id").collect()))
+    k = sorted(map(tuple, similarity.assign_to_centroids(
+        batch, cents, impl="arrow_exact"
+    ).select("vec_id", "list_id").collect()))
+    assert e == k

@@ -141,8 +141,11 @@ def test_shortlist_recall_floor(spark):
 
 def test_adc_plan_stays_jvm_side(spark, sf_dir):
     """Encode + serve must be codegen expressions: no row-at-a-time
-    Python, no cartesian product; the query table join is a broadcast
-    equi-join on (sub_id, code_id)."""
+    Python, no unconditioned cartesian product; the per-query distance
+    table rides a broadcast join (nested-loop on the query!=neighbor
+    predicate since r12 — the corpus side carries its m codes as one
+    array, so there is no (sub_id, code_id) equi-join and no per-pair
+    collect_list aggregation left in the plan)."""
     emb, cbs, codes = _cbs_codes(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     plan = (
@@ -153,7 +156,9 @@ def test_adc_plan_stays_jvm_side(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_list" not in plan
 
 
 # --------------------------------------------------------------------------
@@ -324,3 +329,17 @@ def test_filtered_recall_registry_shape(spark):
     for r in rows:
         assert 0 <= r.hits <= r.exact_k <= min(5, n_label3)
         assert r.recall == r.hits / r.exact_k
+
+
+def test_pq_encode_arrow_bit_identical_to_expression(spark, sf_dir):
+    """encode_impl='arrow' (the r12 default) must produce BIT-identical
+    codes to the pure-expression twin: the kernel accumulates each
+    squared-L2 dimension-sequentially (the same IEEE left fold _sq_l2
+    computes) and np.argmin ties to the first minimum = smallest
+    code_id, matching array_position(array_min)."""
+    emb, cbs, _ = _cbs_codes(spark, sf_dir)
+    e = {r["vec_id"]: list(r["codes"])
+         for r in pq.pq_encode(emb, cbs, encode_impl="expr").collect()}
+    a = {r["vec_id"]: list(r["codes"])
+         for r in pq.pq_encode(emb, cbs, encode_impl="arrow").collect()}
+    assert e == a

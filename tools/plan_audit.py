@@ -94,9 +94,13 @@ ALLOW_NESTED_LOOP = {
     # same IVFPQ centroid attach; the re-rank stage is two broadcast
     # EQUI joins (shortlist ids -> raw vectors, query vectors) (r11)
     "ann_ivfpq_refine",
-    # PQ leg has no NLJ (all equi); the exact leg is the bounded
-    # query-panel non-equi broadcast (the knn_bruteforce shape) —
+    # PQ leg: the bounded query-panel broadcast carrying each query's
+    # constant-sized ADC distance table (r12 — the former (sub_id,
+    # code_id) equi-join + per-pair fold became m direct lookups, so
+    # the one join left is the panel attach, the knn_bruteforce shape);
+    # the exact leg of the recall twin is the same bounded panel —
     # linear BY DESIGN, it IS the recall measurement (r11)
+    "ann_pq_adc",
     "ann_pq_recall",
     # filtered twin of ann_recall_audit: centroid attach on the index
     # leg + the panel x filtered-corpus brute-force measurement leg;
