@@ -97,13 +97,22 @@ def match_vote_names(
     anti-join for the review report).
     """
     years = roll_years(roll_calls, session_days)
-    # parse_vote_name is a pure function of the raw STRING, and the
-    # same spellings recur across every (year, chamber) a member
-    # serves — parse each distinct string ONCE (dimension-sized) and
-    # attach by broadcast join instead of re-parsing the big when-tree
-    # per (year, chamber, name) row (guide §8: decide on small rows).
+    # One fact-table pass: the (year, chamber, name) distinct is the
+    # only shuffle that touches every vote.  parse_vote_name is a pure
+    # function of the raw STRING, and the same spellings recur across
+    # every (year, chamber) a member serves — so parse each distinct
+    # string ONCE (guide §8: decide on small rows), deriving the
+    # distinct-name set from the ALREADY-deduped (year, chamber, name)
+    # frame instead of a second full scan+shuffle of the votes table
+    # (which is what votes.select('name').distinct() cost: the fact
+    # scan twice per build at the 500k-vote bench scale).
+    vn0 = (
+        votes.join(years, "roll_id")
+        .select("year", "chamber", "name")
+        .distinct()
+    )
     parsed = (
-        votes.select("name")
+        vn0.select("name")
         .distinct()
         .select(
             "name",
@@ -117,14 +126,16 @@ def match_vote_names(
     # the final union, so without the checkpoint the fact scan re-runs
     # once per consumer (~3x at the 500k-vote bench scale).
     vote_names = (
-        votes.join(years, "roll_id")
-        .select("year", "chamber", "name")
-        .distinct()
-        .join(F.broadcast(parsed), "name")
+        vn0.join(F.broadcast(parsed), "name")
         .withColumn("blk", F.lower(F.col("vname")["last"]))
         .localCheckpoint()
     )
-    ros = roster(members, service)
+    # roster is dimension-sized but rebuilt by FOUR consumers (the
+    # candidate join, block_sizes, the distinct member side of
+    # ok_pairs, and the pass-2 unmatched-member residue) — the same
+    # shared-subtree discipline as the MinHash band-key frame: one
+    # lazy checkpoint, values unchanged.
+    ros = roster(members, service).localCheckpoint(eager=False)
 
     block_sizes = ros.groupBy("year", "chamber", "blk").agg(
         F.count(F.lit(1)).alias("block_n")
