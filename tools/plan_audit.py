@@ -48,6 +48,11 @@ ALLOW_NESTED_LOOP = {
     # same conditionless centroid attach at n_lists=sqrt(n) — the
     # broadcast side is still index-sized (centroids), not data-scale
     "ann_ivf_sqrt_lists",
+    # the recall-vs-n_probe tuning grid (added mid-build r11->r12)
+    # repeats the SAME index-sized centroid attach once per probed
+    # n_probe setting plus the bounded-panel brute-force exact leg —
+    # every NLJ is an already-allowlisted shape, just unioned
+    "ann_probe_sweep",
     # Same IVF centroid attach (vectors x broadcast 8-row centroid
     # set); the within-cluster pair scan itself is a list_id equi-join.
     "cluster_semantic_dedup",
