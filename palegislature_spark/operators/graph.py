@@ -25,13 +25,95 @@ with a plain float sum — order-free semantics, engine-specific bits.
 order (bounded by in-degree), which a DuckDB oracle replays with an
 ordered ``list_reduce`` — the same dual-path discipline as the IVF
 Lloyd refinement (scale default + bit-reproducible twin for the
-oracle-pinned registry query).
+oracle-pinned registry query).  Since r12 the ordered fold runs as an
+Arrow-batched numpy kernel by default (``fold_impl='arrow'``) — the
+interpreted HOF aggregate never enters whole-stage codegen and
+measured ~1.1s/round-trio over the sf0.1 supplier graph; the
+expression twin is kept as ``fold_impl='expr'`` and bit-equality is
+pinned in tests/test_graph.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _fold_sums_arrow(contribs: DataFrame) -> DataFrame:
+    """(dst, s): each destination's incoming contributions folded
+    sequentially in source-id order — the Arrow twin of the
+    exact_replay HOF aggregate (collect_list -> array_sort -> left
+    fold), bit-identical by the codec-kernel argument (same IEEE adds
+    in the same order, one rounding per step, vectorized ACROSS
+    destinations via a depth loop over in-degree instead of down each
+    list).  The 0.0 init matches the fold's zero literal (0.0 + x == x
+    for every value the graph produces; contributions are rank/deg,
+    never -0.0).  Cost shape is unchanged — one hash exchange on dst
+    either way (partial_collect_list ships every element too) — but
+    the per-element work leaves the expression interpreter.  Rows
+    reach the kernel partition-sorted by (dst, src), the same Spark
+    UTF8-binary order array_sort applies to the (src, c) structs (src
+    is unique per group: the edge list is DISTINCT); a group spanning
+    Arrow batches is carried via the running accumulator.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [contribs.schema["dst"], T.StructField("s", T.DoubleType())]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        carry_key, carry_acc, have_carry = None, 0.0, False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dst = pdf["dst"].to_numpy()
+            c = pdf["c"].to_numpy(dtype="float64")
+            starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+            ends = np.r_[starts[1:], len(dst)]
+            acc = np.zeros(len(starts), dtype=np.float64)
+            done_keys, done_sums = [], []
+            if have_carry:
+                if dst[0] == carry_key:
+                    # continue the spanning group's fold where it left off
+                    acc[0] = carry_acc
+                else:
+                    done_keys.append(carry_key)
+                    done_sums.append(carry_acc)
+                have_carry = False
+            # depth loop: step j adds every group's j-th contribution —
+            # acc[g] += c is one rounding per step in (dst, src) order
+            idx = starts.copy()
+            active = np.arange(len(starts))
+            while active.size:
+                acc[active] += c[idx[active]]
+                idx[active] += 1
+                active = active[idx[active] < ends[active]]
+            # the last group may continue in the next batch
+            carry_key, carry_acc, have_carry = (
+                dst[starts[-1]],
+                float(acc[-1]),
+                True,
+            )
+            if len(starts) > 1 or done_keys:
+                yield pd.DataFrame(
+                    {
+                        "dst": done_keys + list(dst[starts[:-1]]),
+                        "s": done_sums + list(acc[:-1]),
+                    }
+                )
+        if have_carry:
+            yield pd.DataFrame({"dst": [carry_key], "s": [carry_acc]})
+
+    return (
+        contribs.repartition("dst")
+        .sortWithinPartitions("dst", "src")
+        .select("dst", "c")
+        .mapInPandas(gen, out_schema)
+    )
 
 
 def pagerank(
@@ -42,6 +124,7 @@ def pagerank(
     damping: float = 0.85,
     exact_replay: bool = False,
     ckpt_every: int = 5,
+    fold_impl: str = "arrow",
 ) -> DataFrame:
     """(node, rank) after ``iters`` damped propagation rounds over the
     DISTINCT directed edge list. Dangling nodes (no out-edges) simply
@@ -91,7 +174,9 @@ def pagerank(
             .join(_bcast(deg), "src")
             .select("dst", "src", (F.col("rank") / F.col("deg")).alias("c"))
         )
-        if exact_replay:
+        if exact_replay and fold_impl == "arrow":
+            sums = _fold_sums_arrow(contribs)
+        elif exact_replay:
             sums = contribs.groupBy("dst").agg(
                 F.aggregate(
                     F.transform(

@@ -91,3 +91,42 @@ def test_pagerank_random_graphs_match_reference(spark, edges):
         for r in pagerank(df, iters=3, exact_replay=True).collect()
     }
     assert got == _py_pagerank(edges)
+
+
+def test_fold_arrow_matches_expression_twin(spark):
+    """The r12 Arrow fold kernel vs the interpreted-HOF expression twin
+    on a dense random graph (hundreds of nodes, in-degrees from 1 to
+    ~100): every rank double must be BIT-identical, including with an
+    Arrow batch size small enough that groups span batches (the
+    carry-across-batches path)."""
+    import random
+
+    rng = random.Random(12)
+    edges = [
+        (f"n{rng.randrange(300)}", f"n{rng.randrange(40)}")
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    expr = {
+        r.node: r.rank
+        for r in pagerank(
+            df, iters=3, exact_replay=True, fold_impl="expr"
+        ).collect()
+    }
+    arrow = {
+        r.node: r.rank
+        for r in pagerank(df, iters=3, exact_replay=True).collect()
+    }
+    assert arrow == expr  # bit-exact, not approx
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # force groups to span Arrow batches
+        tiny = {
+            r.node: r.rank
+            for r in pagerank(df, iters=3, exact_replay=True).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == expr
