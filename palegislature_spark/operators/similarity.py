@@ -49,15 +49,30 @@ def cosine_pairs(
     id_left: str,
     id_right: str,
     vec_col: str = "embedding",
+    impl: str = "arrow_exact",
 ) -> DataFrame:
     """All-pairs cosine similarity (left x right) — exact, quadratic.
 
-    Use only with a bounded left side (the query set); the plan
-    broadcasts left so the candidate scan is a single pass over right.
+    Use only with a bounded left side (the query set); either impl
+    makes one pass over ``right`` with the query panel held in memory.
+
+    ``impl='arrow_exact'`` (default since r12) scores each Arrow batch
+    of the corpus against the collected panel with the sequential
+    numpy kernel — BIT-IDENTICAL to the expression path by the
+    codec-kernel argument (`_assign_exact_arrow` docstring): dot and
+    norm accumulate dimension-sequentially (one rounding per step,
+    the same IEEE left fold), the denominator is the same
+    product-then-divide, and the panel's own norms are collected FROM
+    the expression plan, not recomputed.  The expression twin
+    (``impl='expr'``: broadcast join + interpreted HOF folds — the
+    per-pair fold never enters codegen) is kept as the equality
+    anchor, pinned in tests/test_similarity.py.
     """
     l = left.select(
         F.col(id_left).alias("__qid"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
+    if impl == "arrow_exact":
+        return _cosine_pairs_arrow(l, right, id_left, id_right, vec_col)
     r = right.select(
         F.col(id_right).alias("__cid"), _as_double(vec_col).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
@@ -72,6 +87,79 @@ def cosine_pairs(
             ),
         )
     )
+
+
+def _cosine_pairs_arrow(
+    l: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow twin of the cosine_pairs expression path: the bounded
+    panel ``l`` (``__qid``, ``__qv``, ``__qn`` — norms already computed
+    by the JVM expression) is collected once (the broadcast the
+    expression path paid), and each corpus batch is scored with
+    dimension-sequential accumulation.  Emits one row per (query,
+    candidate) pair with ``__qid != __cid``, exactly the join's row
+    set; downstream consumers group or rank, so pair order is free.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = l.collect()
+    qids = [row["__qid"] for row in rows]
+    Q = (
+        np.array([list(row["__qv"]) for row in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
+    )
+    qn = np.array([row["__qn"] for row in rows], dtype=np.float64)
+    n_q = len(rows)
+
+    r_src = right.select(
+        F.col(id_right).alias("__cid"), _as_double(vec_col).alias("__cv")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_left, l.schema["__qid"].dataType),
+            T.StructField(id_right, r_src.schema["__cid"].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not n_q:
+                continue
+            V = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            vn = np.zeros(len(V), dtype=np.float64)
+            S = np.zeros((len(V), n_q), dtype=np.float64)
+            for i in range(V.shape[1]):
+                vi = V[:, i]
+                vn += vi * vi
+                S += vi[:, None] * Q[None, :, i]
+            vn = np.sqrt(vn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = S / (qn[None, :] * vn[:, None])
+            cids = pdf["__cid"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                mask = cids != qid
+                out_q.append(np.full(int(mask.sum()), qid))
+                out_c.append(cids[mask])
+                out_s.append(S[mask, j])
+            yield pd.DataFrame(
+                {
+                    id_left: np.concatenate(out_q),
+                    id_right: np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    return r_src.mapInPandas(gen, out_schema)
 
 
 def _band_keys_udf(n_bands: int, band_bits: int):
@@ -349,11 +437,13 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow_exact",
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     Output: (query_id, neighbor_id, rank, cosine). Deterministic
-    tiebreak on neighbor id.
+    tiebreak on neighbor id.  ``impl`` selects the pair-scoring path
+    (see :func:`cosine_pairs`); both produce bit-identical cosines.
     """
     pairs = cosine_pairs(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
@@ -361,6 +451,7 @@ def brute_force_topk(
         "query_id",
         "neighbor_id",
         vec_col,
+        impl=impl,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -346,3 +346,50 @@ def test_max_cosine_vs_eval_guards(spark):
         max_cosine_vs_eval(
             corpus, "vec_id", "embedding", [[1.0, 0.0]] * 3, max_eval=2
         )
+
+
+def test_cosine_pairs_arrow_matches_expression_twin(spark):
+    """The r12 Arrow pair-scoring kernel vs the broadcast-join +
+    interpreted-HOF expression twin: every cosine must be BIT-identical
+    over a random float corpus (wide magnitudes) — the full pair set,
+    not just the top-k.  (Zero-norm vectors are out of contract: under
+    ANSI mode the EXPRESSION path itself raises DIVIDE_BY_ZERO on
+    them, so neither path serves a zero vector.)"""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) * 10 ** rng.randrange(-3, 4) for _ in range(16)])
+        for i in range(400)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    qs = emb.filter(F.col("vec_id") < 7)
+
+    def pairs(impl):
+        return similarity.cosine_pairs(
+            qs.select(F.col("vec_id").alias("query_id"), "embedding"),
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "query_id",
+            "neighbor_id",
+            "embedding",
+            impl=impl,
+        )
+
+    expr = {
+        (r.query_id, r.neighbor_id): r.cosine for r in pairs("expr").collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in pairs("arrow_exact").collect()
+    }
+    assert expr.keys() == arrow.keys()
+    assert expr == arrow  # bit-exact, not approx
