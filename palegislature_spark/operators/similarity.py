@@ -885,16 +885,18 @@ def probe_lists(
     :func:`ivf_probe` (cosine ranking) and the IVFPQ composition
     (operators/pq.py ivfpq_topk, ADC ranking): each query's
     ``n_probe`` nearest lists by centroid cosine, ties to the smaller
-    list_id — ``(query_id, __qv, list_id)`` with the query vector
-    kept as doubles for the ranking stage. The centroid set is
-    broadcast (n_lists ~ √n rows); the window ranks n_lists rows per
-    query, never corpus rows."""
+    list_id — ``(query_id, __qv, __qn, list_id)`` with the query
+    vector (and its norm, computed once here rather than once per
+    candidate pair downstream) kept as doubles for the ranking stage.
+    The centroid set is broadcast (n_lists ~ √n rows); the window
+    ranks n_lists rows per query, never corpus rows."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
     q_scored = q.join(F.broadcast(centroids)).select(
         "query_id",
         "__qv",
+        "__qn",
         "list_id",
         (_dot(F.col("__qv"), F.col("centroid")) / (F.col("__qn") * F.col("__cn"))).alias(
             "__cos"
@@ -904,7 +906,7 @@ def probe_lists(
     return (
         q_scored.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= n_probe)
-        .select("query_id", "__qv", "list_id")
+        .select("query_id", "__qv", "__qn", "list_id")
     )
 
 
@@ -945,16 +947,25 @@ def ivf_probe(
     probes = probe_lists(
         centroids, queries, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
+    # Per-ROW norms, not per-pair: the query norm rides on the probe
+    # frame (probe_lists computes it anyway) and the candidate norm is
+    # computed once per assignment row BEFORE the fan-out join — the
+    # same fold over the same doubles, evaluated candidates-many fewer
+    # times (previously both _norm folds re-ran inside every pair's
+    # projection; bit-identical by construction).
+    cands = assignments.withColumnRenamed(id_col, "neighbor_id").withColumn(
+        "__n", _norm(F.col("__vec"))
+    )
     pairs = (
         F.broadcast(probes)
-        .join(assignments.withColumnRenamed(id_col, "neighbor_id"), "list_id")
+        .join(cands, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             (
                 _dot(F.col("__qv"), F.col("__vec"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__vec")))
+                / (F.col("__qn") * F.col("__n"))
             ).alias("cosine"),
         )
     )
@@ -1032,12 +1043,22 @@ def lsh_topk(
     Scale: bucketing is one linear pass; the join shuffles on bucket
     id, so cost ~ corpus/2^n_planes per query instead of corpus.
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
-    ).withColumn("__bucket", _hyperplane_sign_bits(F.col("__v"), dim, n_planes))
-    qrs = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    ).withColumn("__qbucket", _hyperplane_sign_bits(F.col("__qv"), dim, n_planes))
+    # norms are per-ROW columns (not re-folded inside every pair's
+    # cosine projection — same doubles, candidates-many fewer folds)
+    emb = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
+        )
+        .withColumn("__bucket", _hyperplane_sign_bits(F.col("__v"), dim, n_planes))
+        .withColumn("__n", _norm(F.col("__v")))
+    )
+    qrs = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+        )
+        .withColumn("__qbucket", _hyperplane_sign_bits(F.col("__qv"), dim, n_planes))
+        .withColumn("__qn", _norm(F.col("__qv")))
+    )
 
     if multiprobe:
         probes = F.array(
@@ -1050,7 +1071,7 @@ def lsh_topk(
     else:
         probes = F.array(F.col("__qbucket"))
     probed = qrs.select(
-        "query_id", "__qv", F.explode(probes).alias("__bucket")
+        "query_id", "__qv", "__qn", F.explode(probes).alias("__bucket")
     )
 
     pairs = (
@@ -1062,7 +1083,7 @@ def lsh_topk(
             "neighbor_id",
             (
                 _dot(F.col("__qv"), F.col("__v"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__v")))
+                / (F.col("__qn") * F.col("__n"))
             ).alias("cosine"),
         )
         .distinct()
