@@ -11,15 +11,15 @@ import json
 import math
 
 BASE = json.load(open("BENCH_LOCAL_r12.json"))["queries"]
-FINAL = json.load(open("BENCH_LOCAL_r12_final_merged.json"))["queries"]
+FINAL = json.load(open("BENCH_LOCAL_r12_final2_merged.json"))["queries"]
 
 FAMILY = {
     # §1 dedup
     "dedup_minhash_lsh": "§1", "dedup_minhash_incremental": "§1",
     "cluster_soft_dedup": "§1", "banded_minhash_compaction": "§1",
     "cluster_near_dups": "§1", "curation_funnel": "§1",
-    # §2 graph/ivf/pq/bpe build jobs
-    "centrality_rank_suppliers": "§2", "pagerank_scale": "§2",
+    # §2 graph/ivf/pq/bpe build jobs (+§8 pagerank fold kernel)
+    "centrality_rank_suppliers": "§2, §8", "pagerank_scale": "§2",
     # §3 sketches
     "cms_heavy_hitters": "§3", "bloom_prune_join": "§3",
     "approx_distinct_orders": "§3",
@@ -31,16 +31,17 @@ FAMILY = {
     "binary_video_fingerprint": "§6", "binary_audio_fingerprint": "§6",
     "binary_image_ahash": "§6", "banded_simhash_dedup": "§6",
     "fingerprint": "§6", "fp_winnow": "§6",
-    # §7 vectors
-    "ann_pq_adc": "§7", "ann_pq_recall": "§7", "ann_ivfpq_topk": "§7",
-    "ann_ivfpq_refine": "§7", "ann_recall_audit": "§7",
-    "ann_ivf_sqrt_lists": "§7", "ann_ivf_append": "§7",
-    "ann_ivf_filtered": "§7", "ann_filtered_recall": "§7",
-    "ann_int8_recall": "§7", "ann_hybrid_rrf": "§7", "knn_ivf": "§7",
-    "knn_ivf_serve": "§7", "semantic_dedup_scale": "§7",
-    "ann_ivf_arrow": "§7", "knn_bruteforce": "§7",
-    "ivf_probe_deltas_0": "§7", "ivf_probe_deltas_8": "§7",
-    "ivf_probe_deltas_32": "§7",
+    # §7 vectors (+§9 brute-force cosine kernel, +§10 norm hoist)
+    "ann_pq_adc": "§7", "ann_pq_recall": "§7, §9", "ann_ivfpq_topk": "§7",
+    "ann_ivfpq_refine": "§7", "ann_recall_audit": "§7, §9, §10",
+    "ann_ivf_sqrt_lists": "§7, §10", "ann_ivf_append": "§7, §10",
+    "ann_ivf_filtered": "§7, §10", "ann_filtered_recall": "§7, §9, §10",
+    "ann_int8_recall": "§7, §9", "ann_hybrid_rrf": "§7, §9",
+    "knn_ivf": "§7, §10",
+    "knn_ivf_serve": "§7, §10", "semantic_dedup_scale": "§7",
+    "ann_ivf_arrow": "§7, §10", "knn_bruteforce": "§7, §9",
+    "ivf_probe_deltas_0": "§7, §10", "ivf_probe_deltas_8": "§7, §10",
+    "ivf_probe_deltas_32": "§7, §10",
 }
 INHERITS = {
     "cluster_weighted_epoch", "curation_pipeline_scale",
