@@ -25,15 +25,27 @@ with a plain float sum — order-free semantics, engine-specific bits.
 order (bounded by in-degree), which a DuckDB oracle replays with an
 ordered ``list_reduce`` — the same dual-path discipline as the IVF
 Lloyd refinement (scale default + bit-reproducible twin for the
-oracle-pinned registry query).  Since r12 the ordered fold runs as an
-Arrow-batched numpy kernel by default (``fold_impl='arrow'``) — the
-interpreted HOF aggregate never enters whole-stage codegen and
-measured ~1.1s/round-trio over the sf0.1 supplier graph; the
-expression twin is kept as ``fold_impl='expr'`` and bit-equality is
-pinned in tests/test_graph.py.
+oracle-pinned registry query).
+
+``fold_impl`` selects how the ordered fold executes.  The r12
+optimization round built an Arrow-batched numpy twin
+(``fold_impl='arrow'``, bit-equality pinned in tests/test_graph.py
+across batch regimes) on the theory that the interpreted HOF
+aggregate — which never enters whole-stage codegen — was the fold's
+cost.  Measurement says otherwise ACROSS SCALES: the kernel wins
+~8% on the sf0.1 supplier graph (3.2s vs 3.5s) but loses 3x at the
+100x replica (209s vs 67s, min-of-2 idle) — the kernel's
+repartition+full-partition-sort and the 45M-row-per-round Arrow
+round-trip dwarf the interpreted fold, while the expression path's
+ObjectHashAggregate does JVM map-side partial_collect_list with no
+Python boundary and no global sort.  The EXPRESSION fold is
+therefore the default and the 100 TB configuration; the kernel is
+kept as the measured negative result and equality anchor.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,9 +56,10 @@ def _fold_sums_arrow(contribs: DataFrame) -> DataFrame:
     sequentially in source-id order — the Arrow twin of the
     exact_replay HOF aggregate (collect_list -> array_sort -> left
     fold), bit-identical by the codec-kernel argument (same IEEE adds
-    in the same order, one rounding per step, vectorized ACROSS
-    destinations via a depth loop over in-degree instead of down each
-    list).  The 0.0 init matches the fold's zero literal (0.0 + x == x
+    in the same order, one rounding per step — per-segment np.cumsum
+    for long segments, a depth loop across destinations for short
+    ones; see the strategy comment in ``gen`` for the measured
+    regimes).  The 0.0 init matches the fold's zero literal (0.0 + x == x
     for every value the graph produces; contributions are rank/deg,
     never -0.0).  Cost shape is unchanged — one hash exchange on dst
     either way (partial_collect_list ships every element too) — but
@@ -74,37 +87,58 @@ def _fold_sums_arrow(contribs: DataFrame) -> DataFrame:
             c = pdf["c"].to_numpy(dtype="float64")
             starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
             ends = np.r_[starts[1:], len(dst)]
-            acc = np.zeros(len(starts), dtype=np.float64)
-            done_keys, done_sums = [], []
+            n_seg = len(starts)
+            acc = np.zeros(n_seg, dtype=np.float64)
+            seed0 = 0.0
+            done_key, done_sum, have_done = None, 0.0, False
             if have_carry:
                 if dst[0] == carry_key:
                     # continue the spanning group's fold where it left off
-                    acc[0] = carry_acc
+                    seed0 = carry_acc
                 else:
-                    done_keys.append(carry_key)
-                    done_sums.append(carry_acc)
+                    done_key, done_sum, have_done = carry_key, carry_acc, True
                 have_carry = False
-            # depth loop: step j adds every group's j-th contribution —
-            # acc[g] += c is one rounding per step in (dst, src) order
-            idx = starts.copy()
-            active = np.arange(len(starts))
-            while active.size:
-                acc[active] += c[idx[active]]
-                idx[active] += 1
-                active = active[idx[active] < ends[active]]
+            # Two bit-equal fold strategies (both are the sequential
+            # left fold — one rounding per element in (dst, src)
+            # order), picked per batch by segment shape:
+            #  * LONG segments (high in-degree, few groups per batch —
+            #    the 100x supplier graph): per-segment np.cumsum, whose
+            #    output is definitionally every sequential partial sum;
+            #    a depth loop here degenerates to in-degree-many numpy
+            #    calls on tiny index arrays (measured 2.5 ms vs 0.1 ms
+            #    per 10k-row batch).
+            #  * SHORT segments (many groups per batch): a depth loop —
+            #    step j adds every group's j-th contribution; cumsum
+            #    here pays one Python-loop iteration per GROUP
+            #    (measured 13 ms vs 0.2 ms per batch).
+            if n_seg * 8 <= len(dst):
+                for g in range(n_seg):
+                    seg = c[starts[g] : ends[g]]
+                    if g == 0 and seed0 != 0.0:
+                        seg = np.r_[seed0, seg]
+                    acc[g] = np.cumsum(seg)[-1]
+            else:
+                acc[0] = seed0
+                idx = starts.copy()
+                active = np.arange(n_seg)
+                while active.size:
+                    acc[active] += c[idx[active]]
+                    idx[active] += 1
+                    active = active[idx[active] < ends[active]]
             # the last group may continue in the next batch
             carry_key, carry_acc, have_carry = (
                 dst[starts[-1]],
                 float(acc[-1]),
                 True,
             )
-            if len(starts) > 1 or done_keys:
-                yield pd.DataFrame(
-                    {
-                        "dst": done_keys + list(dst[starts[:-1]]),
-                        "s": done_sums + list(acc[:-1]),
-                    }
-                )
+            if n_seg > 1 or have_done:
+                out = pd.DataFrame({"dst": dst[starts[:-1]], "s": acc[:-1]})
+                if have_done:
+                    out = pd.concat(
+                        [pd.DataFrame({"dst": [done_key], "s": [done_sum]}), out],
+                        ignore_index=True,
+                    )
+                yield out
         if have_carry:
             yield pd.DataFrame({"dst": [carry_key], "s": [carry_acc]})
 
@@ -124,7 +158,7 @@ def pagerank(
     damping: float = 0.85,
     exact_replay: bool = False,
     ckpt_every: int = 5,
-    fold_impl: str = "arrow",
+    fold_impl: str = "expr",
 ) -> DataFrame:
     """(node, rank) after ``iters`` damped propagation rounds over the
     DISTINCT directed edge list. Dangling nodes (no out-edges) simply
@@ -157,8 +191,25 @@ def pagerank(
     # exchange).  Both regimes compute identical values: the
     # exact_replay fold is order-pinned by array_sort, and join
     # strategy never changes join RESULTS.
+    # Gate threshold, measured at the 100x replica (1.65M nodes, 45M
+    # edges, idle min-of-2 per leg): for the PLAIN-SUM leg the regimes
+    # are a wash (38.1s broadcast vs 39.1s repartition — the map-side
+    # combined sum collapses each round before its exchange either
+    # way), but for the EXACT fold the broadcast regime is a 2.4x
+    # regression (170.6s vs 71.4s): partial_collect_list keeps every
+    # element, so nothing shrinks before the exchange, and each
+    # round's rank broadcast serializes the previous round's full
+    # 45M-struct aggregation through a driver-built broadcast relation
+    # instead of a pipelined shuffle stage.  Hence the exact leg flips
+    # to the repartition regime a decade earlier; both thresholds are
+    # env-overridable for other cluster shapes.
     n_nodes = nodes.count()
-    small_nodes = n_nodes <= int(2e6)
+    small_nodes = n_nodes <= int(
+        os.environ.get(
+            "SPARK_GRAFT_PAGERANK_BCAST_MAX_NODES",
+            str(int(2e5 if exact_replay else 2e6)),
+        )
+    )
     if not small_nodes:
         e = e.repartition("src").localCheckpoint()
     deg = (

@@ -115,18 +115,33 @@ def test_fold_arrow_matches_expression_twin(spark):
     }
     arrow = {
         r.node: r.rank
-        for r in pagerank(df, iters=3, exact_replay=True).collect()
+        for r in pagerank(
+            df, iters=3, exact_replay=True, fold_impl="arrow"
+        ).collect()
     }
     assert arrow == expr  # bit-exact, not approx
 
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old = spark.conf.get(key)
     try:
-        spark.conf.set(key, "7")  # force groups to span Arrow batches
+        # 7-row batches: short-segment depth loop + carry on every batch
+        spark.conf.set(key, "7")
         tiny = {
             r.node: r.rank
-            for r in pagerank(df, iters=3, exact_replay=True).collect()
+            for r in pagerank(
+                df, iters=3, exact_replay=True, fold_impl="arrow"
+            ).collect()
+        }
+        # 32-row batches with ~75-row groups: the per-segment cumsum
+        # branch (n_seg * 8 <= rows) INCLUDING its carry-seed prepend
+        spark.conf.set(key, "32")
+        mid = {
+            r.node: r.rank
+            for r in pagerank(
+                df, iters=3, exact_replay=True, fold_impl="arrow"
+            ).collect()
         }
     finally:
         spark.conf.set(key, old)
     assert tiny == expr
+    assert mid == expr

@@ -11,7 +11,7 @@ import json
 import math
 
 BASE = json.load(open("BENCH_LOCAL_r12.json"))["queries"]
-FINAL = json.load(open("BENCH_LOCAL_r12_final2_merged.json"))["queries"]
+FINAL = json.load(open("BENCH_LOCAL_r12_final3_merged.json"))["queries"]
 
 FAMILY = {
     # §1 dedup
@@ -19,7 +19,7 @@ FAMILY = {
     "cluster_soft_dedup": "§1", "banded_minhash_compaction": "§1",
     "cluster_near_dups": "§1", "curation_funnel": "§1",
     # §2 graph/ivf/pq/bpe build jobs (+§8 pagerank fold kernel)
-    "centrality_rank_suppliers": "§2, §8", "pagerank_scale": "§2",
+    "centrality_rank_suppliers": "§2, §8 (kernel reverted, gate kept)", "pagerank_scale": "§2",
     # §3 sketches
     "cms_heavy_hitters": "§3", "bloom_prune_join": "§3",
     "approx_distinct_orders": "§3",
