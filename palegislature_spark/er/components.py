@@ -71,6 +71,11 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # The moved flag is computed INLINE on the propagation join —
+        # the old label is already on the row — so the convergence
+        # check below is a filter over the checkpointed RDD instead of
+        # a second join+broadcast job per round (one fewer Spark job
+        # per iteration; the label values are identical).
         new_labels = (
             labels.join(_bcast(neighbor_labels), "a", "left")
             .select(
@@ -78,17 +83,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
+                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
+                    "__moved"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(_bcast(labels.alias("o")), "a")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__moved").limit(1).count()
+        labels = new_labels.select("a", "comp")
         if changed == 0:
             break
     else:

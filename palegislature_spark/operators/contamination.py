@@ -227,7 +227,12 @@ def decontaminate(
         # split) grows it linearly — past ~5M distinct grams the
         # broadcast would blow the 8GB torrent limit long before
         # 100 TB, so fall back to a shuffle join (one count() action
-        # to decide, same policy as the other auto-sized operators)
+        # to decide, same policy as the other auto-sized operators).
+        # The sizing count() and the join consume the SAME distinct
+        # gram set — checkpoint it once so the eval-side gram pass is
+        # not paid twice (it is corpus-sized when the caller swaps the
+        # roles, as benchmark_eval_overlap does).
+        eval_grams = eval_grams.localCheckpoint(eager=False)
         broadcast_eval = eval_grams.count() <= 5_000_000
     eval_side = F.broadcast(eval_grams) if broadcast_eval else eval_grams
     return (

@@ -322,6 +322,44 @@ def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int = 32) -> Data
     )
 
 
+def _verify_pairs_by_array(
+    cand: DataFrame, sharr: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_1, id_2) pairs by
+    joining each side's distinct shingle-hash ARRAY and intersecting
+    row-locally: common = |A ∩ B|, jaccard = common / (|A| + |B| -
+    common) — the same integer counts (hence bit-identical division)
+    as the inverted-index ``_pair_jaccard`` path, at O(candidates)
+    join work instead of a chain of candidate-bounded shuffles.
+    Pairs with no shared shingle fall out at any threshold > 0, like
+    the inverted index (which never emits them)."""
+    j = (
+        cand.join(
+            sharr.select(F.col(id_col).alias("id_1"), F.col("sha").alias("__a1")),
+            "id_1",
+        )
+        .join(
+            sharr.select(F.col(id_col).alias("id_2"), F.col("sha").alias("__a2")),
+            "id_2",
+        )
+        .select(
+            "id_1",
+            "id_2",
+            F.size(F.array_intersect("__a1", "__a2")).alias("__common"),
+            F.size("__a1").alias("__n1"),
+            F.size("__a2").alias("__n2"),
+        )
+    )
+    return j.select(
+        "id_1",
+        "id_2",
+        (
+            F.col("__common")
+            / (F.col("__n1") + F.col("__n2") - F.col("__common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -367,7 +405,18 @@ def minhash_lsh_pairs(
     None keeps the operator exactly equal to the jaccard oracle.
     """
     rows = num_hashes // bands
-    sh = hashed_shingles(df, id_col, text_col, n)
+    # One corpus shingle pass, checkpointed as ARRAYS: the signature
+    # leg explodes it (groupBy mins, as ever) and the verify leg joins
+    # it per candidate id — the split+slice+distinct work runs exactly
+    # once per action however many consumers read it.
+    sharr = (
+        shingle_arrays(df, id_col, text_col, n)
+        .select(
+            id_col, F.transform("sh", lambda s: F.xxhash64(s)).alias("sha")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sh = sharr.select(id_col, F.explode("sha").alias("sh_hash"))
     sig = minhash_signatures(sh, id_col, num_hashes)
     # band key = hash of the band's member hashes -> 8-byte join key
     band_arr = F.array(
@@ -397,30 +446,20 @@ def minhash_lsh_pairs(
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
-        # lazy: materializes inside the caller's first action (so the
-        # bench timer sees the real cost) while still collapsing the
-        # two consumers onto one computed RDD
-        .localCheckpoint(eager=False)
+        # single consumer now (the array verify below) — no checkpoint
     )
-    # Exact verification restricted to candidate ids (semi-join prune;
-    # broadcast decision left to AQE — see docstring).
-    cand_ids = (
-        cand.select(F.col("id_1").alias(id_col))
-        .union(cand.select("id_2"))
-        .distinct()
-    )
-    # _pair_jaccard consumes its input THREE ways (two join sides plus
-    # the per-id size aggregate, which the planner additionally copies
-    # for c1/c2) — without a checkpoint the scan+shingle+semi-join
-    # subtree executes 4x per action (counted in the captured physical
-    # plan, plans/r12/dedup_minhash_lsh_before.txt).  The pruned
-    # shingle set is candidate-bounded, so materializing it once is
-    # cheap while each recomputation is a full corpus shingle pass.
-    sh_pruned = sh.join(cand_ids, id_col, "left_semi").localCheckpoint(
-        eager=False
-    )
-    verified = _pair_jaccard(sh_pruned, id_col).join(cand, ["id_1", "id_2"], "left_semi")
-    return verified.filter(F.col("jaccard") >= threshold)
+    # Exact verification directly on the candidate PAIRS: attach each
+    # side's checkpointed shingle-hash array and count the overlap
+    # with array_intersect — |A ∩ B| / (|A| + |B| - |A ∩ B|) over the
+    # per-document DISTINCT shingle sets, the identical integer counts
+    # (and so the identical division) the former inverted-index join
+    # produced, without its cand_ids distinct + doc semi-join +
+    # re-shingle + gram self-join + two count-attach joins (each a
+    # scheduling round over candidate-bounded rows; the whole verify
+    # leg measured ~1.1s of the 2.2s pipeline at sf0.1). Candidates
+    # are output-bounded, so the pair join is two broadcast-sized
+    # attaches against the single shingle pass.
+    return _verify_pairs_by_array(cand, sharr, id_col, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -1086,12 +1125,16 @@ def minhash_lsh_pairs_incremental(
     touched = new_docs.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
     )
-    # candidate-bounded, consumed 4x by _pair_jaccard — the
-    # minhash_lsh_pairs sh_pruned discipline
-    sh = hashed_shingles(
-        touched.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
-    ).localCheckpoint(eager=False)
-    verified = _pair_jaccard(sh, id_col).join(
-        cand, ["id_1", "id_2"], "left_semi"
+    # candidate-bounded shingle ARRAYS, checkpointed once; the verify
+    # is the array-intersect path (bit-identical Jaccard, see
+    # _verify_pairs_by_array) instead of the inverted-index join chain
+    sharr = (
+        shingle_arrays(
+            touched.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+        )
+        .select(
+            id_col, F.transform("sh", lambda s: F.xxhash64(s)).alias("sha")
+        )
+        .localCheckpoint(eager=False)
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    return _verify_pairs_by_array(cand, sharr, id_col, threshold)
