@@ -121,18 +121,24 @@ def _gram_firsts_col(k: int) -> Column:
 def _cross_doc_dup_grams(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """Grams occurring in >= 2 distinct documents (one gram column).
-    ONE exchange total: per-doc dedup is row-local
+    """Gram HASHES occurring in >= 2 distinct documents (one ``gh``
+    column). ONE exchange total: per-doc dedup is row-local
     (:func:`_distinct_grams_col`), so every document contributes at
-    most one row per gram to the map-side-combined groupBy(gram)
-    count — the row count IS the distinct-document count."""
+    most one row per gram to the map-side-combined groupBy count —
+    the row count IS the distinct-document count.  The gram string is
+    folded to a 64-bit xxhash64 map-side (guide §2.3: shuffle 8 bytes
+    per gram instead of a k-token string; collisions at ~2^-64 per
+    gram pair are quantitatively irrelevant, the hashed_shingles
+    argument), so the exchange and the downstream join both carry
+    longs."""
     return (
         docs.select(F.split(F.col(text_col), " ").alias("tk"))
         .select(F.explode(_distinct_grams_col(k)).alias("gram"))
-        .groupBy("gram")
+        .select(F.xxhash64("gram").alias("gh"))
+        .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("gh")
     )
 
 
@@ -206,6 +212,13 @@ def decontaminate(
     # explode_outer keeps zero-gram (shorter than n words) documents
     # as a single NULL-gram row, so they are reported clean rather
     # than silently dropped
+    # Both join sides carry the 64-bit gram hash instead of the gram
+    # string (guide §2.3: the broadcast/exchange and the hash-table
+    # probe move 8 bytes per gram; collisions at ~2^-64 per gram pair
+    # are quantitatively irrelevant — the hashed_shingles argument).
+    # explode_outer's NULL gram (doc shorter than n words) hashes to
+    # the xxhash64 seed constant, which matches no eval gram, exactly
+    # as NULL matched no string key.
     exploded = (
         train.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tk"))
         .select(id_col, grams_arr.alias("grams"))
@@ -214,10 +227,13 @@ def decontaminate(
             F.size("grams").cast("long").alias("n_grams"),
             F.explode_outer("grams").alias("gram"),
         )
+        .select(
+            id_col, "n_grams", F.xxhash64("gram").alias("gh")
+        )
     )
     eval_grams = (
         _word_ngrams(eval_df, id_col, text_col, n)
-        .select("gram")
+        .select(F.xxhash64("gram").alias("gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -236,7 +252,7 @@ def decontaminate(
         broadcast_eval = eval_grams.count() <= 5_000_000
     eval_side = F.broadcast(eval_grams) if broadcast_eval else eval_grams
     return (
-        exploded.join(eval_side, "gram", "left")
+        exploded.join(eval_side, "gh", "left")
         .groupBy(id_col)
         .agg(
             F.max("n_grams").alias("n_grams"),
@@ -287,9 +303,11 @@ def duplicate_span_coverage(
     n_tokens = toks.select(
         id_col, F.size("tk").cast("long").alias("n_tokens")
     )
-    spans = _spans(docs, id_col, text_col, k)
+    spans = _spans(docs, id_col, text_col, k).select(
+        id_col, "start", "end", F.xxhash64("gram").alias("gh")
+    )
     dup_spans = spans.join(
-        _cross_doc_dup_grams(docs, id_col, text_col, k), "gram", "left_semi"
+        _cross_doc_dup_grams(docs, id_col, text_col, k), "gh", "left_semi"
     )
     covered = (
         _interval_islands(dup_spans, id_col)
@@ -356,18 +374,27 @@ def strip_duplicate_spans(
         F.split(F.col(text_col), " ").alias("tk"),
     )
 
-    spans = _spans(docs, id_col, text_col, k)
+    spans = _spans(docs, id_col, text_col, k).select(
+        id_col, "start", "end", F.xxhash64("gram").alias("gh")
+    )
     # per-(gram, doc): first occurrence start — row-local (a doc's
     # grams live in its own row, :func:`_gram_firsts_col`), so the
-    # canon aggregation below is the ONLY exchange on the gram key
+    # canon aggregation below is the ONLY exchange on the gram key —
+    # carried as the 64-bit gram hash (guide §2.3, the
+    # _cross_doc_dup_grams argument), so the exchange and the join
+    # back to the span table move longs, not k-token strings
     per_doc = toks.select(
         id_col, F.explode(_gram_firsts_col(k)).alias("g")
-    ).select(id_col, F.col("g.gram").alias("gram"), F.col("g.start").alias("fs"))
+    ).select(
+        id_col,
+        F.xxhash64(F.col("g.gram")).alias("gh"),
+        F.col("g.start").alias("fs"),
+    )
     # per gram: distinct-doc count + global argmin (doc, start); the
     # struct min IS the lexicographic (doc_id, start) order the
     # canonical-election window used
     canon = (
-        per_doc.groupBy("gram")
+        per_doc.groupBy("gh")
         .agg(
             F.count(F.lit(1)).alias("nd"),
             F.min(
@@ -376,13 +403,13 @@ def strip_duplicate_spans(
         )
         .filter(F.col("nd") >= 2)
         .select(
-            "gram",
+            "gh",
             F.col("c.i").alias("__canon_id"),
             F.col("c.s").alias("__canon_start"),
         )
     )
     removable = (
-        spans.join(canon, "gram")
+        spans.join(canon, "gh")
         .filter(
             ~(
                 (F.col(id_col) == F.col("__canon_id"))
