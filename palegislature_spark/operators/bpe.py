@@ -212,12 +212,87 @@ def bpe_merge_table(
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
+def _apply_bpe_arrow(
+    docs: DataFrame, rules: list, id_col: str, text_col: str
+) -> DataFrame:
+    """Shuffle-free encode: one mapInPandas pass with a per-task
+    word -> tokens memo (guide §4.5 heavyweight-init; §8 decide on
+    small rows — the dictionary is vocabulary-sized, the token stream
+    never shuffles).  Each DISTINCT word in a task is encoded once by
+    the same boundary-wrapped replace chain the expression twin (and
+    the DuckDB oracle) runs — Python ``str.replace`` is left-to-right
+    non-overlapping exactly like Java's/DuckDB's — and words
+    containing the \\x01/\\x02 delimiters take the same per-symbol
+    fold as the expression twin.  Replaces the explode + distinct +
+    dictionary-join + per-doc collect_list/sort reassembly: the whole
+    former plan shuffled the corpus token stream twice (join, regroup)
+    to reassemble an order the input rows already had.  Bit-equality
+    with the expression path is pinned in tests/test_bpe.py."""
+    import re
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+    sym_pat = re.compile(_SYM_PAT)
+
+    def encode_word(w: str, memo: dict) -> list:
+        toks = memo.get(w)
+        if toks is None:
+            if "\x01" in w or "\x02" in w:
+                # fold twin (delimiter collision): per-rule left fold
+                # over the symbol array, exactly _make_step
+                syms = list(w)
+                for a, b in rules:
+                    merged = a + b
+                    out: list = []
+                    for s in syms:
+                        if out and out[-1] == a and s == b:
+                            out[-1] = merged
+                        else:
+                            out.append(s)
+                    syms = out
+                toks = syms
+            else:
+                s = "".join(f"\x01{c}\x02" for c in w)
+                for a, b in rules:
+                    s = s.replace(
+                        f"\x01{a}\x02\x01{b}\x02", f"\x01{a + b}\x02"
+                    )
+                toks = sym_pat.findall(s)
+            memo[w] = toks
+        return toks
+
+    def gen(batches):
+        memo: dict = {}
+        for pdf in batches:
+            ids, toks_col = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list = []
+                if isinstance(text, str):
+                    for w in text.split(" "):
+                        if w:
+                            toks.extend(encode_word(w, memo))
+                ids.append(did)
+                toks_col.append(toks)
+            yield pd.DataFrame({id_col: ids, "tokens": toks_col})
+
+    from palegislature_spark.operators.multimodal import _fan_out
+
+    return _fan_out(docs, id_col, text_col).mapInPandas(gen, out_schema)
+
+
 def apply_bpe(
     docs: DataFrame,
     merge_table: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = False,
+    encode_impl: str = "arrow",
 ) -> DataFrame:
     """Tokenize with a learned merge table: per document,
     (id, tokens array) after replaying every merge in step order.
@@ -235,7 +310,14 @@ def apply_bpe(
     winnowing. Output is bit-identical to folding each document's
     words in place (the fold is a pure per-word function).
 
-    ``broadcast_vocab`` forces the dictionary join to broadcast.
+    ``encode_impl='arrow'`` (default) runs the shuffle-free
+    mapInPandas kernel (:func:`_apply_bpe_arrow` — per-task word
+    memo, zero exchanges, bit-equal output pinned in
+    tests/test_bpe.py); ``'expr'`` keeps this expression path, the
+    plan the DuckDB oracle structurally mirrors.
+
+    ``broadcast_vocab`` (expr impl only) forces the dictionary join
+    to broadcast.
     Default OFF: a space-split vocabulary GROWS with the corpus
     (Heaps' law — a web corpus's URLs/typos/numbers reach hundreds of
     millions of distinct words), so the safe default lets the
@@ -246,6 +328,10 @@ def apply_bpe(
         (r["left_sym"], r["right_sym"])
         for r in merge_table.orderBy("step").collect()
     ]
+    if encode_impl == "arrow":
+        return _apply_bpe_arrow(docs, rules, id_col, text_col)
+    if encode_impl != "expr":
+        raise ValueError(f"unknown encode_impl: {encode_impl}")
     word_pos = docs.select(
         F.col(id_col),
         F.posexplode(

@@ -292,6 +292,10 @@ def _winnow_fingerprints_arrow(
                 fps.extend(u.tolist())
             yield pd.DataFrame({id_col: ids, "fingerprint": fps})
 
+    # no _fan_out here (unlike the heavier simhash/BPE kernels): the
+    # winnow kernel is ~0.5s single-worker at sf0.1, so the fan-out
+    # repartition costs more than it parallelizes (measured 0.75s vs
+    # 0.85s), and at replica scale the scan is already parallel
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
@@ -469,7 +473,9 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 60
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, impl: str = "arrow"
+) -> DataFrame:
     """60-bit SimHash per document from token md5s: (id, simhash).
 
     Token weight = occurrence count (the full token array is folded,
@@ -478,17 +484,33 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nibbles => 60 bits, fits a BIGINT). md5 is used (not xxhash64) so
     external engines can reproduce the signature exactly.
 
-    Shape: explode tokens, md5 once per token row, convert the first
-    15 hex nibbles to ONE 60-bit long per row (single conv), then 60
-    integer-shift partial sums in a single groupBy(id) — map-side
-    combine shrinks the shuffle to one 61-column row per document.
-    Bit numbering matches the nibble definition exactly: bit i lives
-    in hex nibble i//4 at in-nibble position i%4, and nibble p of the
-    big-endian 15-nibble number sits at integer bit 4*(14-p).
-    (An array-fold version with aggregate() was tried and is ~3x
-    slower: higher-order lambdas are interpreted, these sum exprs are
-    codegen'd.)
+    ``impl='arrow'`` (default): one shuffle-free mapInPandas pass —
+    per-task token->md5 memo (Zipf: tokens repeat corpus-wide, guide
+    §4.5), numpy bit extraction and vote sums.  BIT-IDENTICAL to the
+    expression twin by construction: the whole computation is integer
+    (md5 nibbles, shifts, counts) with no float anywhere, so there is
+    no rounding to re-order — pinned in tests/test_dedup.py.  It also
+    removes the token-explode exchange: the r12 plan paid one shuffle
+    of (id, 60 partial sums) rows; this pass emits one (id, simhash)
+    row per document with zero exchanges — the better 100 TB shape
+    (the signature stage becomes a pure map over the corpus scan).
+
+    ``impl='expr'`` — the JVM expression twin the DuckDB oracle
+    structurally mirrors: explode tokens, md5 once per token row,
+    convert the first 15 hex nibbles to ONE 60-bit long per row
+    (single conv), then 60 integer-shift partial sums in a single
+    groupBy(id) — map-side combine shrinks the shuffle to one
+    61-column row per document. Bit numbering matches the nibble
+    definition exactly: bit i lives in hex nibble i//4 at in-nibble
+    position i%4, and nibble p of the big-endian 15-nibble number
+    sits at integer bit 4*(14-p). (An array-fold version with
+    aggregate() was tried and is ~3x slower: higher-order lambdas are
+    interpreted, these sum exprs are codegen'd.)
     """
+    if impl == "arrow":
+        return _simhash_signatures_arrow(df, id_col, text_col)
+    if impl != "expr":
+        raise ValueError(f"unknown simhash impl: {impl}")
     hexed = (
         df.repartition(F.col(id_col))
         .select(
@@ -510,6 +532,59 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for i in range(_SIMHASH_BITS)
     )
     return votes.select(id_col, F.expr(hash_expr).alias("simhash"))
+
+
+def _simhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shuffle-free SimHash (the ``impl='arrow'`` path of
+    :func:`simhash_signatures` — see its docstring for the equality
+    argument).  NULL-text rows drop, exactly as the expression twin's
+    explode of a NULL token array emits no rows for them."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("simhash", T.LongType())]
+    )
+    shifts = np.array(
+        [4 * (14 - i // 4) + (i % 4) for i in range(_SIMHASH_BITS)],
+        dtype=np.uint64,
+    )
+    bit_vals = np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64)
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
+                toks = text.split(" ")
+                vals = np.empty(len(toks), dtype=np.uint64)
+                for j, w in enumerate(toks):
+                    v = memo.get(w)
+                    if v is None:
+                        v = int(
+                            hashlib.md5(w.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        memo[w] = v
+                    vals[j] = v
+                bits = (vals[:, None] >> shifts) & np.uint64(1)
+                votes = 2 * bits.astype(np.int64).sum(axis=0) - len(toks)
+                sigs.append(int(bit_vals[votes > 0].sum()))
+                ids.append(did)
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    from palegislature_spark.operators.multimodal import _fan_out
+
+    return _fan_out(df, id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def simhash_pairs(
@@ -1121,13 +1196,14 @@ def minhash_lsh_pairs_incremental(
         .union(cand.select("id_2"))
         .distinct()
     )
-    # shingle ONLY batch docs + candidate corpus docs
+    # shingle ONLY candidate docs (batch or corpus): one union, one
+    # semi-join prune, then the candidate-bounded shingle ARRAYS,
+    # checkpointed once; the verify is the array-intersect path
+    # (bit-identical Jaccard, see _verify_pairs_by_array) instead of
+    # the inverted-index join chain
     touched = new_docs.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+        corpus.select(id_col, text_col)
     )
-    # candidate-bounded shingle ARRAYS, checkpointed once; the verify
-    # is the array-intersect path (bit-identical Jaccard, see
-    # _verify_pairs_by_array) instead of the inverted-index join chain
     sharr = (
         shingle_arrays(
             touched.join(cand_ids, id_col, "left_semi"), id_col, text_col, n

@@ -836,15 +836,12 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    # broadcast the word->tokens dictionary only while the corpus is
-    # small enough that its vocabulary is safely executor-memory-sized
-    # (Heaps' law: vocab grows with the corpus — the 10x bench replica
-    # already overflows a forced broadcast); past the gate the default
-    # lets AQE choose, same count-gated policy as simhash band_chunks
-    bounded_vocab = docs.count() < 100_000
-    enc = apply_bpe(
-        cleaned, merges, "doc_id", "text", broadcast_vocab=bounded_vocab
-    )
+    # encode_impl='arrow' (operator default): the shuffle-free
+    # mapInPandas kernel with the per-task word memo — no dictionary
+    # join exists on this path, so the former count-gated
+    # broadcast_vocab decision (and its per-rep count() job) is moot;
+    # the expr twin keeps that gate for callers that need it
+    enc = apply_bpe(cleaned, merges, "doc_id", "text")
     # space-joined (not raw array<string>): top-level result columns
     # must be scalar so downstream canonicalizers can sort/hash them —
     # enforced repo-wide by tests/test_registry.py's output-schema lint

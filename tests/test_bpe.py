@@ -178,3 +178,32 @@ def test_batched_property_equals_sequential(spark, word_lists):
         .collect()
     ]
     assert batched == seq
+
+
+def test_apply_bpe_arrow_equals_expr(spark):
+    """The shuffle-free mapInPandas encode (encode_impl='arrow', the
+    default) must be bit-equal to the expression twin on every path:
+    the wrapped replace chain, the \\x01/\\x02 fold fallback, empty/
+    NULL/multi-space documents, and non-BMP unicode."""
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "ab ab ba \x01weird\x02 café élève"),
+        (2, ""),
+        (3, None),
+        (4, "a  b   c"),
+        (5, "\x01\x02 \x02\x01"),
+        (6, "\U0001f600ab ab\U0001f600"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mt = bpe_merge_table(
+        docs.filter("text is not null"), n_merges=6, merge_batch=6
+    )
+    arrow = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe(docs, mt, encode_impl="arrow").collect()
+    }
+    expr = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe(docs, mt, encode_impl="expr").collect()
+    }
+    assert arrow == expr

@@ -440,3 +440,34 @@ def test_minhash_max_bucket_drops_identical_flood(spark):
     assert len(unguarded) == 30 * 29 // 2 + 1
     guarded = pairs(20)
     assert guarded == {(100, 101)}
+
+
+def test_simhash_arrow_equals_expr(spark):
+    """The shuffle-free mapInPandas SimHash (impl='arrow', the default)
+    must be bit-equal to the expression twin: the computation is pure
+    integer (md5 nibbles, shifts, occurrence counts), so there is no
+    rounding to diverge — including empty-string tokens from repeated
+    spaces, unicode, and NULL text (dropped on both paths)."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, ""),
+        (3, None),
+        (4, "a  b   c"),
+        (5, "café élève \U0001f600 café"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(
+            df, "doc_id", "text", impl="arrow"
+        ).collect()
+    }
+    expr = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(
+            df, "doc_id", "text", impl="expr"
+        ).collect()
+    }
+    assert arrow == expr
+    assert 3 not in arrow  # NULL text drops on both paths
