@@ -25,6 +25,7 @@ xxhash64 / conv / bit ops are whole-stage-codegen expressions.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -764,6 +765,7 @@ def hamming_pairs(
     band_chunks: int | None = None,
     n_rows: int | None = None,
     max_bucket: int | None = None,
+    ckpt_keys: bool | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` over ANY <=60-bit
     integer signature column — the banded generalized-pigeonhole
@@ -793,11 +795,27 @@ def hamming_pairs(
     # DIFFERENT projections, so exchange reuse never fires and the whole
     # signature subtree (for the multimodal callers: synthesis + real
     # codec decode + fingerprint) executes TWICE per action.  One lazy
-    # checkpoint of the band-key frame — C(m,j) small-int rows per id,
-    # output-shaped like minhash_lsh_pairs' `cand` — halves that
-    # (guide §2.4: two consumers, one computation; measured 2.9s -> 1.7s
-    # on binary_video_fingerprint at sf0.1).
-    chunked = chunked.localCheckpoint(eager=False)
+    # checkpoint of the band-key frame halves that (guide §2.4: two
+    # consumers, one computation; measured 2.9s -> 1.7s on
+    # binary_video_fingerprint at sf0.1) — but the trade FLIPS when the
+    # key frame is large and the signature pass is cheap: at the 100x
+    # replica (500k docs, band_chunks=2 -> 14M key rows) materializing
+    # the frame costs more than recomputing the arrow SimHash pass
+    # (27.7s vs 24.1s min-of-2, this session).  ``ckpt_keys=None``
+    # auto-gates on the estimated key-frame row count (env-overridable
+    # threshold); callers whose signatures are EXPENSIVE to recompute
+    # (the multimodal codec decodes) pass ckpt_keys=True explicitly.
+    if ckpt_keys is None:
+        import math
+
+        max_keys = int(
+            os.environ.get("SPARK_GRAFT_HAMMING_CKPT_MAX_KEYS", "2000000")
+        )
+        widths, _ = chunk_plan(n_bits, max_hamming, band_chunks, min_chunks)
+        n_bands = math.comb(len(widths), band_chunks)
+        ckpt_keys = n_rows is None or n_rows * n_bands <= max_keys
+    if ckpt_keys:
+        chunked = chunked.localCheckpoint(eager=False)
     key_cols = ["band"] + [f"v{t + 1}" for t in range(band_chunks)]
     if max_bucket is not None:
         chunked = _drop_hot_buckets(chunked, key_cols, max_bucket)

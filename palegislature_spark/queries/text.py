@@ -130,9 +130,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 def banded_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs at Hamming distance <= 6 over a 60-bit signature."""
     docs = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6).select(
-        "id_1", "id_2", "hamming"
-    )
+    # n_docs hint: a parquet metadata count, replacing the full
+    # signature pass hamming_pairs would otherwise run just to size
+    # band_chunks (the media queries' n_rows idiom)
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=6, n_docs=docs.count()
+    ).select("id_1", "id_2", "hamming")
 
 
 # The exact chunk plan banded_simhash_dedup's candidate join buckets
@@ -1784,6 +1787,9 @@ def binary_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ahash",
         max_hamming=6,
         n_rows=n_rows + n_rows // 7 + 1,
+        # the signature subtree is a real codec decode — always worth
+        # one checkpointed materialization however large the key frame
+        ckpt_keys=True,
     )
 
 
@@ -1893,6 +1899,9 @@ def binary_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "afp",
         max_hamming=6,
         n_rows=n_rows + n_rows // 7 + 1,
+        # the signature subtree is a real codec decode — always worth
+        # one checkpointed materialization however large the key frame
+        ckpt_keys=True,
     )
 
 
@@ -2015,4 +2024,7 @@ def binary_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vfp",
         max_hamming=6,
         n_rows=n_rows + n_rows // 7 + 1,
+        # the signature subtree is a real codec decode — always worth
+        # one checkpointed materialization however large the key frame
+        ckpt_keys=True,
     )
