@@ -365,6 +365,161 @@ def _verify_pairs_by_array(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _xxh64_long_np(v, seed):
+    """numpy twin of Spark's XXH64.hashLong — bit-exact (pinned in
+    tests/test_dedup.py against F.xxhash64 itself). uint64 wrapping
+    arithmetic everywhere; `v` may be any uint64 ndarray, `seed` a
+    scalar or broadcastable ndarray."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    h = seed + P5 + np.uint64(8)
+    k1 = v * P2
+    k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+    k1 = k1 * P1
+    h = h ^ k1
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_int_np(v, seed):
+    """numpy twin of Spark's XXH64.hashInt (4-byte input) — bit-exact,
+    same pinning as :func:`_xxh64_long_np`."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+    h = seed + P5 + np.uint64(4)
+    h = h ^ ((v & np.uint64(0xFFFFFFFF)) * P1)
+    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def minhash_band_keys(
+    sharr: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    impl: str = "expr",
+) -> DataFrame:
+    """(id, band, band_key) from a per-doc hashed-shingle ARRAY frame
+    — the banded LSH key construction of :func:`minhash_lsh_pairs`,
+    factored out with two bit-identical implementations.
+
+    ``impl='expr'`` (default): the JVM expression construction
+    (:func:`minhash_signatures` + the band hash array) — codegen'd
+    map-side-combined aggregates, and the MEASURED winner at both
+    scales (see below).
+
+    ``impl='arrow'``: one mapInPandas pass — per-shingle family
+    hashes, per-doc SIGNED minima, and per-band keys in wrapping
+    uint64 numpy via the :func:`_xxh64_long_np`/:func:`_xxh64_int_np`
+    twins of Spark's own XXH64; BIT-EQUAL to the expression path
+    (pinned in tests/test_dedup.py).  Built on the r12 §7 theory that
+    vectorizing the hash family would pay — MEASURED NEGATIVE both
+    at sf0.1 (wash: 1.12 vs 1.14s in the full pipeline) and at the
+    100x replica (expr 4.3s vs arrow 6-12s min-of-2, same JVM): the
+    Arrow round-trip of the shingle arrays costs more than the
+    trivial per-element hash work saves, exactly the r12 §8
+    pagerank-fold result.  Kept as the equality anchor and the
+    recorded negative result.
+    """
+    rows = num_hashes // bands
+    if impl == "expr":
+        sh = sharr.select(id_col, F.explode("sha").alias("sh_hash"))
+        sig = minhash_signatures(sh, id_col, num_hashes)
+        band_arr = F.array(
+            *[
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown minhash band impl: {impl}")
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            sharr.schema[id_col],
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("band_key", T.LongType()),
+        ]
+    )
+    seeds = np.arange(num_hashes, dtype=np.uint64)
+
+    def gen(batches):
+        import pandas as pd
+
+        np.seterr(over="ignore")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["sha"].map(len).to_numpy(dtype=np.int64)
+            keep = lens > 0
+            pdf = pdf[keep]
+            lens = lens[keep]
+            if not len(pdf):
+                continue
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["sha"]]
+            ).view(np.uint64)
+            # family member i of shingle s: xxhash64(s, i) =
+            # hashInt(i, hashLong(s, 42)) — hashLong shared across i
+            base = _xxh64_long_np(flat, np.uint64(42))
+            fam = _xxh64_int_np(seeds[None, :], base[:, None])
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            # Spark's min() over LongType is a SIGNED comparison —
+            # reduce over the int64 view, then hash the same bits
+            sig = np.minimum.reduceat(
+                fam.view(np.int64), offs, axis=0
+            ).view(np.uint64)  # (docs, k)
+            # band key b over members [b*rows, ..., b*rows+rows-1]:
+            # xxhash64(h0, h1, ...) folds hashLong left-to-right
+            keys = np.empty((len(lens), bands), dtype=np.uint64)
+            for b in range(bands):
+                k = _xxh64_long_np(
+                    sig[:, b * rows], np.uint64(42)
+                )
+                for r in range(1, rows):
+                    k = _xxh64_long_np(sig[:, b * rows + r], k)
+                keys[:, b] = k
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, bands),
+                    "band": np.tile(
+                        np.arange(bands, dtype=np.int32), len(lens)
+                    ),
+                    "band_key": keys.reshape(-1).view(np.int64),
+                }
+            )
+
+    return sharr.select(id_col, "sha").mapInPandas(gen, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -409,11 +564,10 @@ def minhash_lsh_pairs(
     recall trade is documented at :func:`hot_bucket_audit`; default
     None keeps the operator exactly equal to the jaccard oracle.
     """
-    rows = num_hashes // bands
-    # One corpus shingle pass, checkpointed as ARRAYS: the signature
-    # leg explodes it (groupBy mins, as ever) and the verify leg joins
-    # it per candidate id — the split+slice+distinct work runs exactly
-    # once per action however many consumers read it.
+    # One corpus shingle pass, checkpointed as ARRAYS: the band-key
+    # kernel reads it and the verify leg joins it per candidate id —
+    # the split+slice+distinct work runs exactly once per action
+    # however many consumers read it.
     sharr = (
         shingle_arrays(df, id_col, text_col, n)
         .select(
@@ -421,18 +575,15 @@ def minhash_lsh_pairs(
         )
         .localCheckpoint(eager=False)
     )
-    sh = sharr.select(id_col, F.explode("sha").alias("sh_hash"))
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    # band key = hash of the band's member hashes -> 8-byte join key
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    band_key = sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
-    )
+    # band keys via the EXPRESSION construction: the vectorized twin
+    # (minhash_band_keys impl='arrow') is bit-equal but measured
+    # SLOWER at the 100x replica (4.3s vs 6-12s min-of-2, same JVM —
+    # the Arrow round-trip of the shingle arrays dwarfs the
+    # codegen'd map-side-combined 32-min aggregates; the r12
+    # pagerank-fold lesson repeating) and a wash at sf0.1 (1.12 vs
+    # 1.14s).  The kernel stays as the equality-pinned negative
+    # result.
+    band_key = minhash_band_keys(sharr, id_col, num_hashes, bands, impl="expr")
     # b1/b2 below are DIFFERENT projections of this frame, so exchange
     # reuse never fires and the shingle+signature pipeline would run
     # twice inside the candidate join alone (guide §2.4: two consumers,
@@ -857,18 +1008,10 @@ def minhash_index(
     arriving batch against it WITHOUT touching historical text: the
     full-corpus signature pass is the expensive stage, and an
     incremental pipeline must not repeat it per batch."""
-    rows = num_hashes // bands
-    sh = hashed_shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
+    sharr = shingle_arrays(df, id_col, text_col, n).select(
+        id_col, F.transform("sh", lambda s: F.xxhash64(s)).alias("sha")
     )
-    return sig.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
-    )
+    return minhash_band_keys(sharr, id_col, num_hashes, bands, impl="expr")
 
 
 # --------------------------------------------------------------------------

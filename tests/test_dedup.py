@@ -471,3 +471,39 @@ def test_simhash_arrow_equals_expr(spark):
     }
     assert arrow == expr
     assert 3 not in arrow  # NULL text drops on both paths
+
+
+def test_minhash_band_keys_arrow_equals_expr(spark):
+    """The vectorized band-key kernel (impl='arrow', the default) must
+    be bit-equal to the expression construction: the numpy XXH64
+    long/int twins reproduce Spark's xxhash64 exactly (including the
+    SIGNED min over the hash family), so signatures and band keys
+    carry identical bits."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away",
+        "the quick brown fox jumps over the lazy cat and runs away",
+        "completely different words here to make another shingle set",
+        "a b c",
+        "x y z w v u t s r q p o n m l k",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sharr = dedup.shingle_arrays(df, "doc_id", "text", 3).select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sha")
+    )
+    arrow = {
+        (r["doc_id"], r["band"]): r["band_key"]
+        for r in dedup.minhash_band_keys(
+            sharr, "doc_id", 32, 16, impl="arrow"
+        ).collect()
+    }
+    expr = {
+        (r["doc_id"], r["band"]): r["band_key"]
+        for r in dedup.minhash_band_keys(
+            sharr, "doc_id", 32, 16, impl="expr"
+        ).collect()
+    }
+    assert arrow == expr and len(arrow) == 5 * 16
